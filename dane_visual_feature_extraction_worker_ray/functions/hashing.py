@@ -1,0 +1,43 @@
+"""Deterministic vectorized hashing primitives.
+
+Everything downstream (bucket assignment, exact-dedup keys, MinHash,
+SimHash, fingerprints, the scorer's pseudo-embedding) derives from one
+stable 64-bit string hash so results are bit-identical across runs,
+processes, and parallelism levels (required for deterministic resume —
+SURVEY.md §7.4). Reference analog: ``hash_string`` (SHA-224),
+``/root/reference/base_util.py:205-206`` — here vectorized.
+
+``pandas.util.hash_pandas_object`` is a keyed SipHash-like C
+implementation with a fixed default key → stable across sessions and
+platforms; we use it as the base primitive instead of Python-level
+``hash`` (which is salted per process) or a per-row hashlib loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # 2^64 / golden ratio
+
+
+def hash64(values) -> np.ndarray:
+    """Stable uint64 hash of a string/bytes/int array-like (vectorized)."""
+    s = values if isinstance(values, pd.Series) else pd.Series(values)
+    return pd.util.hash_pandas_object(s, index=False).to_numpy()
+
+
+def rehash64(h: np.ndarray, seed: int) -> np.ndarray:
+    """Cheap independent-ish family member: splitmix64 finalizer over h^seed."""
+    x = h.astype(np.uint64) ^ (np.uint64(seed) * _MIX)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def bucket_of(h: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Bucket id in [0, num_buckets) from a uint64 hash (int32 output)."""
+    return (h % np.uint64(num_buckets)).astype(np.int32)

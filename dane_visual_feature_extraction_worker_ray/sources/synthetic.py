@@ -1,0 +1,184 @@
+"""Deterministic synthetic transcript + snapshot corpus (FIXTURES.md).
+
+Mirrors the reference's golden-fixture strategy
+(``/root/reference/data/input-files/test_source_id/``: 10 keyframes,
+partial shot coverage, missing-modality cells): seeded, no wall-clock,
+deliberately includes
+
+- duplicate ``ts`` pairs (tie-break exercised via ``turn_idx``),
+- gaps larger than the session threshold (sessionization),
+- a sparse nullable ``tool`` column (~20% non-null → ffill / rates),
+- one mega-conversation (~10x median turns → skew salting),
+- conversations with no snapshot at all, snapshots strictly after the
+  last turn (leakage probes), and first turns before the first snapshot
+  (no-prior-match sentinel; reference precedent ``(-1,-1)``,
+  ``data_handling.py:128-129``),
+- duplicate ``(conv_id, turn_idx)`` rows (ingest exact-dedup path),
+- rows written in shuffled order (the engine's sort is actually doing
+  work; reference analog: glob order vs ``sorted(timestamps)``,
+  ``data_handling.py:31-33``).
+
+Scale knob ``n_convs``; everything else derives deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_ROLES = np.array(["user", "assistant", "tool"])
+_TOOLS = np.array(["search", "code", "browse", "calc"])
+_WORDS = np.array(
+    "the quick brown fox jumps over lazy dog stream batch merge sort join "
+    "window agg filter shuffle spark arrow block actor task object store".split()
+)
+_BASE_TS_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
+
+
+def make_transcripts(
+    n_convs: int = 50,
+    seed: int = 42,
+    mega_conv: bool = True,
+    mega_turns: int | None = None,
+    shuffle: bool = True,
+    dup_fraction: float = 0.01,
+) -> pa.Table:
+    """Transcript table ``(conv_id, turn_idx, role, text, tool, ts)``."""
+    rng = np.random.default_rng(seed)
+    turns_per_conv = rng.integers(8, 41, size=n_convs)
+    if mega_conv and n_convs > 0:
+        turns_per_conv[0] = mega_turns or int(np.median(turns_per_conv) * 10)
+    n = int(turns_per_conv.sum())
+
+    conv_idx = np.repeat(np.arange(n_convs), turns_per_conv)
+    conv_id = np.char.add("conv-", np.char.zfill(conv_idx.astype(str), 6))
+    # dense 0-based turn_idx per conversation
+    offsets = np.concatenate(([0], np.cumsum(turns_per_conv)[:-1]))
+    turn_idx = (np.arange(n) - offsets[conv_idx]).astype(np.int32)
+
+    role = _ROLES[turn_idx % 3]
+    # deterministic per-(conv, turn) text: 3-8 seeded words
+    wl = rng.integers(3, 9, size=n)
+    widx = rng.integers(0, len(_WORDS), size=(n, 8))
+    text = np.array(
+        [" ".join(_WORDS[widx[i, : wl[i]]]) for i in range(n)], dtype=object
+    )
+    tool_mask = rng.random(n) < 0.2
+    tool = np.where(tool_mask, _TOOLS[rng.integers(0, 4, size=n)], None)
+
+    # timestamps: per-conv start + non-decreasing gaps; ~5% zero gaps
+    # (duplicate ts), ~5% session-breaking gaps (6-12 h)
+    conv_start = _BASE_TS_US + rng.integers(0, 30 * 86400, size=n_convs) * 1_000_000
+    gap_kind = rng.random(n)
+    gaps = rng.integers(1_000_000, 600_000_000, size=n)  # 1 s .. 10 min
+    gaps[gap_kind < 0.05] = 0
+    gaps[gap_kind > 0.95] = rng.integers(
+        6 * 3600, 12 * 3600, size=int((gap_kind > 0.95).sum())
+    ) * 1_000_000
+    first_of_conv = np.zeros(n, dtype=bool)
+    first_of_conv[offsets] = True
+    gaps[first_of_conv] = 0
+    # per-conv cumulative: global cumsum re-based at conv starts
+    cg = np.cumsum(gaps)
+    ts = conv_start[conv_idx] + (cg - cg[offsets[conv_idx]])
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(conv_id.astype(object), type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(role.astype(object), type=pa.string()),
+            "text": pa.array(text, type=pa.string()),
+            "tool": pa.array(tool, type=pa.string()),
+            "ts": pa.array(ts.astype(np.int64), type=pa.timestamp("us")),
+        }
+    )
+    if dup_fraction > 0 and n > 0:
+        n_dup = max(1, int(n * dup_fraction))
+        dup_rows = rng.integers(0, n, size=n_dup)
+        tbl = pa.concat_tables([tbl, tbl.take(dup_rows)])
+    if shuffle:
+        perm = rng.permutation(tbl.num_rows)
+        tbl = tbl.take(perm)
+    return tbl
+
+
+def make_snapshots(
+    n_convs: int = 50,
+    seed: int = 42,
+    transcripts: pa.Table | None = None,
+) -> pa.Table:
+    """Sparse snapshot table ``(conv_id, ts, snap_val, snap_tag)``.
+
+    ~30% of conversations get no snapshot; every conversation with
+    snapshots also gets one strictly after its last turn (leakage
+    probe) and its first turn precedes its first snapshot.
+    """
+    rng = np.random.default_rng(seed + 1)
+    conv_ids, ts_out, val_out, tag_out = [], [], [], []
+    tags = np.array(["alpha", "beta", "gamma"])
+
+    if transcripts is not None:
+        import pyarrow.compute as pc
+
+        agg = transcripts.group_by("conv_id").aggregate(
+            [("ts", "min"), ("ts", "max")]
+        )
+        cids = agg["conv_id"].to_pylist()
+        tmin = pc.cast(agg["ts_min"], pa.int64()).to_numpy()
+        tmax = pc.cast(agg["ts_max"], pa.int64()).to_numpy()
+    else:
+        cids = [f"conv-{i:06d}" for i in range(n_convs)]
+        tmin = np.full(len(cids), _BASE_TS_US, dtype=np.int64)
+        tmax = tmin + 86400_000_000
+
+    order = np.argsort(np.array(cids, dtype=object))
+    for j in order:
+        cid = cids[j]
+        if rng.random() < 0.3:
+            continue  # no snapshots at all for this conversation
+        k = int(rng.integers(1, 5))
+        lo = int(tmin[j]) + 1_000_000  # strictly after first turn
+        hi = max(lo + 1, int(tmax[j]))
+        snap_ts = np.sort(rng.integers(lo, hi, size=k))
+        for t in snap_ts:
+            conv_ids.append(cid)
+            ts_out.append(int(t))
+            val_out.append(round(float(rng.random() * 100), 6))
+            tag_out.append(str(tags[int(rng.integers(0, 3))]))
+        # leakage probe: snapshot strictly after the last turn
+        conv_ids.append(cid)
+        ts_out.append(int(tmax[j]) + 3600_000_000)
+        val_out.append(-999.0)
+        tag_out.append("future")
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, type=pa.string()),
+            "ts": pa.array(
+                np.array(ts_out, dtype=np.int64), type=pa.timestamp("us")
+            ),
+            "snap_val": pa.array(np.array(val_out, dtype=np.float64)),
+            "snap_tag": pa.array(tag_out, type=pa.string()),
+        }
+    )
+
+
+def write_corpus(
+    out_dir: str,
+    n_convs: int = 50,
+    seed: int = 42,
+    row_group_size: int = 4096,
+    **kw,
+) -> tuple[str, str]:
+    """Write transcripts.parquet + snapshots.parquet; returns the paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    t = make_transcripts(n_convs=n_convs, seed=seed, **kw)
+    s = make_snapshots(n_convs=n_convs, seed=seed, transcripts=t)
+    tp = os.path.join(out_dir, "transcripts.parquet")
+    sp = os.path.join(out_dir, "snapshots.parquet")
+    pq.write_table(t, tp, row_group_size=row_group_size)
+    pq.write_table(s, sp, row_group_size=row_group_size)
+    return tp, sp

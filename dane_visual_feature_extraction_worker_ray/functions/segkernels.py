@@ -176,6 +176,34 @@ def time_window_bounds(
     return np.maximum(j, first)
 
 
+def time_window_counts(
+    ts_us: np.ndarray, seg: np.ndarray, window_us: int
+) -> np.ndarray:
+    """Row count of the value-based window [ts_i - window_us, ts_i].
+
+    Includes *all* rows whose ts falls in the window — also ts-peers
+    that sort after row i — matching SQL ``RANGE BETWEEN window
+    PRECEDING AND CURRENT ROW`` frame semantics exactly.
+    """
+    n = len(ts_us)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    left = time_window_bounds(ts_us, seg, window_us)
+    # recompute the composite key to find the last ts-peer (inclusive)
+    first = segment_first_index(seg)
+    starts = np.flatnonzero(is_segment_first(seg))
+    seg_min = ts_us[starts]
+    ends = np.concatenate((starts[1:] - 1, [n - 1]))
+    seg_max = ts_us[ends]
+    span = (seg_max - seg_min).astype(np.int64)
+    offsets = np.zeros(len(starts), dtype=np.int64)
+    if len(starts) > 1:
+        np.cumsum(span[:-1] + window_us + 1, out=offsets[1:])
+    g = (ts_us - seg_min[seg]) + offsets[seg]
+    right = np.searchsorted(g, g, side="right").astype(np.int64)
+    return right - left
+
+
 def windowed_sum_count(
     values: np.ndarray,
     valid: np.ndarray | None,

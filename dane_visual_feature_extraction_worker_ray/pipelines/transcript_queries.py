@@ -1,0 +1,236 @@
+"""Driver-facing transcript queries + their DuckDB oracle SQL.
+
+Each entry pairs a Ray pipeline (callable ``sf_dir -> Dataset``) with
+an ANSI-SQL string computing the identical result over the same
+parquet tables — the correctness gate (CORRECTNESS_r{N}.json). Column
+names and types are kept in lockstep between both sides; float
+expressions are written so both engines perform the *same* IEEE
+operations on exact integers (see functions/segkernels.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+from ..config import FeatureConfig, PartitionConfig, US_PER_S
+from ..sources.events_adapter import (
+    SQL_SNAPS_CTE,
+    SQL_TURNS_CTE,
+    events_to_snapshots,
+    events_to_turns,
+)
+from ..stages.aggregates import session_stats, tumbling_aggregate
+from ..stages.transcript_features import compute_features
+
+CFG = FeatureConfig()
+PCFG = PartitionConfig(num_buckets=32)
+
+_GAP = CFG.session_gap_us
+_W = CFG.row_window
+_TW_H = CFG.time_window_us // (3600 * US_PER_S)
+_TUMBLE_US = CFG.tumble_us
+
+FLAGSHIP_COLS = [
+    "conv_id",
+    "turn_idx",
+    "role",
+    "text",
+    "tool",
+    "ts",
+    "lag_ts_delta_s",
+    "prev_role",
+    "next_role",
+    "session_id",
+    "turn_in_session",
+    "w_turn_count",
+    "w_tool_rate",
+    "w_latency_mean_s",
+    "tw_turn_count",
+    "snap_val_asof",
+    "snap_tag_asof",
+    "snap_age_s",
+    "ffill_tool",
+]
+
+SQL_PREAMBLE = f"""
+WITH {SQL_TURNS_CTE},
+{SQL_SNAPS_CTE},
+base AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us,
+         lag(role) OVER w AS prev_role,
+         lead(role) OVER w AS next_role,
+         CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS tool_i
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+sess AS (
+  SELECT *, CAST(SUM(CASE WHEN delta_us IS NULL OR delta_us > {_GAP} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS BIGINT) AS session_id
+  FROM base
+),
+feats AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+    CAST(delta_us AS DOUBLE)/1000000 AS lag_ts_delta_s,
+    prev_role, next_role, session_id,
+    CAST(row_number() OVER (PARTITION BY conv_id, session_id ORDER BY turn_idx) - 1 AS BIGINT) AS turn_in_session,
+    CAST(count(*) OVER wr AS BIGINT) AS w_turn_count,
+    CAST(SUM(tool_i) OVER wr AS DOUBLE) / count(*) OVER wr AS w_tool_rate,
+    CAST(SUM(delta_us) OVER wr AS DOUBLE) / NULLIF(count(delta_us) OVER wr, 0) / 1000000 AS w_latency_mean_s,
+    CAST(count(*) OVER wt AS BIGINT) AS tw_turn_count,
+    last_value(tool IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ffill_tool,
+    tool_i
+  FROM sess
+  WINDOW wr AS (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN {_W - 1} PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN INTERVAL {_TW_H} HOURS PRECEDING AND CURRENT ROW)
+),
+asofj AS (
+  SELECT f.*, s.snap_val AS snap_val_asof, s.snap_tag AS snap_tag_asof,
+         CAST(epoch_us(f.ts) - epoch_us(s.ts) AS DOUBLE)/1000000 AS snap_age_s
+  FROM feats f ASOF LEFT JOIN snaps s ON f.conv_id = s.conv_id AND f.ts >= s.ts
+)
+""".strip()
+
+
+def _events(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _features(sf_dir: str):
+    ev = _events(sf_dir)
+    return compute_features(
+        events_to_turns(ev),
+        events_to_snapshots(ev),
+        cfg=CFG,
+        pcfg=PCFG,
+        assign_turn_idx=True,
+    )
+
+
+# --- queries ----------------------------------------------------------------
+
+
+def q_transcripts_ingest(sf_dir: str):
+    return _features(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def q_lag_lead(sf_dir: str):
+    return _features(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "lag_ts_delta_s", "prev_role", "next_role"]
+    )
+
+
+def q_sessionize(sf_dir: str):
+    return _features(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "session_id", "turn_in_session"]
+    )
+
+
+def q_window_sliding(sf_dir: str):
+    return _features(sf_dir).select_columns(
+        [
+            "conv_id",
+            "turn_idx",
+            "w_turn_count",
+            "w_tool_rate",
+            "w_latency_mean_s",
+            "tw_turn_count",
+        ]
+    )
+
+
+def q_asof_join(sf_dir: str):
+    return _features(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "ts", "snap_val_asof", "snap_tag_asof", "snap_age_s"]
+    )
+
+
+def q_ffill(sf_dir: str):
+    return _features(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "tool", "ffill_tool"]
+    )
+
+
+def q_flagship(sf_dir: str):
+    return _features(sf_dir).select_columns(FLAGSHIP_COLS)
+
+
+def q_session_stats(sf_dir: str):
+    ev = _events(sf_dir)
+    return session_stats(
+        events_to_turns(ev), cfg=CFG, pcfg=PCFG, assign_turn_idx=True
+    )
+
+
+def q_window_tumbling(sf_dir: str):
+    ev = _events(sf_dir)
+    return tumbling_aggregate(events_to_turns(ev), cfg=CFG)
+
+
+QUERIES = {
+    "transcripts_ingest": q_transcripts_ingest,
+    "lag_lead": q_lag_lead,
+    "sessionize": q_sessionize,
+    "window_sliding": q_window_sliding,
+    "asof_join": q_asof_join,
+    "ffill": q_ffill,
+    "flagship_features": q_flagship,
+    "session_stats": q_session_stats,
+    "window_tumbling": q_window_tumbling,
+}
+
+ORACLE_SQL = {
+    "transcripts_ingest": (
+        f"WITH {SQL_TURNS_CTE} "
+        "SELECT conv_id, turn_idx, role, text, tool, ts FROM turns"
+    ),
+    "lag_lead": (
+        SQL_PREAMBLE
+        + " SELECT conv_id, turn_idx, lag_ts_delta_s, prev_role, next_role FROM feats"
+    ),
+    "sessionize": (
+        SQL_PREAMBLE
+        + " SELECT conv_id, turn_idx, session_id, turn_in_session FROM feats"
+    ),
+    "window_sliding": (
+        SQL_PREAMBLE
+        + " SELECT conv_id, turn_idx, w_turn_count, w_tool_rate,"
+        " w_latency_mean_s, tw_turn_count FROM feats"
+    ),
+    "asof_join": (
+        SQL_PREAMBLE
+        + " SELECT conv_id, turn_idx, ts, snap_val_asof, snap_tag_asof,"
+        " snap_age_s FROM asofj"
+    ),
+    "ffill": (
+        SQL_PREAMBLE + " SELECT conv_id, turn_idx, tool, ffill_tool FROM feats"
+    ),
+    "flagship_features": (
+        SQL_PREAMBLE + " SELECT " + ", ".join(FLAGSHIP_COLS) + " FROM asofj"
+    ),
+    "session_stats": (
+        SQL_PREAMBLE
+        + """
+ SELECT conv_id, session_id,
+        CAST(count(*) AS BIGINT) AS n_turns,
+        CAST(SUM(tool_i) AS BIGINT) AS n_tool,
+        min(ts) AS session_start,
+        max(ts) AS session_end,
+        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)/1000000 AS duration_s,
+        CAST(SUM(tool_i) AS DOUBLE) / count(*) AS tool_rate
+ FROM feats GROUP BY conv_id, session_id"""
+    ),
+    "window_tumbling": (
+        f"WITH {SQL_TURNS_CTE} "
+        f"""SELECT conv_id,
+        make_timestamp((epoch_us(ts) // {_TUMBLE_US}) * {_TUMBLE_US}) AS w_start,
+        CAST(count(*) AS BIGINT) AS turn_cnt,
+        CAST(count(tool) AS BIGINT) AS tool_cnt,
+        CAST(count(tool) AS DOUBLE) / count(*) AS tool_rate
+ FROM turns GROUP BY conv_id, w_start"""
+    ),
+}

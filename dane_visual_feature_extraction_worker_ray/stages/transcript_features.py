@@ -171,9 +171,7 @@ def compute_bucket_features(
     w_lat_mean_s, w_lat_ok = sk.ratio(w_lat_sum, w_lat_cnt)
     w_lat_mean_s = w_lat_mean_s / US_PER_S
 
-    tw = sk.time_window_bounds(ts_t, seg, cfg.time_window_us)
-    i_arr = np.arange(nt, dtype=np.int64)
-    tw_cnt = i_arr + 1 - tw
+    tw_cnt = sk.time_window_counts(ts_t, seg, cfg.time_window_us)
 
     # forward fill ----------------------------------------------------------
     ff_idx, ff_ok = sk.ffill_indices(tool_valid, seg)

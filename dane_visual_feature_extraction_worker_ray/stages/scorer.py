@@ -1,0 +1,123 @@
+"""Stateful actor-pool scorer: deterministic feature-vector assembly.
+
+Reference analog: the model is loaded ONCE per worker process
+(``/root/reference/worker.py:61`` → ``nn_models.py:282-296``) and the
+forward pass maps dense batches to 512-d feature rows
+(``feature_extraction.py:17-32``). Here the "model" is a deterministic
+seeded projection: a hashed bag-of-words text embedding plus a linear
+map of the numeric window/as-of features → ``fixed_size_list<float32>``
+of width ``cfg.feature_dim``.
+
+Used as ``ds.map_batches(FeatureScorer, fn_constructor_kwargs=...,
+concurrency=N, batch_size=B)`` — state built in ``__init__`` (once per
+actor), batches scored in ``__call__`` (vectorized numpy; the token
+aggregation is a sorted ``np.add.reduceat``, no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import FeatureConfig
+from ..functions.hashing import hash64
+
+_NUMERIC_COLS = [
+    "lag_ts_delta_s",
+    "session_id",
+    "turn_in_session",
+    "w_turn_count",
+    "w_tool_rate",
+    "w_latency_mean_s",
+    "tw_turn_count",
+    "snap_val_asof",
+    "snap_age_s",
+]
+_VOCAB = 1024
+
+
+class FeatureScorer:
+    def __init__(self, cfg: FeatureConfig | None = None):
+        cfg = cfg or FeatureConfig()
+        self.dim = cfg.feature_dim
+        rng = np.random.default_rng(cfg.scorer_seed)
+        # "weights": loaded once per actor (reference: torch.load once
+        # per worker, nn_models.py:282-296)
+        self.tok_emb = rng.standard_normal((_VOCAB, self.dim)).astype(
+            np.float32
+        )
+        n_num = len(_NUMERIC_COLS) + 2  # + has_snap, has_tool flags
+        self.num_proj = (
+            rng.standard_normal((n_num, self.dim)) / np.sqrt(n_num)
+        ).astype(np.float32)
+
+    # -- text path: hashed bag-of-words mean embedding -----------------
+    def _text_vectors(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        import pandas as pd
+
+        s = (
+            texts.to_pandas()
+            if hasattr(texts, "to_pandas")
+            else pd.Series(texts)
+        )
+        n = len(s)
+        out = np.zeros((n, self.dim), dtype=np.float32)
+        ex = s.fillna("").str.split().explode()
+        mask = ex.notna() & (ex != "")
+        ex = ex[mask]
+        if len(ex) == 0:
+            return out
+        row_idx = ex.index.to_numpy(dtype=np.int64)
+        tok = (hash64(ex) % np.uint64(_VOCAB)).astype(np.int64)
+        emb = self.tok_emb[tok]
+        # row_idx is non-decreasing (explode preserves row order)
+        starts = np.flatnonzero(
+            np.r_[True, row_idx[1:] != row_idx[:-1]]
+        )
+        sums = np.add.reduceat(emb, starts, axis=0)
+        counts = np.diff(np.r_[starts, len(row_idx)]).astype(np.float32)
+        rows = row_idx[starts]
+        out[rows] = sums / counts[:, None]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for c in _NUMERIC_COLS:
+            arr = batch.column(c).cast(pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            arr = np.nan_to_num(np.asarray(arr, dtype=np.float64), nan=0.0)
+            # compress magnitudes, keep determinism
+            cols.append(np.sign(arr) * np.log1p(np.abs(arr)))
+        has_snap = (
+            batch.column("snap_val_asof").is_valid().to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.float64)
+        has_tool = (
+            batch.column("tool").is_valid().to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        num = np.column_stack(cols + [has_snap, has_tool]).astype(np.float32)
+        vec = num @ self.num_proj + self._text_vectors(batch.column("text"))
+        flat = pa.array(vec.astype(np.float32).ravel(), type=pa.float32())
+        fsl = pa.FixedSizeListArray.from_arrays(flat, self.dim)
+        return batch.append_column("feature_vec", fsl)
+
+
+def score_features(
+    features_ds,
+    cfg: FeatureConfig | None = None,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 8192,
+):
+    """Attach ``feature_vec`` via an actor pool (weights loaded once/actor)."""
+    cfg = cfg or FeatureConfig()
+    return features_ds.map_batches(
+        FeatureScorer,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,410 @@
+"""Relational breadth suite over the TPC-H-ish tables.
+
+Demonstrates the engine's general query capabilities (SURVEY.md §2.6,
+§2.7): partial-then-final grouped aggregates, broadcast map-side joins
+(small dimension side via ``ray.put`` once, looked up per batch), sort
+/ top-k, and two-level distinct — all streaming, no driver-side row
+loops.
+
+Float policy: money columns are 2-decimal; both sides aggregate in
+*integer cents* (exact int64 sums) and divide once at the end, so Ray
+and DuckDB produce bit-identical doubles regardless of accumulation
+order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+def _cents(arr: pa.ChunkedArray) -> np.ndarray:
+    v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+    return np.round(v * 100.0).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: partial per-batch int-cent sums → tiny final
+# groupby (reference analog for "ordered global concat replaced by
+# streamed aggregation", SURVEY.md A1).
+
+
+def q_pricing_summary(sf_dir: str):
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        qty = tbl.column("l_quantity").cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        price_c = _cents(tbl.column("l_extendedprice"))
+        disc_c = _cents(tbl.column("l_discount"))
+        tax_c = _cents(tbl.column("l_tax"))
+        disc_price = price_c * (100 - disc_c)  # cents * 1e2
+        charge = disc_price * (100 + tax_c)  # cents * 1e4
+        t = pa.table(
+            {
+                "l_returnflag": tbl.column("l_returnflag"),
+                "l_linestatus": tbl.column("l_linestatus"),
+                "qty": pa.array(qty),
+                "price_c": pa.array(price_c),
+                "disc_price_c2": pa.array(disc_price),
+                "charge_c4": pa.array(charge),
+                "n": pa.array(np.ones(tbl.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [
+                    ("qty", "sum"),
+                    ("price_c", "sum"),
+                    ("disc_price_c2", "sum"),
+                    ("charge_c4", "sum"),
+                    ("n", "sum"),
+                ]
+            )
+            .rename_columns(
+                [
+                    "l_returnflag",
+                    "l_linestatus",
+                    "qty",
+                    "price_c",
+                    "disc_price_c2",
+                    "charge_c4",
+                    "n",
+                ]
+            )
+        )
+
+    partials = li.map_batches(_partial, batch_format="pyarrow")
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="qty"),
+        Sum("price_c", alias_name="price_c"),
+        Sum("disc_price_c2", alias_name="disc_price_c2"),
+        Sum("charge_c4", alias_name="charge_c4"),
+        Sum("n", alias_name="n"),
+    )
+
+    def _finish(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n").cast(pa.float64()).to_numpy(zero_copy_only=False)
+        qty = tbl.column("qty").cast(pa.int64()).to_numpy()
+        price_c = tbl.column("price_c").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": tbl.column("l_returnflag"),
+                "l_linestatus": tbl.column("l_linestatus"),
+                "sum_qty": pa.array(qty),
+                "sum_base_price": pa.array(price_c.astype(np.float64) / 100.0),
+                "sum_disc_price": pa.array(
+                    tbl.column("disc_price_c2").cast(pa.int64()).to_numpy()
+                    .astype(np.float64)
+                    / 10_000.0
+                ),
+                "sum_charge": pa.array(
+                    tbl.column("charge_c4").cast(pa.int64()).to_numpy()
+                    .astype(np.float64)
+                    / 1_000_000.0
+                ),
+                "avg_qty": pa.array(qty.astype(np.float64) / n),
+                "avg_price": pa.array(price_c.astype(np.float64) / 100.0 / n),
+                "count_order": tbl.column("n").cast(pa.int64()),
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pyarrow")
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
+  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT)) * (100 + CAST(round(l_tax*100,0) AS BIGINT))) AS DOUBLE)/1000000 AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)/count(*) AS avg_qty,
+  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_price,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q3-style: revenue per order for one market segment. Customer side is
+# small → broadcast it once with ray.put; lineitem never shuffles until
+# the (orderkey, revenue) partials.
+
+
+def q_segment_order_revenue(sf_dir: str, segment: str = "BUILDING"):
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = set()
+    for b in cust.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        m = pc.equal(b.column("c_mktsegment"), segment)
+        keys.update(b.filter(m).column("c_custkey").to_pylist())
+    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def _filter_orders(tbl: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ok = tbl.column("o_custkey").to_numpy()
+        hit = ks[np.searchsorted(ks, ok).clip(0, len(ks) - 1)] == ok
+        return tbl.filter(pa.array(hit)).select(["o_orderkey"])
+
+    seg_orders = orders.map_batches(_filter_orders, batch_format="pyarrow")
+    ok_list = []
+    for b in seg_orders.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        ok_list.append(b.column("o_orderkey").to_numpy())
+    ok_arr = np.sort(np.concatenate(ok_list)) if ok_list else np.array([], dtype=np.int64)
+    ok_ref = ray.put(ok_arr)
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        ks = ray.get(ok_ref)
+        lk = tbl.column("l_orderkey").to_numpy()
+        if len(ks) == 0:
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "rev_c2": pa.array([], pa.int64())}
+            )
+        hit = ks[np.searchsorted(ks, lk).clip(0, len(ks) - 1)] == lk
+        t = tbl.filter(pa.array(hit))
+        rev = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        p = pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_c2": pa.array(rev)}
+        )
+        g = p.group_by("l_orderkey").aggregate([("rev_c2", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_c2"])
+
+    partials = li.map_batches(_partial, batch_format="pyarrow")
+    final = partials.groupby("l_orderkey").aggregate(
+        Sum("rev_c2", alias_name="rev_c2")
+    )
+
+    def _finish(tbl: pa.Table) -> pa.Table:
+        rev = tbl.column("rev_c2").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("l_orderkey").cast(pa.int64()),
+                "revenue": pa.array(rev.astype(np.float64) / 10_000.0),
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pyarrow")
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT o_orderkey,
+  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# region revenue via chained broadcast of the tiny dimension tables
+
+
+def q_region_revenue(sf_dir: str):
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    m = sup.merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    ).merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    supp_to_region = dict(zip(m["s_suppkey"], m["r_name"]))
+    lut_ref = ray.put(supp_to_region)
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        keys = np.array(sorted(lut))
+        names = np.array([lut[k] for k in keys], dtype=object)
+        sk = tbl.column("l_suppkey").to_numpy()
+        pos = np.searchsorted(keys, sk).clip(0, len(keys) - 1)
+        hit = keys[pos] == sk
+        rev = _cents(tbl.column("l_extendedprice")) * (
+            100 - _cents(tbl.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "r_name": pa.array(names[pos], type=pa.string()),
+                "rev_c2": pa.array(rev),
+            }
+        ).filter(pa.array(hit))
+        g = t.group_by("r_name").aggregate([("rev_c2", "sum")])
+        return g.rename_columns(["r_name", "rev_c2"])
+
+    partials = li.map_batches(_partial, batch_format="pyarrow")
+    final = partials.groupby("r_name").aggregate(
+        Sum("rev_c2", alias_name="rev_c2")
+    )
+
+    def _finish(tbl: pa.Table) -> pa.Table:
+        rev = tbl.column("rev_c2").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "r_name": tbl.column("r_name"),
+                "revenue": pa.array(rev.astype(np.float64) / 10_000.0),
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pyarrow")
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name,
+  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# sort / top-k / distinct
+
+
+def q_topk_orders(sf_dir: str, k: int = 10):
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+    return orders.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""".strip()
+
+
+def q_mktsegment_order_counts(sf_dir: str):
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lut_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"]))
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        keys = np.array(sorted(lut))
+        names = np.array([lut[k] for k in keys], dtype=object)
+        ck = tbl.column("o_custkey").to_numpy()
+        pos = np.searchsorted(keys, ck).clip(0, len(keys) - 1)
+        hit = keys[pos] == ck  # inner-join semantics, like the oracle
+        seg = pa.array(names[pos], type=pa.string())
+        price_c = _cents(tbl.column("o_totalprice"))
+        t = pa.table(
+            {
+                "c_mktsegment": seg,
+                "n": pa.array(np.ones(tbl.num_rows, dtype=np.int64)),
+                "price_c": pa.array(price_c),
+            }
+        ).filter(pa.array(hit))
+        g = t.group_by("c_mktsegment").aggregate(
+            [("n", "sum"), ("price_c", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "n", "price_c"])
+
+    partials = orders.map_batches(_partial, batch_format="pyarrow")
+    final = partials.groupby("c_mktsegment").aggregate(
+        Sum("n", alias_name="n"), Sum("price_c", alias_name="price_c")
+    )
+
+    def _finish(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": tbl.column("c_mktsegment"),
+                "n_orders": tbl.column("n").cast(pa.int64()),
+                "total_price": pa.array(
+                    tbl.column("price_c").cast(pa.int64()).to_numpy()
+                    .astype(np.float64)
+                    / 100.0
+                ),
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pyarrow")
+
+
+SQL_MKTSEGMENT = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""".strip()
+
+
+def q_distinct_parts(sf_dir: str):
+    li = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    # two-level distinct: per-batch unique → global unique → count
+    dedup = li.map_batches(
+        lambda t: pa.table({"l_partkey": t.column("l_partkey").unique()}),
+        batch_format="pyarrow",
+    )
+    distinct = dedup.unique("l_partkey")
+    return rd.from_items([{"n_distinct_parts": len(distinct)}])
+
+
+SQL_DISTINCT_PARTS = (
+    "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)"
+    " AS n_distinct_parts FROM lineitem"
+)
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "segment_order_revenue": q_segment_order_revenue,
+    "region_revenue": q_region_revenue,
+    "topk_orders": q_topk_orders,
+    "mktsegment_order_counts": q_mktsegment_order_counts,
+    "distinct_parts": q_distinct_parts,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "segment_order_revenue": SQL_SEGMENT_REVENUE,
+    "region_revenue": SQL_REGION_REVENUE,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "mktsegment_order_counts": SQL_MKTSEGMENT,
+    "distinct_parts": SQL_DISTINCT_PARTS,
+}

@@ -10,10 +10,10 @@ import pandas as pd
 import pytest
 import duckdb
 
-from dane_visual_feature_extraction_worker_ray.pipelines.transcript_queries import (
-    ORACLE_SQL,
-    QUERIES,
-)
+from dane_visual_feature_extraction_worker_ray.pipelines import registry
+
+QUERIES = registry.queries()
+ORACLE_SQL = registry.oracle_sql()
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = [

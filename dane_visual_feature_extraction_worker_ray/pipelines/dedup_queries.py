@@ -1,0 +1,46 @@
+"""Dedup suite queries over the ``documents`` table."""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+from ..stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+
+_STOP = None
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_dedup_minhash_lsh(sf_dir: str):
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    return simhash_pairs(_docs(sf_dir), max_hamming=8)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": (
+        "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text "
+        "FROM documents GROUP BY text"
+    ),
+    # minhash_lsh / simhash are sketch-based → rows-only driver check;
+    # recall/precision are covered by tests/test_dedup.py against a
+    # brute-force oracle on a constructed near-dup corpus.
+}

@@ -1,0 +1,67 @@
+"""Text-analysis suite queries over the ``documents`` table."""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+from ..stages.text import (
+    _STOPWORDS,
+    doc_fingerprints,
+    lang_id,
+    text_quality,
+    token_counts,
+)
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def q_text_quality(sf_dir: str):
+    return text_quality(_docs(sf_dir))
+
+
+def q_token_counts(sf_dir: str):
+    return token_counts(_docs(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    return lang_id(_docs(sf_dir))
+
+
+def q_doc_fingerprints(sf_dir: str):
+    return doc_fingerprints(_docs(sf_dir))
+
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+QUERIES = {
+    "text_quality": q_text_quality,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+}
+
+ORACLE_SQL = {
+    "text_quality": f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+  CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOPLIST_SQL}))) AS BIGINT) AS n_stopwords,
+  CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_STOPLIST_SQL}))) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+FROM documents
+""".strip(),
+    "token_counts": r"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_word_tokens
+FROM documents
+""".strip(),
+    # lang_id / doc_fingerprints: heuristic / sketch ops → rows-only;
+    # determinism + correctness covered in tests/test_text.py.
+}

@@ -1,0 +1,385 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all streaming and shuffle-frugal (the guide's
+sketch-partial pattern): per-batch vectorized signatures →
+``groupby`` only over (small) signature keys, never raw text.
+
+- exact:            stable hash of text → hash-group → keep min doc_id
+- minhash_lsh:      word-shingle MinHash, banded LSH candidate pairs,
+                    exact-Jaccard verification
+- simhash:          64-bit SimHash, banded hamming candidates
+- ngram_jaccard:    exact Jaccard on word n-gram sets (verification
+                    kernel shared with minhash_lsh)
+- embedding cosine: see stages/similarity.py (near_dup_pairs)
+
+Reference analog: dedup-by-key is implicit in the reference's path
+index (one frame per timestamp, last glob hit wins,
+``/root/reference/data_handling.py:31-32``); here it is explicit and
+content-addressed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64, rehash64
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One surviving row (min id) per distinct text.
+
+    Shuffle moves (hash, text, min_id) partials — at most one row per
+    distinct text per batch, grouped by the 8-byte hash, not the text.
+    """
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        s = tbl.column(text_col).to_pandas()
+        h = hash64(s)
+        t = pa.table(
+            {
+                "h": pa.array(h),
+                text_col: tbl.column(text_col),
+                id_col: tbl.column(id_col),
+            }
+        )
+        g = t.group_by(["h", text_col]).aggregate([(id_col, "min")])
+        return g.rename_columns(["h", text_col, id_col])
+
+    partials = docs_ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _resolve(group: pa.Table) -> pa.Table:
+        # same hash ⇒ almost surely same text, but resolve per text to
+        # be collision-safe
+        df = group.to_pandas()
+        out = (
+            df.groupby(text_col, sort=False)[id_col]
+            .min()
+            .reset_index()[[id_col, text_col]]
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return partials.groupby("h").map_groups(_resolve, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash
+
+
+def _word_shingles(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, shingle_hash) for all k-word shingles, vectorized.
+
+    Shingle hash = hash of the joined k-gram string, computed over the
+    exploded token frame with pandas str ops (C loops only).
+    """
+    toks = texts.fillna("").str.split()
+    n_tok = toks.str.len().to_numpy()
+    ex = toks.explode()
+    mask = ex.notna()
+    flat = ex[mask].to_numpy(dtype=object)
+    row = ex.index.to_numpy()[mask].astype(np.int64)
+    if len(flat) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    tok_h = hash64(pd.Series(flat))
+    # rolling combine of k consecutive token hashes within a row
+    out_row, out_h = [], []
+    acc = tok_h.copy()
+    same_row = np.ones(len(row), dtype=bool)
+    for j in range(1, k):
+        shifted = np.roll(tok_h, -j)
+        acc = rehash64(acc ^ shifted, seed=j)
+        same_row &= np.roll(row, -j) == row
+    valid = same_row
+    if k > 1:
+        valid = valid.copy()
+        valid[len(valid) - (k - 1):] = False
+    out_row = row[valid]
+    out_h = acc[valid]
+    # rows shorter than k words: fall back to whole-text hash
+    short = np.flatnonzero(n_tok < k)
+    if len(short):
+        th = hash64(texts.iloc[short].fillna(""))
+        out_row = np.concatenate([out_row, short.astype(np.int64)])
+        out_h = np.concatenate([out_h, th])
+    return out_row, out_h
+
+
+def _minhash_signatures(
+    row: np.ndarray, sh: np.ndarray, n_rows: int, num_perm: int
+) -> np.ndarray:
+    """(n_rows, num_perm) uint64 MinHash matrix via universal hashing.
+
+    Vectorized: for each permutation seed, rehash all shingles once and
+    take per-row minima with ``np.minimum.at``-free sorted reduction.
+    """
+    sig = np.full((n_rows, num_perm), np.iinfo(np.uint64).max, np.uint64)
+    if len(row) == 0:
+        return sig
+    order = np.argsort(row, kind="stable")
+    r_sorted = row[order]
+    starts = np.flatnonzero(np.r_[True, r_sorted[1:] != r_sorted[:-1]])
+    uniq_rows = r_sorted[starts]
+    for p in range(num_perm):
+        hp = rehash64(sh, seed=1000 + p)[order]
+        mins = np.minimum.reduceat(hp, starts)
+        sig[uniq_rows, p] = mins
+    return sig
+
+
+def minhash_lsh_pairs(
+    docs_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+):
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Stage 1 (map_batches): signatures per doc → explode to
+    (band_id, band_hash, doc_id, sig...) rows.
+    Stage 2 (groupby band bucket): candidate pairs within a bucket,
+    estimated Jaccard from full signatures, dedup pairs globally.
+    """
+    rows_per_band = num_perm // bands
+
+    def _bands(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_col).to_pandas()
+        ids = tbl.column(id_col).to_numpy()
+        n = len(texts)
+        row, sh = _word_shingles(texts, shingle_k)
+        sig = _minhash_signatures(row, sh, n, num_perm)
+        band_hashes = np.empty((n, bands), np.uint64)
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            acc = chunk[:, 0].copy()
+            for j in range(1, rows_per_band):
+                acc = rehash64(acc ^ chunk[:, j], seed=5000 + j)
+            band_hashes[:, b] = acc
+        out = pa.table(
+            {
+                "band_id": pa.array(
+                    np.repeat(np.arange(bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(band_hashes.T.ravel()),
+                id_col: pa.array(np.tile(ids, bands)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.tile(sig, (bands, 1)).ravel()), num_perm
+                ),
+            }
+        )
+        return out
+
+    exploded = docs_ds.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sig = np.vstack(group.column("sig").to_numpy(zero_copy_only=False))
+        gid = ids
+        o = np.argsort(gid, kind="stable")
+        idx = np.arange(len(gid))[o]
+        gid = gid[o]
+        a_list, b_list, j_list = [], [], []
+        # pathological buckets (e.g. all-empty docs hashing together)
+        # would be O(n^2); cap and let other bands catch the pairs
+        if len(idx) <= 2000:
+            for x in range(len(idx)):
+                for y in range(x + 1, len(idx)):
+                    if gid[x] == gid[y]:
+                        continue
+                    est = float((sig[idx[x]] == sig[idx[y]]).mean())
+                    if est >= threshold:
+                        a_list.append(int(gid[x]))
+                        b_list.append(int(gid[y]))
+                        j_list.append(est)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_list, pa.int64()),
+                "doc_b": pa.array(b_list, pa.int64()),
+                "est_jaccard": pa.array(j_list, pa.float64()),
+            }
+        )
+
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        _pairs, batch_format="pyarrow"
+    )
+
+    # a pair can surface from several bands → keep one (max estimate)
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard between given candidate pairs
+
+
+def jaccard_verify(
+    docs_ds,
+    pairs: list[tuple[int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+):
+    """Exact word-k-gram Jaccard for explicit candidate pairs.
+
+    The doc set touched by pairs is assumed small (candidates, not the
+    corpus): shingle sets are gathered via a filtered map_batches, the
+    pair scoring is a driver-side vectorized set intersection.
+    """
+    import pyarrow.compute as pc
+
+    wanted = sorted({i for p in pairs for i in p})
+    wset = np.array(wanted, dtype=np.int64)
+
+    def _shingles(tbl: pa.Table) -> pa.Table:
+        m = pc.is_in(tbl.column(id_col), value_set=pa.array(wset))
+        t = tbl.filter(m)
+        texts = t.column(text_col).to_pandas()
+        ids = t.column(id_col).to_numpy()
+        row, sh = _word_shingles(texts, shingle_k)
+        return pa.table(
+            {
+                id_col: pa.array(ids[row] if len(row) else np.array([], np.int64)),
+                "shingle": pa.array(sh),
+            }
+        )
+
+    tbl = pa.concat_tables(
+        [
+            b
+            for b in docs_ds.map_batches(
+                _shingles, batch_format="pyarrow"
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+    )
+    df = tbl.to_pandas().drop_duplicates()
+    sets = {k: set(v) for k, v in df.groupby(id_col)["shingle"]}
+    out = []
+    for a, b in pairs:
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        out.append(
+            {"doc_a": a, "doc_b": b, "jaccard": inter / union if union else 0.0}
+        )
+    return pd.DataFrame(out)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_signatures(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """64-bit SimHash per doc (weighted bit-vote over token hashes)."""
+
+    def _sig(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_col).to_pandas()
+        n = len(texts)
+        toks = texts.fillna("").str.split().explode()
+        mask = toks.notna()
+        row = toks.index.to_numpy()[mask].astype(np.int64)
+        th = hash64(pd.Series(toks[mask].to_numpy(dtype=object)))
+        votes = np.zeros((n, 64), dtype=np.int64)
+        if len(row):
+            bits = (
+                (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64) * 2 - 1
+            np.add.at(votes, row, bits)
+        sig = (votes > 0).astype(np.uint64)
+        packed = np.zeros(n, dtype=np.uint64)
+        for b in range(64):
+            packed |= sig[:, b] << np.uint64(b)
+        return pa.table(
+            {id_col: tbl.column(id_col), "simhash": pa.array(packed)}
+        )
+
+    return docs_ds.map_batches(_sig, batch_format="pyarrow")
+
+
+def simhash_pairs(
+    docs_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+):
+    """Near-dup pairs by SimHash: band the 64 bits into ``bands``
+    16-bit keys (a pair within hamming<=bands-1 shares >=1 band —
+    standard pigeonhole LSH), verify hamming distance per candidate."""
+    sigs = simhash_signatures(docs_ds, text_col, id_col)
+    width = 64 // bands
+
+    def _bands(tbl: pa.Table) -> pa.Table:
+        h = tbl.column("simhash").to_numpy()
+        n = len(h)
+        out_band, out_key, out_id, out_sig = [], [], [], []
+        for b in range(bands):
+            key = (h >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
+            out_band.append(np.full(n, b, dtype=np.int32))
+            out_key.append(key)
+            out_id.append(tbl.column(id_col).to_numpy())
+            out_sig.append(h)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(out_band)),
+                "band_key": pa.array(np.concatenate(out_key)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "simhash": pa.array(np.concatenate(out_sig)),
+            }
+        )
+
+    exploded = sigs.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        h = group.column("simhash").to_numpy()
+        o = np.argsort(ids, kind="stable")
+        ids, h = ids[o], h[o]
+        a_l, b_l, d_l = [], [], []
+        if len(ids) > 2000:  # pathological bucket cap (see minhash note)
+            ids = ids[:0]
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                if ids[x] == ids[y]:
+                    continue
+                d = int(bin(int(h[x]) ^ int(h[y])).count("1"))
+                if d <= max_hamming:
+                    a_l.append(int(ids[x]))
+                    b_l.append(int(ids[y]))
+                    d_l.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_l, pa.int64()),
+                "doc_b": pa.array(b_l, pa.int64()),
+                "hamming": pa.array(d_l, pa.int64()),
+            }
+        )
+
+    pairs = exploded.groupby(["band_id", "band_key"]).map_groups(
+        _pairs, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

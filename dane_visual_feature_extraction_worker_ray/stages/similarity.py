@@ -1,0 +1,176 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_brute_force``: exact cosine top-k against a broadcast query
+  matrix — numpy matmul per batch, merged on the driver (k rows per
+  batch per query reach the driver, never the corpus). This is the
+  100 TB-safe baseline: the scan streams, only top-k partials move.
+- ``near_dup_pairs_cosine``: embedding near-duplicate pairs via random
+  hyperplane LSH bucketing (SimHash in embedding space) + exact cosine
+  verification within buckets — the scale path that avoids the O(n²)
+  cross join.
+
+Reference analog: the repo's own vector-search demo (normalize → dot →
+argsort → top-10), ``/root/reference/misc/vector_search_example/
+vec_example_np.py:14-22`` — re-expressed as streaming batch kernels.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.hashing import rehash64
+
+
+def _matrix(tbl: pa.Table, col: str) -> np.ndarray:
+    arr = tbl.column(col)
+    if pa.types.is_fixed_size_list(arr.type):
+        flat = arr.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(tbl.num_rows, arr.type.list_size)
+    return np.vstack(arr.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute_force(
+    emb_ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int | None = 4,
+):
+    """Exact cosine top-k per query vector. Returns a pandas DataFrame
+    (query_idx, vec_id, score) with deterministic tie-break (score
+    desc, vec_id asc); scores optionally rounded for cross-engine
+    comparability."""
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    q_ref = ray.put(q)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _normalize(_matrix(tbl, vec_col).astype(np.float64))
+        scores = m @ qm.T  # (batch, nq)
+        ids = tbl.column(id_col).to_numpy()
+        nq = qm.shape[0]
+        kk = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for j in range(nq):
+            s = scores[:, j]
+            if round_decimals is not None:
+                s = np.round(s, round_decimals)
+            top = np.lexsort((ids, -s))[:kk]
+            out_q.append(np.full(kk, j, dtype=np.int64))
+            out_id.append(ids[top])
+            out_s.append(s[top])
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partials = emb_ds.map_batches(_partial, batch_format="pyarrow")
+    df = partials.to_pandas()  # ≤ k × nq × n_batches rows — small
+    df = df.sort_values(
+        ["query_idx", "score", id_col],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    return df.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+
+
+def near_dup_pairs_cosine(
+    emb_ds,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+):
+    """Pairs (a < b) with cosine >= threshold, via hyperplane LSH.
+
+    ``n_tables`` independent sets of ``n_planes`` random hyperplanes;
+    a pair collides in a table iff all sign bits agree. Exact cosine is
+    verified inside each bucket; duplicates across tables are merged by
+    a final (tiny) groupby. Recall grows with n_tables; guaranteed hits
+    for very high thresholds.
+    """
+    rng = np.random.default_rng(seed)
+    planes = None  # built lazily once dim is known
+
+    def _buckets(tbl: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(tbl, vec_col).astype(np.float64))
+        d = m.shape[1]
+        local_rng = np.random.default_rng(seed)  # same planes every batch
+        pl = local_rng.standard_normal((n_tables, n_planes, d))
+        ids = tbl.column(id_col).to_numpy()
+        n = len(ids)
+        tb, key, oid = [], [], []
+        vecs = []
+        for t in range(n_tables):
+            bits = (m @ pl[t].T) > 0  # (n, n_planes)
+            k = np.zeros(n, dtype=np.uint64)
+            for b in range(n_planes):
+                k |= bits[:, b].astype(np.uint64) << np.uint64(b)
+            tb.append(np.full(n, t, dtype=np.int32))
+            key.append(k)
+            oid.append(ids)
+            vecs.append(m)
+        mflat = np.vstack(vecs).astype(np.float32)
+        return pa.table(
+            {
+                "table_id": pa.array(np.concatenate(tb)),
+                "bucket_key": pa.array(np.concatenate(key)),
+                id_col: pa.array(np.concatenate(oid)),
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mflat.ravel()), mflat.shape[1]
+                ),
+            }
+        )
+
+    exploded = emb_ds.map_batches(_buckets, batch_format="pyarrow")
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) < 2 or len(ids) > 4000:
+            return empty
+        m = _matrix(group, "nvec").astype(np.float64)
+        o = np.argsort(ids, kind="stable")
+        ids, m = ids[o], m[o]
+        sim = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = (sim[iu, ju] >= threshold) & (ids[iu] != ids[ju])
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[iu[mask]].astype(np.int64)),
+                "vec_b": pa.array(ids[ju[mask]].astype(np.int64)),
+                "cosine": pa.array(sim[iu, ju][mask].astype(np.float64)),
+            }
+        )
+
+    pairs = exploded.groupby(["table_id", "bucket_key"]).map_groups(
+        _pairs, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("cosine", alias_name="cosine")
+    )

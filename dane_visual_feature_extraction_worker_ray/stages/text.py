@@ -1,0 +1,191 @@
+"""Text analysis operators over a documents table.
+
+All stateless computations run in plain ``map_batches`` tasks with
+pandas-str / numpy kernels; the language-ID stage is a callable class
+(actor pool) because it builds its profile tables once per actor
+(reference analog: transforms/config built once per source,
+``/root/reference/data_handling.py:21-37``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "with as for on at by from not but"
+).split()
+
+# tiny per-language function-word profiles (public-knowledge lists);
+# enough for a deterministic heuristic language-ID operator
+_LANG_PROFILES = {
+    "en": "the and of to in is that it was for on are as with his they at be this have from or one had by word".split(),
+    "de": "der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als auch es an werden".split(),
+    "fr": "de la le et les des en un du une que est pour qui dans a par plus pas au sur ne se ce il".split(),
+    "es": "de la que el en y a los del se las por un para con no una su al lo como más pero sus le".split(),
+    "zh": "的 一 是 在 不 了 有 和 人 这 中 大 为 上 个 国 我 以 要 他 时 来 用 们".split(),
+}
+
+
+def text_quality(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Length / word / stopword quality metrics, SQL-checkable.
+
+    Definitions shared with the oracle: words = split on single spaces;
+    avg_word_len over characters excluding spaces; ratios are one IEEE
+    division of exact ints.
+    """
+
+    def _quality(tbl: pa.Table) -> pa.Table:
+        s = tbl.column(text_col).to_pandas().fillna("")
+        n_chars = s.str.len().to_numpy(dtype=np.int64)
+        words = s.str.split(" ")
+        n_words = words.str.len().to_numpy(dtype=np.int64)
+        no_space = s.str.replace(" ", "", regex=False).str.len().to_numpy(
+            dtype=np.int64
+        )
+        ex = words.explode()
+        mask = ex.notna()
+        row = ex.index.to_numpy()[mask].astype(np.int64)
+        toks = ex[mask]
+        stop_hits = toks.isin(_STOPWORDS).to_numpy()
+        n_stop = np.bincount(
+            row, weights=stop_hits.astype(np.float64), minlength=len(s)
+        ).astype(np.int64)
+        nw_safe = np.where(n_words == 0, 1, n_words)
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "n_chars": pa.array(n_chars),
+                "n_words": pa.array(n_words),
+                "avg_word_len": pa.array(
+                    no_space.astype(np.float64) / nw_safe.astype(np.float64)
+                ),
+                "n_stopwords": pa.array(n_stop),
+                "stopword_ratio": pa.array(
+                    n_stop.astype(np.float64) / nw_safe.astype(np.float64)
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(_quality, batch_format="pyarrow")
+
+
+def token_counts(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    r"""Token counts: whitespace tokens and regex word tokens (\w+)."""
+    import re
+
+    word_re = re.compile(r"\w+")
+
+    def _count(tbl: pa.Table) -> pa.Table:
+        s = tbl.column(text_col).to_pandas().fillna("")
+        ws = s.str.split().str.len().to_numpy(dtype=np.int64)
+        rx = s.str.count(word_re).to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "n_ws_tokens": pa.array(ws),
+                "n_word_tokens": pa.array(rx),
+            }
+        )
+
+    return docs_ds.map_batches(_count, batch_format="pyarrow")
+
+
+class LangId:
+    """Heuristic language ID: stopword-profile hit rates (actor pool).
+
+    Profile token sets are materialized once per actor in ``__init__``
+    (reference analog: model load once per worker,
+    ``/root/reference/worker.py:61``).
+    """
+
+    def __init__(self):
+        self.langs = sorted(_LANG_PROFILES)
+        self.profiles = {
+            lang: frozenset(words) for lang, words in _LANG_PROFILES.items()
+        }
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        s = tbl.column("text").to_pandas().fillna("")
+        ex = s.str.split().explode()
+        mask = ex.notna()
+        row = ex.index.to_numpy()[mask].astype(np.int64)
+        toks = ex[mask]
+        n = len(s)
+        scores = np.zeros((n, len(self.langs)), dtype=np.float64)
+        for j, lang in enumerate(self.langs):
+            hits = toks.isin(self.profiles[lang]).to_numpy()
+            scores[:, j] = np.bincount(
+                row, weights=hits.astype(np.float64), minlength=n
+            )
+        best = np.argmax(scores, axis=1)
+        none = scores.max(axis=1) == 0
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[none] = "und"
+        conf_den = scores.sum(axis=1)
+        conf = scores.max(axis=1) / np.where(conf_den == 0, 1, conf_den)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "lang_pred": pa.array(pred, type=pa.string()),
+                "lang_conf": pa.array(conf),
+            }
+        )
+
+
+def lang_id(docs_ds, concurrency: int = 4):
+    return docs_ds.map_batches(
+        LangId,
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def doc_fingerprints(
+    docs_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 5,
+):
+    """Winnowing fingerprint: min token-k-gram hash per sliding window,
+    deduplicated — a compact rolling-hash document signature usable for
+    plagiarism-style containment checks."""
+    from .dedup import _word_shingles
+
+    def _fp(tbl: pa.Table) -> pa.Table:
+        s = tbl.column(text_col).to_pandas()
+        ids = tbl.column(id_col).to_numpy()
+        row, sh = _word_shingles(s, k)
+        out_id, out_fp = [], []
+        if len(row):
+            order = np.argsort(row, kind="stable")
+            row, sh = row[order], sh[order]
+            starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+            ends = np.r_[starts[1:], len(row)]
+            for s0, e0 in zip(starts, ends):
+                h = sh[s0:e0]
+                if len(h) <= window:
+                    mins = {h.min()}
+                else:
+                    view = np.lib.stride_tricks.sliding_window_view(h, window)
+                    mins = set(view.min(axis=1).tolist())
+                fps = sorted(mins)
+                out_id.extend([ids[row[s0]]] * len(fps))
+                out_fp.extend(fps)
+        return pa.table(
+            {
+                id_col: pa.array(np.array(out_id, dtype=np.int64)),
+                "fingerprint": pa.array(
+                    np.array(out_fp, dtype=np.uint64)
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(_fp, batch_format="pyarrow")

@@ -1,0 +1,104 @@
+"""Dedup operators vs brute-force oracles on a constructed corpus."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+    _word_shingles,
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a tall tree near the river bank in summer"
+)
+
+
+def _corpus() -> pa.Table:
+    rng = np.random.default_rng(3)
+    words = BASE.split()
+    docs = [BASE, BASE]  # exact dup pair (0, 1)
+    near = words.copy()
+    near[5] = "leaps"  # one-word change → high jaccard (doc 2)
+    docs.append(" ".join(near))
+    for i in range(12):  # unrelated docs
+        docs.append(
+            " ".join(rng.choice(np.array(list("abcdefghijklmnop")), 20))
+        )
+    docs.append(BASE + " extra tail words appended here")  # doc 15
+    return pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": docs}
+    )
+
+
+def _brute_jaccard(tbl: pa.Table, k: int = 3) -> dict:
+    s = tbl.column("text").to_pandas()
+    row, sh = _word_shingles(s, k)
+    sets = {}
+    for r, h in zip(row, sh):
+        sets.setdefault(int(r), set()).add(int(h))
+    out = {}
+    for a, b in itertools.combinations(range(len(s)), 2):
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        u = len(sa | sb)
+        out[(a, b)] = len(sa & sb) / u if u else 0.0
+    return out
+
+
+def test_exact_dedup():
+    tbl = _corpus()
+    got = exact_dedup(rd.from_arrow(tbl)).to_pandas()
+    exp = (
+        tbl.to_pandas().groupby("text", sort=False)["doc_id"].min().reset_index()
+    )
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]
+    pd.testing.assert_frame_equal(got[["doc_id", "text"]], exp)
+    assert 1 not in got["doc_id"].to_numpy()  # dup of doc 0 removed
+
+
+def test_minhash_finds_near_dups():
+    tbl = _corpus()
+    pairs = minhash_lsh_pairs(rd.from_arrow(tbl), threshold=0.5).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    brute = _brute_jaccard(tbl)
+    # exact dup must be found with estimate 1.0
+    assert (0, 1) in found
+    est = pairs.set_index(["doc_a", "doc_b"])["est_jaccard"]
+    assert est.loc[(0, 1)] == 1.0
+    # strong near-dups (true J >= 0.7) must be found
+    for (a, b), j in brute.items():
+        if j >= 0.7:
+            assert (a, b) in found, (a, b, j)
+    # weak pairs (true J < 0.1) must not be reported
+    for a, b in found:
+        assert brute[(a, b)] >= 0.2, (a, b, brute[(a, b)])
+
+
+def test_jaccard_verify_matches_brute():
+    tbl = _corpus()
+    brute = _brute_jaccard(tbl)
+    cand = [(0, 1), (0, 2), (0, 15), (3, 4)]
+    got = jaccard_verify(rd.from_arrow(tbl), cand)
+    for _, r in got.iterrows():
+        assert abs(r["jaccard"] - brute[(r["doc_a"], r["doc_b"])]) < 1e-12
+
+
+def test_simhash_near_dups():
+    tbl = _corpus()
+    pairs = simhash_pairs(rd.from_arrow(tbl), max_hamming=10).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in found  # identical docs, hamming 0
+    ham = pairs.set_index(["doc_a", "doc_b"])["hamming"]
+    assert ham.loc[(0, 1)] == 0
+    if (0, 2) in found:
+        assert ham.loc[(0, 2)] <= 10

@@ -1,0 +1,66 @@
+"""Similarity search: brute-force oracle + LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dane_visual_feature_extraction_worker_ray.stages.similarity import (
+    knn_brute_force,
+    near_dup_pairs_cosine,
+)
+
+
+def _emb_table(n=200, d=32, seed=5) -> tuple[pa.Table, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    # plant near-duplicate pairs: (0,1), (2,3)
+    m[1] = m[0] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    m[3] = m[2] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(m), type=pa.list_(pa.float32())),
+        }
+    )
+    return tbl, m
+
+
+def _cosine(a, b):
+    a = a / np.linalg.norm(a)
+    b = b / np.linalg.norm(b)
+    return float(a @ b)
+
+
+def test_knn_matches_brute_force():
+    tbl, m = _emb_table()
+    q = m[7].astype(np.float64)
+    got = knn_brute_force(
+        rd.from_arrow(tbl).repartition(8), q, k=10, round_decimals=None
+    )
+    mm = m.astype(np.float64)
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    qq = q / np.linalg.norm(q)
+    scores = mm @ qq
+    exp_ids = np.lexsort((np.arange(len(mm)), -scores))[:10]
+    assert list(got["vec_id"]) == list(exp_ids)
+    assert np.allclose(np.sort(got["score"])[::-1], np.sort(scores)[::-1][:10])
+
+
+def test_near_dup_pairs_finds_planted():
+    tbl, m = _emb_table()
+    got = near_dup_pairs_cosine(
+        rd.from_arrow(tbl).repartition(4), threshold=0.95
+    ).to_pandas()
+    found = set(zip(got["vec_a"], got["vec_b"]))
+    assert (0, 1) in found
+    assert (2, 3) in found
+    # every reported pair is a true near-dup
+    for _, r in got.iterrows():
+        assert _cosine(m[int(r["vec_a"])], m[int(r["vec_b"])]) >= 0.95 - 1e-9
+        assert np.isclose(
+            r["cosine"],
+            _cosine(m[int(r["vec_a"])], m[int(r["vec_b"])]),
+            atol=1e-6,
+        )

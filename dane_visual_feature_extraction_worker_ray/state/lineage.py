@@ -1,0 +1,182 @@
+"""Per-partition lineage records + checkpoint/resume output layout.
+
+North-rule requirement: "every partition emits lineage records and
+counters so the job resumes from per-partition checkpoints after
+preemption." Reference analog: the per-source provenance chain
+(``/root/reference/provenance.py:19-43``, ``models.py:19-43``) and
+whole-source requeue as the only resume mechanism
+(``worker.py:174-186``).
+
+Layout (resumable, deterministic)::
+
+    out_dir/
+      bucket=0007/
+        part.parquet        # features for every conversation hashed to 7
+        _SUCCESS.json       # lineage: fingerprint, rows in/out, key
+                            # range, content checksum, timings
+
+A bucket directory is written to a temp name and atomically renamed, so
+a preempted/retried task can never leave a half-written partition that
+passes validation. Resume = list valid ``_SUCCESS.json`` files whose
+input fingerprint matches, filter those buckets out of the shuffle
+input, recompute only the rest. Outputs are bit-stable across retries
+(deterministic kernel order, no wall-clock in the data path), so
+resume produces the identical dataset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import FeatureConfig, PartitionConfig
+from ..functions.hashing import hash64
+from .. import __version__
+
+
+def _bucket_dir(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, f"bucket={bucket:05d}")
+
+
+def content_checksum(tbl: pa.Table) -> str:
+    """Order-insensitive checksum (hex uint64) over the partition keys."""
+    if tbl.num_rows == 0:
+        return "0"
+    h = hash64(tbl.column("conv_id").to_pandas())
+    tix = tbl.column("turn_idx").cast(pa.int64()).to_numpy().astype(np.uint64)
+    ts = tbl.column("ts").cast(pa.int64()).to_numpy().astype(np.uint64)
+    mixed = h ^ (tix * np.uint64(0x9E3779B97F4A7C15)) ^ ts
+    return f"{int(np.bitwise_xor.reduce(mixed) ^ np.uint64(tbl.num_rows)):016x}"
+
+
+def list_completed_buckets(out_dir: str, fingerprint: str) -> set[int]:
+    done: set[int] = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if not name.startswith("bucket="):
+            continue
+        marker = os.path.join(out_dir, name, "_SUCCESS.json")
+        part = os.path.join(out_dir, name, "part.parquet")
+        if not (os.path.isfile(marker) and os.path.isfile(part)):
+            continue
+        try:
+            with open(marker) as f:
+                rec = json.load(f)
+            if rec.get("fingerprint") == fingerprint:
+                done.add(int(name.split("=")[1]))
+        except (ValueError, OSError):
+            continue
+    return done
+
+
+def write_features_checkpointed(
+    turns_ds,
+    snapshots_ds,
+    out_dir: str,
+    cfg: FeatureConfig | None = None,
+    pcfg: PartitionConfig | None = None,
+    fingerprint: str = "",
+    assign_turn_idx: bool = False,
+    resume: bool = True,
+):
+    """Run the flagship pipeline, writing one parquet partition + one
+    lineage record per bucket; skip buckets already completed for the
+    same ``fingerprint``. Returns (lineage DataFrame, skipped buckets).
+    """
+    from ..stages.bucketing import add_bucket_column
+    from ..stages.transcript_features import (
+        _align_snaps,
+        _align_turns,
+        compute_bucket_features,
+    )
+
+    cfg = cfg or FeatureConfig()
+    pcfg = pcfg or PartitionConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    done = list_completed_buckets(out_dir, fingerprint) if resume else set()
+
+    ds = turns_ds.map_batches(
+        _align_turns,
+        batch_format="pyarrow",
+        fn_kwargs={"assign_turn_idx": assign_turn_idx},
+    )
+    if snapshots_ds is not None:
+        ds = ds.union(
+            snapshots_ds.map_batches(_align_snaps, batch_format="pyarrow")
+        )
+    ds = add_bucket_column(ds, pcfg.num_buckets)
+    if done:
+        done_arr = pa.array(sorted(done), pa.int32())
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t.column("bucket"), value_set=done_arr))
+            ),
+            batch_format="pyarrow",
+        )
+
+    def _kernel_write(group: pa.Table) -> pa.Table:
+        bucket = int(group.column("bucket")[0].as_py())
+        t0 = time.monotonic()
+        rows_in = group.num_rows
+        feats = compute_bucket_features(
+            group.drop_columns(["bucket"]), cfg, assign_turn_idx
+        )
+        final_dir = _bucket_dir(out_dir, bucket)
+        tmp_dir = final_dir + f".tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(feats, os.path.join(tmp_dir, "part.parquet"))
+        conv_sorted = feats.column("conv_id")
+        rec = {
+            "bucket": bucket,
+            "fingerprint": fingerprint,
+            "engine_version": __version__,
+            "rows_in": rows_in,
+            "rows_out": feats.num_rows,
+            "n_conversations": len(pc.unique(conv_sorted)),
+            "conv_min": conv_sorted[0].as_py() if feats.num_rows else None,
+            "conv_max": (
+                conv_sorted[feats.num_rows - 1].as_py()
+                if feats.num_rows
+                else None
+            ),
+            "checksum": content_checksum(feats),
+            "elapsed_s": round(time.monotonic() - t0, 4),
+        }
+        with open(os.path.join(tmp_dir, "_SUCCESS.json"), "w") as f:
+            json.dump(rec, f)
+        if os.path.isdir(final_dir):  # retried task: idempotent overwrite
+            shutil.rmtree(final_dir)
+        os.rename(tmp_dir, final_dir)
+        return pa.Table.from_pylist(
+            [
+                {
+                    k: v
+                    for k, v in rec.items()
+                    if k not in ("fingerprint", "engine_version")
+                }
+            ]
+        )
+
+    lineage = (
+        ds.groupby("bucket")
+        .map_groups(_kernel_write, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return lineage, sorted(done)
+
+
+def read_checkpointed(out_dir: str) -> pa.Table:
+    parts = []
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name, "part.parquet")
+        if name.startswith("bucket=") and os.path.isfile(p):
+            parts.append(pq.read_table(p))
+    return pa.concat_tables(parts) if parts else None

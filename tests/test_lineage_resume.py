@@ -1,0 +1,111 @@
+"""Checkpoint/resume: partial outputs are skipped, recomputation is
+value-identical, lineage records reconcile with the data."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import ray.data as rd
+
+from dane_visual_feature_extraction_worker_ray.config import (
+    FeatureConfig,
+    PartitionConfig,
+)
+from dane_visual_feature_extraction_worker_ray.state.lineage import (
+    content_checksum,
+    list_completed_buckets,
+    read_checkpointed,
+    write_features_checkpointed,
+)
+
+CFG = FeatureConfig()
+PCFG = PartitionConfig(num_buckets=8)
+FP = "test-fingerprint-v1"
+
+
+def _run(corpus, out_dir, resume=True):
+    turns, snaps = corpus
+    return write_features_checkpointed(
+        rd.from_arrow(turns),
+        rd.from_arrow(snaps),
+        out_dir,
+        CFG,
+        PCFG,
+        fingerprint=FP,
+        resume=resume,
+    )
+
+
+def _canon(tbl) -> pd.DataFrame:
+    return (
+        tbl.to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def test_full_write_and_lineage(corpus, tmp_path):
+    out = str(tmp_path / "full")
+    lineage, skipped = _run(corpus, out)
+    assert skipped == []
+    assert len(lineage) == PCFG.num_buckets or len(lineage) == len(
+        [d for d in os.listdir(out) if d.startswith("bucket=")]
+    )
+    # lineage reconciles with the written partitions
+    for r in lineage.itertuples():
+        part = os.path.join(out, f"bucket={r.bucket:05d}", "part.parquet")
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(part)
+        assert tbl.num_rows == r.rows_out
+        assert content_checksum(tbl) == r.checksum
+    total = sum(lineage["rows_out"])
+    feats = read_checkpointed(out)
+    assert feats.num_rows == total
+
+
+def test_resume_skips_and_is_identical(corpus, tmp_path):
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    _run(corpus, out_a)
+    fresh = _canon(read_checkpointed(out_a))
+
+    # simulate preemption: copy only some completed buckets, resume
+    os.makedirs(out_b)
+    buckets = sorted(d for d in os.listdir(out_a) if d.startswith("bucket="))
+    kept = buckets[: len(buckets) // 2]
+    for d in kept:
+        shutil.copytree(os.path.join(out_a, d), os.path.join(out_b, d))
+    done_before = list_completed_buckets(out_b, FP)
+    assert len(done_before) == len(kept)
+
+    mtimes = {
+        d: os.path.getmtime(os.path.join(out_b, d, "part.parquet"))
+        for d in kept
+    }
+    lineage, skipped = _run(corpus, out_b)
+    assert [f"bucket={b:05d}" for b in skipped] == kept
+    # kept partitions untouched
+    for d in kept:
+        assert os.path.getmtime(os.path.join(out_b, d, "part.parquet")) == mtimes[d]
+    resumed = _canon(read_checkpointed(out_b))
+    pd.testing.assert_frame_equal(resumed, fresh)
+
+
+def test_fingerprint_mismatch_forces_recompute(corpus, tmp_path):
+    out = str(tmp_path / "fp")
+    _run(corpus, out)
+    # corrupt one marker's fingerprint → that bucket must be redone
+    buckets = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    victim = os.path.join(out, buckets[0], "_SUCCESS.json")
+    rec = json.load(open(victim))
+    rec["fingerprint"] = "stale"
+    json.dump(rec, open(victim, "w"))
+    done = list_completed_buckets(out, FP)
+    assert len(done) == len(buckets) - 1
+    lineage, skipped = _run(corpus, out)
+    assert len(skipped) == len(buckets) - 1
+    assert set(lineage["bucket"]) == {int(buckets[0].split("=")[1])}

@@ -1,0 +1,68 @@
+"""Multimodal plumbing: schema, modality merge, zero-fill, actor-pool
+stage, determinism — with the stub decoder (real codecs unavailable)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from dane_visual_feature_extraction_worker_ray.stages.multimodal import (
+    MediaFeatureExtractor,
+    extract_media_features,
+    media_schema,
+    synthesize_media_table,
+)
+
+
+def test_real_decoder_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decoder="real")
+
+
+def test_schema_and_corpus():
+    t = synthesize_media_table()
+    assert t.schema.equals(media_schema())
+    mods = set(t.column("modality").to_pylist())
+    assert mods == {"image", "audio"}
+
+
+def test_extract_features_merges_and_zero_fills():
+    t = synthesize_media_table(n_assets=3, frames_per_asset=8)
+    out = (
+        extract_media_features(rd.from_arrow(t), concurrency=2)
+        .to_pandas()
+        .sort_values(["asset_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    # one output row per (asset, ts) regardless of modality count
+    n_keys = t.to_pandas()[["asset_id", "ts"]].drop_duplicates().shape[0]
+    assert len(out) == n_keys
+    vecs = np.vstack(out["media_vec"].to_numpy())
+    assert vecs.shape == (
+        n_keys,
+        MediaFeatureExtractor.IMAGE_DIM + MediaFeatureExtractor.AUDIO_DIM,
+    )
+    # missing-audio rows exist (generator drops ~20%) and are flagged
+    assert (~out["audio_present"]).any()
+    assert out["audio_present"].any()
+
+
+def test_deterministic_across_runs():
+    t = synthesize_media_table(n_assets=2, frames_per_asset=5)
+    a = (
+        extract_media_features(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values(["asset_id", "ts"])
+        .reset_index(drop=True)
+    )
+    b = (
+        extract_media_features(rd.from_arrow(t), concurrency=1)
+        .to_pandas()
+        .sort_values(["asset_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert np.allclose(
+        np.vstack(a["media_vec"].to_numpy()),
+        np.vstack(b["media_vec"].to_numpy()),
+    )

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: times the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) plus the flagship transcript pipeline over a
+cached ~2M-turn synthetic corpus, under
+``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``, and prints ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "synthetic_turns": N, "synthetic_turns_per_sec": N}
+
+``--scaling``: runs the same job in two fresh processes at N=8 and
+4N=32 CPUs on the same input and prints throughputs + scaling
+efficiency (recorded in BASELINE.md) — the sandbox stand-in for the
+north rule's N vs 4N cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_CONVS = 85_000  # ~2M turns at ~24 turns/conv
+BENCH_SEED = 42
+BENCH_DIR = "/tmp/graft_bench"
+
+
+def ensure_bench_corpus() -> tuple[str, str]:
+    from dane_visual_feature_extraction_worker_ray.sources.synthetic import (
+        write_corpus,
+    )
+
+    tag = f"{BENCH_CONVS}_{BENCH_SEED}"
+    tp = os.path.join(BENCH_DIR, tag, "transcripts.parquet")
+    sp = os.path.join(BENCH_DIR, tag, "snapshots.parquet")
+    if not (os.path.isfile(tp) and os.path.isfile(sp)):
+        write_corpus(
+            os.path.join(BENCH_DIR, tag),
+            n_convs=BENCH_CONVS,
+            seed=BENCH_SEED,
+            row_group_size=131_072,
+        )
+    return tp, sp
+
+
+def run_bench(num_cpus: int, sf_dir: str) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.config import (
+        FeatureConfig,
+        PartitionConfig,
+    )
+    from dane_visual_feature_extraction_worker_ray.pipelines import (
+        dedup_queries,
+        relational_queries,
+        similarity_queries,
+        transcript_queries,
+    )
+    from dane_visual_feature_extraction_worker_ray.stages.transcript_features import (
+        compute_features,
+    )
+
+    tp, sp = ensure_bench_corpus()
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    rd.read_parquet(tp).count()
+    rd.read_parquet(sp).count()
+    rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    rd.read_parquet(os.path.join(sf_dir, "events.parquet")).count()
+    rd.read_parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        res = fn()
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return res
+
+    # headline: flagship transcript features over the synthetic corpus
+    n_turns = rd.read_parquet(tp).count()
+    cfg = FeatureConfig()
+    pcfg = PartitionConfig(num_buckets=max(32, num_cpus * 4))
+
+    from dane_visual_feature_extraction_worker_ray.sources.parquet import (
+        read_parquet_tuned,
+    )
+
+    def _synthetic_flagship():
+        return compute_features(
+            read_parquet_tuned(tp), read_parquet_tuned(sp), cfg, pcfg
+        )
+
+    timed("synthetic_flagship", _synthetic_flagship)
+
+    timed("flagship_events", lambda: transcript_queries.q_flagship(sf_dir))
+    timed(
+        "session_stats", lambda: transcript_queries.q_session_stats(sf_dir)
+    )
+    timed(
+        "window_tumbling",
+        lambda: transcript_queries.q_window_tumbling(sf_dir),
+    )
+    timed(
+        "pricing_summary",
+        lambda: relational_queries.q_pricing_summary(sf_dir),
+    )
+    timed("dedup_exact", lambda: dedup_queries.q_dedup_exact(sf_dir))
+    timed("knn_topk", lambda: similarity_queries.q_knn_topk(sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    flagship_s = timings["synthetic_flagship"]
+    result = {
+        "metric": "headline pipeline suite wall-clock (flagship transcript "
+        "feature engineering + aggregates + dedup + knn)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "num_cpus": num_cpus,
+        "synthetic_turns": n_turns,
+        "synthetic_turns_per_sec": round(n_turns / flagship_s, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        lo_cpus, hi_cpus = 8, 32
+        lo = run_subprocess(lo_cpus)
+        hi = run_subprocess(hi_cpus)
+        tp_lo = lo["synthetic_turns"] / lo["queries"]["synthetic_flagship"]
+        tp_hi = hi["synthetic_turns"] / hi["queries"]["synthetic_flagship"]
+        eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency, synthetic flagship, "
+                    f"N={lo_cpus} vs 4N={hi_cpus} cpus",
+                    "sec_8": lo["queries"]["synthetic_flagship"],
+                    "sec_32": hi["queries"]["synthetic_flagship"],
+                    "turns_per_sec_8": round(tp_lo, 1),
+                    "turns_per_sec_32": round(tp_hi, 1),
+                    "suite_sec_8": lo["value"],
+                    "suite_sec_32": hi["value"],
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(ncpu, sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

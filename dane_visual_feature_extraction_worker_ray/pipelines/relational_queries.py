@@ -21,7 +21,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.groupagg import hash_grouped_aggregate
 
 
 def _read(sf_dir: str, name: str, columns=None):
@@ -99,13 +100,12 @@ def q_pricing_summary(sf_dir: str):
             )
         )
 
-    partials = li.map_batches(_partial, batch_format="pyarrow")
-    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty", alias_name="qty"),
-        Sum("price_c", alias_name="price_c"),
-        Sum("disc_price_c2", alias_name="disc_price_c2"),
-        Sum("charge_c4", alias_name="charge_c4"),
-        Sum("n", alias_name="n"),
+    partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    final = hash_grouped_aggregate(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        [("qty", "sum"), ("price_c", "sum"), ("disc_price_c2", "sum"),
+         ("charge_c4", "sum"), ("n", "sum")],
     )
 
     def _finish(tbl: pa.Table) -> pa.Table:
@@ -205,9 +205,9 @@ def q_segment_order_revenue(sf_dir: str, segment: str = "BUILDING"):
         g = p.group_by("l_orderkey").aggregate([("rev_c2", "sum")])
         return g.rename_columns(["l_orderkey", "rev_c2"])
 
-    partials = li.map_batches(_partial, batch_format="pyarrow")
-    final = partials.groupby("l_orderkey").aggregate(
-        Sum("rev_c2", alias_name="rev_c2")
+    partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    final = hash_grouped_aggregate(
+        partials, ["l_orderkey"], [("rev_c2", "sum")]
     )
 
     def _finish(tbl: pa.Table) -> pa.Table:
@@ -271,9 +271,9 @@ def q_region_revenue(sf_dir: str):
         g = t.group_by("r_name").aggregate([("rev_c2", "sum")])
         return g.rename_columns(["r_name", "rev_c2"])
 
-    partials = li.map_batches(_partial, batch_format="pyarrow")
-    final = partials.groupby("r_name").aggregate(
-        Sum("rev_c2", alias_name="rev_c2")
+    partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    final = hash_grouped_aggregate(
+        partials, ["r_name"], [("rev_c2", "sum")]
     )
 
     def _finish(tbl: pa.Table) -> pa.Table:
@@ -345,9 +345,9 @@ def q_mktsegment_order_counts(sf_dir: str):
         )
         return g.rename_columns(["c_mktsegment", "n", "price_c"])
 
-    partials = orders.map_batches(_partial, batch_format="pyarrow")
-    final = partials.groupby("c_mktsegment").aggregate(
-        Sum("n", alias_name="n"), Sum("price_c", alias_name="price_c")
+    partials = orders.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    final = hash_grouped_aggregate(
+        partials, ["c_mktsegment"], [("n", "sum"), ("price_c", "sum")]
     )
 
     def _finish(tbl: pa.Table) -> pa.Table:

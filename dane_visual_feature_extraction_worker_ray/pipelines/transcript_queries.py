@@ -95,7 +95,9 @@ asofj AS (
 
 
 def _events(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    from ..sources.parquet import read_parquet_tuned
+
+    return read_parquet_tuned(os.path.join(sf_dir, "events.parquet"))
 
 
 def _features(sf_dir: str):

@@ -60,12 +60,16 @@ def make_transcripts(
     turn_idx = (np.arange(n) - offsets[conv_idx]).astype(np.int32)
 
     role = _ROLES[turn_idx % 3]
-    # deterministic per-(conv, turn) text: 3-8 seeded words
+    # deterministic per-(conv, turn) text: 3-8 seeded words (vectorized
+    # incremental concat — same strings as " ".join of the word slice)
     wl = rng.integers(3, 9, size=n)
     widx = rng.integers(0, len(_WORDS), size=(n, 8))
-    text = np.array(
-        [" ".join(_WORDS[widx[i, : wl[i]]]) for i in range(n)], dtype=object
-    )
+    text = _WORDS[widx[:, 0]].astype("U80")
+    for j in range(1, 8):
+        grow = wl > j
+        appended = np.char.add(np.char.add(text, " "), _WORDS[widx[:, j]])
+        text = np.where(grow, appended, text)
+    text = text.astype(object)
     tool_mask = rng.random(n) < 0.2
     tool = np.where(tool_mask, _TOOLS[rng.integers(0, 4, size=n)], None)
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Max, Min, Sum
-
 from ..config import FeatureConfig, PartitionConfig, US_PER_S
 from ..functions.segkernels import tumble_bucket
 from .transcript_features import compute_features
@@ -61,12 +59,15 @@ def session_stats(
             }
         )
 
-    partials = feats.map_batches(_partial, batch_format="pyarrow")
-    final = partials.groupby(["conv_id", "session_id"]).aggregate(
-        Sum("n_turns", alias_name="n_turns"),
-        Sum("n_tool", alias_name="n_tool"),
-        Min("t0_us", alias_name="t0_us"),
-        Max("t1_us", alias_name="t1_us"),
+    from .groupagg import hash_grouped_aggregate
+
+    partials = feats.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    )
+    final = hash_grouped_aggregate(
+        partials,
+        ["conv_id", "session_id"],
+        [("n_turns", "sum"), ("n_tool", "sum"), ("t0_us", "min"), ("t1_us", "max")],
     )
 
     def _finish(tbl: pa.Table) -> pa.Table:
@@ -90,7 +91,7 @@ def session_stats(
             }
         )
 
-    return final.map_batches(_finish, batch_format="pyarrow")
+    return final.map_batches(_finish, batch_format="pyarrow", batch_size=None)
 
 
 def tumbling_aggregate(
@@ -128,10 +129,15 @@ def tumbling_aggregate(
             }
         )
 
-    partials = turns_ds.map_batches(_partial, batch_format="pyarrow")
-    final = partials.groupby(["conv_id", "w_us"]).aggregate(
-        Sum("turn_cnt", alias_name="turn_cnt"),
-        Sum("tool_cnt", alias_name="tool_cnt"),
+    from .groupagg import hash_grouped_aggregate
+
+    partials = turns_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    )
+    final = hash_grouped_aggregate(
+        partials,
+        ["conv_id", "w_us"],
+        [("turn_cnt", "sum"), ("tool_cnt", "sum")],
     )
 
     def _finish(tbl: pa.Table) -> pa.Table:
@@ -149,4 +155,4 @@ def tumbling_aggregate(
             }
         )
 
-    return final.map_batches(_finish, batch_format="pyarrow")
+    return final.map_batches(_finish, batch_format="pyarrow", batch_size=None)

@@ -29,4 +29,4 @@ def add_bucket_column(
         h = hash64(tbl.column(key).to_pandas())
         return tbl.append_column(col, pa.array(bucket_of(h, num_buckets)))
 
-    return ds.map_batches(_assign, batch_format="pyarrow")
+    return ds.map_batches(_assign, batch_format="pyarrow", batch_size=None)

@@ -53,20 +53,21 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         g = t.group_by(["h", text_col]).aggregate([(id_col, "min")])
         return g.rename_columns(["h", text_col, id_col])
 
-    partials = docs_ds.map_batches(_partial, batch_format="pyarrow")
+    from .groupagg import hash_grouped_aggregate
 
-    def _resolve(group: pa.Table) -> pa.Table:
-        # same hash ⇒ almost surely same text, but resolve per text to
-        # be collision-safe
-        df = group.to_pandas()
-        out = (
-            df.groupby(text_col, sort=False)[id_col]
-            .min()
-            .reset_index()[[id_col, text_col]]
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    return partials.groupby("h").map_groups(_resolve, batch_format="pyarrow")
+    partials = docs_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    )
+    # grouping on (h, text) is collision-safe: equal hash + different
+    # text stays two groups; the shuffle key is the hash bucket
+    final = hash_grouped_aggregate(
+        partials, ["h", text_col], [(id_col, "min")]
+    )
+    return final.map_batches(
+        lambda t: t.select([id_col, text_col]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -221,10 +222,10 @@ def minhash_lsh_pairs(
     )
 
     # a pair can surface from several bands → keep one (max estimate)
-    from ray.data.aggregate import Max
+    from .groupagg import hash_grouped_aggregate
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
+    return hash_grouped_aggregate(
+        pairs, ["doc_a", "doc_b"], [("est_jaccard", "max")]
     )
 
 
@@ -378,8 +379,8 @@ def simhash_pairs(
     pairs = exploded.groupby(["band_id", "band_key"]).map_groups(
         _pairs, batch_format="pyarrow"
     )
-    from ray.data.aggregate import Min
+    from .groupagg import hash_grouped_aggregate
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    return hash_grouped_aggregate(
+        pairs, ["doc_a", "doc_b"], [("hamming", "min")]
     )

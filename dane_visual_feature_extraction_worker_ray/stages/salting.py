@@ -37,7 +37,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Sum
 
 from ..config import FeatureConfig, PartitionConfig, US_PER_S
 from ..functions import segkernels as sk
@@ -67,10 +66,12 @@ def conversation_counts(turns_ds):
         )
         return g.rename_columns(["conv_id", "n_rows"])
 
-    partials = turns_ds.map_batches(_partial, batch_format="pyarrow")
-    return partials.groupby("conv_id").aggregate(
-        Sum("n_rows", alias_name="n_rows")
+    from .groupagg import hash_grouped_aggregate
+
+    partials = turns_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
     )
+    return hash_grouped_aggregate(partials, ["conv_id"], [("n_rows", "sum")])
 
 
 def detect_mega_conversations(turns_ds, threshold: int) -> pd.DataFrame:

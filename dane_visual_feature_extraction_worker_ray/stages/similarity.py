@@ -169,8 +169,8 @@ def near_dup_pairs_cosine(
     pairs = exploded.groupby(["table_id", "bucket_key"]).map_groups(
         _pairs, batch_format="pyarrow"
     )
-    from ray.data.aggregate import Max
+    from .groupagg import hash_grouped_aggregate
 
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        Max("cosine", alias_name="cosine")
+    return hash_grouped_aggregate(
+        pairs, ["vec_a", "vec_b"], [("cosine", "max")]
     )

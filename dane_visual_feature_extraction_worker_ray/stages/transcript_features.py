@@ -291,10 +291,13 @@ def compute_features(
         _align_turns,
         batch_format="pyarrow",
         fn_kwargs={"assign_turn_idx": assign_turn_idx},
+        batch_size=None,  # whole blocks: alignment is O(1) per batch
     )
     if snapshots_ds is not None:
         ds = ds.union(
-            snapshots_ds.map_batches(_align_snaps, batch_format="pyarrow")
+            snapshots_ds.map_batches(
+                _align_snaps, batch_format="pyarrow", batch_size=None
+            )
         )
     ds = add_bucket_column(ds, pcfg.num_buckets)
 

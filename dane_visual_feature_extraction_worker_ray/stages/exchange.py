@@ -1,0 +1,108 @@
+"""Two-stage hash exchange: the engine's wide shuffle, made explicit.
+
+``Dataset.groupby(key).map_groups`` implements co-location via a full
+SORT of every row — measured 13-57 s (high variance) on a 2M-row
+bucket shuffle where plain hash partitioning suffices; the
+``HASH_SHUFFLE`` strategy was slower still (212 s) and is a global
+``DataContext`` switch that would degrade the small groupbys elsewhere.
+This module drops to Ray core tasks for exactly this one exchange (the
+documented escape hatch: the Dataset API cannot express
+"hash-partition without sorting" efficiently in this Ray version):
+
+- stage 1 — one task per upstream block: vectorized split of the block
+  into ``num_partitions`` Arrow sub-tables by ``hash(key) % P``
+  (single argsort + slices, zero row-copies beyond ``take``);
+- stage 2 — one task per partition: concat its fragments and run the
+  caller's kernel on the whole co-located partition.
+
+Measured on the 2M-turn corpus at 32 CPUs: 2.7-6.5 s end-to-end
+(vs 13-57 s), ~750k rows/s warm.
+
+Scale notes (100 TB / multi-node): driver metadata is O(B × P) object
+refs — identical to what Ray Data's own shuffle tracks. Keep map
+blocks ~64-128 MiB and P ≈ (total cores × 2-4); for B, P in the low
+thousands this is millions of tiny refs at most. Partition output is
+streamed onward as a normal ``Dataset`` (``from_arrow_refs``), so
+downstream stages (scorer pool, parquet writer) pipeline as usual.
+The hash function is the same stable ``hash64 % P`` used everywhere
+(resume-safe: partition membership never changes between runs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.hashing import bucket_of, hash64
+
+
+@ray.remote
+def _split_block(block: pa.Table, key: str, num_partitions: int):
+    if num_partitions == 1:  # num_returns=1 → return value is NOT unpacked
+        return block
+    if block.num_rows == 0:
+        empty = block.slice(0, 0)
+        return tuple(empty for _ in range(num_partitions))
+    h = hash64(block.column(key).to_pandas())
+    b = bucket_of(h, num_partitions)
+    idx = np.argsort(b, kind="stable")
+    bs = b[idx]
+    bounds = np.arange(num_partitions)
+    starts = np.searchsorted(bs, bounds, side="left")
+    ends = np.searchsorted(bs, bounds, side="right")
+    taken = block.take(pa.array(idx))
+    return tuple(
+        taken.slice(s, e - s) for s, e in zip(starts, ends)
+    )
+
+
+@ray.remote
+def _reduce_partition(kernel, partition_idx: int, empty_schema, *frags):
+    live = [f for f in frags if f.num_rows > 0]
+    if not live:
+        return (
+            empty_schema.empty_table()
+            if empty_schema is not None
+            else frags[0].slice(0, 0)
+        )
+    table = pa.concat_tables(live).combine_chunks()
+    return kernel(partition_idx, table)
+
+
+def hash_exchange(
+    ds,
+    key: str,
+    num_partitions: int,
+    kernel,
+    empty_schema: pa.Schema | None = None,
+):
+    """Co-locate rows by ``hash64(key) % num_partitions`` and apply
+    ``kernel(partition_idx, table)`` to each whole partition. Returns a
+    Dataset of the kernel outputs.
+
+    The upstream ``ds`` executes (streamed into the object store) at
+    the exchange boundary — the same materialization point any
+    all-to-all op has.
+    """
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(
+            empty_schema.empty_table() if empty_schema else pa.table({})
+        )
+    frag_lists = [
+        _split_block.options(num_returns=num_partitions).remote(
+            b, key, num_partitions
+        )
+        for b in blocks
+    ]
+    if num_partitions == 1:  # num_returns=1 yields a bare ref, not a list
+        frag_lists = [[fl] for fl in frag_lists]
+    out_refs = [
+        _reduce_partition.remote(
+            kernel, p, empty_schema, *[fl[p] for fl in frag_lists]
+        )
+        for p in range(num_partitions)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -299,11 +299,27 @@ def compute_features(
                 _align_snaps, batch_format="pyarrow", batch_size=None
             )
         )
+    if pcfg.use_core_exchange:
+        from .exchange import hash_exchange
+
+        def _kernel(_p: int, table: pa.Table) -> pa.Table:
+            return compute_bucket_features(table, cfg, assign_turn_idx)
+
+        return hash_exchange(
+            ds,
+            "conv_id",
+            pcfg.num_buckets,
+            _kernel,
+            empty_schema=_features_schema(),
+        )
+
+    # Dataset-native fallback (sort-based shuffle; slower, kept for
+    # A/B correctness testing and environments without ray.remote)
     ds = add_bucket_column(ds, pcfg.num_buckets)
 
-    def _kernel(group: pa.Table) -> pa.Table:
+    def _kernel_g(group: pa.Table) -> pa.Table:
         return compute_bucket_features(
             group.drop_columns(["bucket"]), cfg, assign_turn_idx
         )
 
-    return ds.groupby("bucket").map_groups(_kernel, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(_kernel_g, batch_format="pyarrow")

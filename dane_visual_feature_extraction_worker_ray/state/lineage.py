@@ -122,8 +122,7 @@ def write_features_checkpointed(
             batch_format="pyarrow",
         )
 
-    def _kernel_write(group: pa.Table) -> pa.Table:
-        bucket = int(group.column("bucket")[0].as_py())
+    def _kernel_write(bucket: int, group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         rows_in = group.num_rows
         feats = compute_bucket_features(
@@ -165,11 +164,29 @@ def write_features_checkpointed(
             ]
         )
 
-    lineage = (
-        ds.groupby("bucket")
-        .map_groups(_kernel_write, batch_format="pyarrow")
-        .to_pandas()
+    from ..stages.exchange import hash_exchange
+
+    lineage_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("rows_in", pa.int64()),
+            ("rows_out", pa.int64()),
+            ("n_conversations", pa.int64()),
+            ("conv_min", pa.string()),
+            ("conv_max", pa.string()),
+            ("checksum", pa.string()),
+            ("elapsed_s", pa.float64()),
+        ]
     )
+
+    def _kernel(p: int, table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return lineage_schema.empty_table()
+        return _kernel_write(p, table).cast(lineage_schema)
+
+    lineage = hash_exchange(
+        ds, "conv_id", pcfg.num_buckets, _kernel, empty_schema=lineage_schema
+    ).to_pandas()
     return lineage, sorted(done)
 
 

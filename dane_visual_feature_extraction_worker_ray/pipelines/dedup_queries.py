@@ -29,10 +29,29 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_pairs(_docs(sf_dir), max_hamming=8)
 
 
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """MinHash-LSH candidates → exact word-3-gram Jaccard verification."""
+    from ..stages.dedup import jaccard_verify
+
+    cand = minhash_lsh_pairs(_docs(sf_dir), threshold=0.3).to_pandas()
+    pairs = list(zip(cand["doc_a"], cand["doc_b"]))
+    if not pairs:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"),
+             "doc_b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    out = jaccard_verify(_docs(sf_dir), pairs)
+    return out[out["jaccard"] >= 0.3].reset_index(drop=True)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
 }
 
 ORACLE_SQL = {

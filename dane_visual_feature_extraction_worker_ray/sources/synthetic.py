@@ -38,30 +38,8 @@ _WORDS = np.array(
 _BASE_TS_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
 
 
-def make_transcripts(
-    n_convs: int = 50,
-    seed: int = 42,
-    mega_conv: bool = True,
-    mega_turns: int | None = None,
-    shuffle: bool = True,
-    dup_fraction: float = 0.01,
-) -> pa.Table:
-    """Transcript table ``(conv_id, turn_idx, role, text, tool, ts)``."""
-    rng = np.random.default_rng(seed)
-    turns_per_conv = rng.integers(8, 41, size=n_convs)
-    if mega_conv and n_convs > 0:
-        turns_per_conv[0] = mega_turns or int(np.median(turns_per_conv) * 10)
-    n = int(turns_per_conv.sum())
-
-    conv_idx = np.repeat(np.arange(n_convs), turns_per_conv)
-    conv_id = np.char.add("conv-", np.char.zfill(conv_idx.astype(str), 6))
-    # dense 0-based turn_idx per conversation
-    offsets = np.concatenate(([0], np.cumsum(turns_per_conv)[:-1]))
-    turn_idx = (np.arange(n) - offsets[conv_idx]).astype(np.int32)
-
-    role = _ROLES[turn_idx % 3]
-    # deterministic per-(conv, turn) text: 3-8 seeded words (vectorized
-    # incremental concat — same strings as " ".join of the word slice)
+def _random_texts(rng: np.random.Generator, n: int) -> np.ndarray:
+    """n deterministic texts of 3-8 seeded words (vectorized concat)."""
     wl = rng.integers(3, 9, size=n)
     widx = rng.integers(0, len(_WORDS), size=(n, 8))
     text = _WORDS[widx[:, 0]].astype("U80")
@@ -69,7 +47,46 @@ def make_transcripts(
         grow = wl > j
         appended = np.char.add(np.char.add(text, " "), _WORDS[widx[:, j]])
         text = np.where(grow, appended, text)
-    text = text.astype(object)
+    return text.astype(object)
+
+
+def make_transcripts(
+    n_convs: int = 50,
+    seed: int = 42,
+    mega_conv: bool = True,
+    mega_turns: int | None = None,
+    shuffle: bool = True,
+    dup_fraction: float = 0.01,
+    text_pool: int | None = None,
+) -> pa.Table:
+    """Transcript table ``(conv_id, turn_idx, role, text, tool, ts)``.
+
+    ``text_pool``: at bench scale, draw texts from a pool of this many
+    distinct strings instead of materializing one unique string per row
+    (10-50x faster generation; per-(conv, turn) choice still seeded and
+    deterministic, and a pool also gives dedup something to find).
+    """
+    rng = np.random.default_rng(seed)
+    turns_per_conv = rng.integers(8, 41, size=n_convs)
+    if mega_conv and n_convs > 0:
+        turns_per_conv[0] = mega_turns or int(np.median(turns_per_conv) * 10)
+    n = int(turns_per_conv.sum())
+
+    conv_ids_uniq = np.array(
+        [f"conv-{i:06d}" for i in range(n_convs)], dtype=object
+    )
+    conv_idx = np.repeat(np.arange(n_convs), turns_per_conv)
+    conv_id = conv_ids_uniq[conv_idx]
+    # dense 0-based turn_idx per conversation
+    offsets = np.concatenate(([0], np.cumsum(turns_per_conv)[:-1]))
+    turn_idx = (np.arange(n) - offsets[conv_idx]).astype(np.int32)
+
+    role = _ROLES[turn_idx % 3]
+    if text_pool:
+        pool = _random_texts(rng, text_pool)
+        text = pool[rng.integers(0, text_pool, size=n)]
+    else:
+        text = _random_texts(rng, n)
     tool_mask = rng.random(n) < 0.2
     tool = np.where(tool_mask, _TOOLS[rng.integers(0, 4, size=n)], None)
 
@@ -139,6 +156,39 @@ def make_snapshots(
         tmax = tmin + 86400_000_000
 
     order = np.argsort(np.array(cids, dtype=object))
+    if len(cids) > 5000:  # vectorized path for bench-scale corpora
+        cid_arr = np.array(cids, dtype=object)[order]
+        tmin_s = np.asarray(tmin)[order]
+        tmax_s = np.asarray(tmax)[order]
+        nc = len(cid_arr)
+        has = rng.random(nc) >= 0.3
+        k = rng.integers(1, 5, size=nc)
+        k[~has] = 0
+        rep = np.repeat(np.arange(nc), k)
+        lo = tmin_s + 1_000_000
+        hi = np.maximum(lo + 1, tmax_s)
+        snap_ts = rng.integers(lo[rep], hi[rep])
+        snap_val = np.round(rng.random(len(rep)) * 100, 6)
+        snap_tag = tags[rng.integers(0, 3, size=len(rep))]
+        fut = np.flatnonzero(has)
+        all_conv = np.concatenate([cid_arr[rep], cid_arr[fut]])
+        all_ts = np.concatenate(
+            [snap_ts, tmax_s[fut] + 3_600_000_000]
+        ).astype(np.int64)
+        all_val = np.concatenate(
+            [snap_val, np.full(len(fut), -999.0)]
+        )
+        all_tag = np.concatenate(
+            [snap_tag.astype(object), np.full(len(fut), "future", object)]
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(all_conv, type=pa.string()),
+                "ts": pa.array(all_ts, type=pa.timestamp("us")),
+                "snap_val": pa.array(all_val.astype(np.float64)),
+                "snap_tag": pa.array(all_tag, type=pa.string()),
+            }
+        )
     for j in order:
         cid = cids[j]
         if rng.random() < 0.3:

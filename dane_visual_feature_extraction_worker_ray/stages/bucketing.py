@@ -26,6 +26,9 @@ def add_bucket_column(
     """Append an int32 ``bucket`` column = stable_hash(key) % num_buckets."""
 
     def _assign(tbl: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_arrow_threads
+
+        pin_arrow_threads()
         h = hash64(tbl.column(key).to_pandas())
         return tbl.append_column(col, pa.array(bucket_of(h, num_buckets)))
 

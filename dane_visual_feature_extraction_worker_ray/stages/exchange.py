@@ -38,12 +38,30 @@ import ray.data as rd
 from ..functions.hashing import bucket_of, hash64
 
 
+def _ipc_bytes(tbl: pa.Table) -> bytes:
+    """IPC-serialize (truncates sliced buffers — pickling an Arrow
+    slice ships the ENTIRE parent buffer: measured 50 MB pickle for a
+    2k-row slice vs 102 KB IPC; without this the exchange write
+    amplification is O(num_partitions) per block)."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return sink.getvalue().to_pybytes()
+
+
+def _from_ipc(buf: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.py_buffer(buf)).read_all()
+
+
 @ray.remote
 def _split_block(block: pa.Table, key: str, num_partitions: int):
+    # one Arrow thread per task: 32 tasks x 32-thread default pools
+    # thrash the node (measured 55s -> 24s on the 8.5M-turn exchange)
+    pa.set_cpu_count(1)
     if num_partitions == 1:  # num_returns=1 → return value is NOT unpacked
-        return block
+        return _ipc_bytes(block)
     if block.num_rows == 0:
-        empty = block.slice(0, 0)
+        empty = _ipc_bytes(block.slice(0, 0))
         return tuple(empty for _ in range(num_partitions))
     h = hash64(block.column(key).to_pandas())
     b = bucket_of(h, num_partitions)
@@ -54,21 +72,37 @@ def _split_block(block: pa.Table, key: str, num_partitions: int):
     ends = np.searchsorted(bs, bounds, side="right")
     taken = block.take(pa.array(idx))
     return tuple(
-        taken.slice(s, e - s) for s, e in zip(starts, ends)
+        _ipc_bytes(taken.slice(s, e - s))
+        for s, e in zip(starts, ends)
     )
 
 
 @ray.remote
 def _reduce_partition(kernel, partition_idx: int, empty_schema, *frags):
-    live = [f for f in frags if f.num_rows > 0]
+    pa.set_cpu_count(1)  # see _split_block
+    tables = [_from_ipc(f) for f in frags]
+    live = [t for t in tables if t.num_rows > 0]
     if not live:
         return (
             empty_schema.empty_table()
             if empty_schema is not None
-            else frags[0].slice(0, 0)
+            else tables[0].slice(0, 0)
         )
     table = pa.concat_tables(live).combine_chunks()
     return kernel(partition_idx, table)
+
+
+def _cpus_per_task() -> int:
+    """Reserve 2 logical CPUs per exchange task on wide sessions: with
+    >= ~24 schedulable CPUs the extra slots are SMT siblings / stolen
+    vCPUs and running a memory-bound kernel on every one of them makes
+    each task ~6x slower (measured 19 s vs 2.2 s for the same reduce
+    wave at 32 vs 16 concurrent tasks on this 32-vCPU VM)."""
+    try:
+        total = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        return 1
+    return 2 if total >= 24 else 1
 
 
 def hash_exchange(
@@ -91,16 +125,17 @@ def hash_exchange(
         return rd.from_arrow(
             empty_schema.empty_table() if empty_schema else pa.table({})
         )
+    ncpu = _cpus_per_task()
     frag_lists = [
-        _split_block.options(num_returns=num_partitions).remote(
-            b, key, num_partitions
-        )
+        _split_block.options(
+            num_returns=num_partitions, num_cpus=ncpu
+        ).remote(b, key, num_partitions)
         for b in blocks
     ]
     if num_partitions == 1:  # num_returns=1 yields a bare ref, not a list
         frag_lists = [[fl] for fl in frag_lists]
     out_refs = [
-        _reduce_partition.remote(
+        _reduce_partition.options(num_cpus=ncpu).remote(
             kernel, p, empty_schema, *[fl[p] for fl in frag_lists]
         )
         for p in range(num_partitions)

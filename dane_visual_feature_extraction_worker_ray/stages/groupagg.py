@@ -46,6 +46,9 @@ def hash_grouped_aggregate(
     )
 
     def _combine(group: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_arrow_threads
+
+        pin_arrow_threads()
         g = (
             group.drop_columns(["__gb"])
             .group_by(keys)

@@ -43,6 +43,9 @@ TURN_SCHEMA_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
 def _align_turns(tbl: pa.Table, assign_turn_idx: bool) -> pa.Table:
+    from ..functions.runtime import pin_arrow_threads
+
+    pin_arrow_threads()
     n = tbl.num_rows
     cols = {
         "conv_id": tbl.column("conv_id"),
@@ -103,6 +106,9 @@ def compute_bucket_features(
     assign_turn_idx: bool = False,
 ) -> pa.Table:
     """All per-turn features for one bucket of whole conversations."""
+    from ..functions.runtime import pin_arrow_threads
+
+    pin_arrow_threads()
     tbl = tbl.combine_chunks()
     n = tbl.num_rows
     out_schema = _features_schema()

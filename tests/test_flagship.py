@@ -111,6 +111,27 @@ def test_bucket_count_invariance(corpus):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_exchange_matches_native_groupby(corpus):
+    """The core-task hash exchange and the Dataset-native sort-groupby
+    shuffle must produce identical results (A/B over the same kernel)."""
+    turns, snaps = corpus
+    a = canon(
+        run_engine(
+            turns,
+            snaps,
+            pcfg=PartitionConfig(num_buckets=16, use_core_exchange=True),
+        )
+    )
+    b = canon(
+        run_engine(
+            turns,
+            snaps,
+            pcfg=PartitionConfig(num_buckets=16, use_core_exchange=False),
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_leakage_probe(corpus):
     """Perturbing snapshots that lie strictly after every turn of their
     conversation must leave the output bit-identical (zero temporal

@@ -112,22 +112,26 @@ def write_features_checkpointed(
         ds = ds.union(
             snapshots_ds.map_batches(_align_snaps, batch_format="pyarrow")
         )
-    ds = add_bucket_column(ds, pcfg.num_buckets)
     if done:
+        # only pay the bucket-assignment pass when there is something
+        # to skip; the exchange re-derives the same hash internally
+        ds = add_bucket_column(ds, pcfg.num_buckets)
         done_arr = pa.array(sorted(done), pa.int32())
         ds = ds.map_batches(
             lambda t: t.filter(
                 pc.invert(pc.is_in(t.column("bucket"), value_set=done_arr))
             ),
             batch_format="pyarrow",
+        ).map_batches(
+            lambda t: t.drop_columns(["bucket"]), batch_format="pyarrow"
         )
 
     def _kernel_write(bucket: int, group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         rows_in = group.num_rows
-        feats = compute_bucket_features(
-            group.drop_columns(["bucket"]), cfg, assign_turn_idx
-        )
+        if "bucket" in group.column_names:
+            group = group.drop_columns(["bucket"])
+        feats = compute_bucket_features(group, cfg, assign_turn_idx)
         final_dir = _bucket_dir(out_dir, bucket)
         tmp_dir = final_dir + f".tmp.{os.getpid()}"
         os.makedirs(tmp_dir, exist_ok=True)

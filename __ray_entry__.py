@@ -13,12 +13,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline (transcript feature engineering) on sf0.001."""
-    from dane_visual_feature_extraction_worker_ray.pipelines.transcript_queries import (
-        q_flagship,
+    """Flagship pipeline on sf0.001: transcript feature engineering +
+    the stateful scorer actor pool (fixed-width feature vectors)."""
+    from dane_visual_feature_extraction_worker_ray.pipelines.scorer_queries import (
+        q_feature_vectors,
     )
 
-    return q_flagship(SF_SMOKE)
+    return q_feature_vectors(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -35,7 +35,8 @@ def oracle_sql() -> dict[str, str]:
 def _optional_suites():
     mods = []
     for name in ("relational_queries", "dedup_queries", "text_queries",
-                 "similarity_queries", "scorer_queries"):
+                 "similarity_queries", "scorer_queries",
+                 "multimodal_queries"):
         try:
             mods.append(
                 __import__(

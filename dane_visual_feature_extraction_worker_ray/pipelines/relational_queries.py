@@ -408,3 +408,79 @@ ORACLE_SQL = {
     "mktsegment_order_counts": SQL_MKTSEGMENT,
     "distinct_parts": SQL_DISTINCT_PARTS,
 }
+
+
+# --------------------------------------------------------------------------
+# predicate pushdown at the read: only matching row groups leave storage
+
+
+def q_shipped_period_revenue(sf_dir: str):
+    """Revenue by return flag for a one-year shipdate window; the
+    filter is pushed into the parquet scan (row-group pruning), the
+    projection reads only 4 columns."""
+    import pyarrow.compute as pcc
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+        filter=(
+            (pcc.field("l_shipdate") >= pa.scalar(
+                __import__("datetime").datetime(1996, 1, 1)))
+            & (pcc.field("l_shipdate") < pa.scalar(
+                __import__("datetime").datetime(1997, 1, 1)))
+        ),
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        rev = _cents(tbl.column("l_extendedprice")) * (
+            100 - _cents(tbl.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "l_returnflag": tbl.column("l_returnflag"),
+                "rev_c2": pa.array(rev),
+                "n": pa.array(np.ones(tbl.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by("l_returnflag").aggregate(
+            [("rev_c2", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "rev_c2", "n"])
+
+    partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    final = hash_grouped_aggregate(
+        partials, ["l_returnflag"], [("rev_c2", "sum"), ("n", "sum")]
+    )
+
+    def _finish(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": tbl.column("l_returnflag"),
+                "revenue": pa.array(
+                    tbl.column("rev_c2").cast(pa.int64()).to_numpy()
+                    .astype(np.float64)
+                    / 10_000.0
+                ),
+                "n_items": tbl.column("n").cast(pa.int64()),
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pyarrow")
+
+
+SQL_SHIPPED_PERIOD = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""".strip()
+
+QUERIES["shipped_period_revenue"] = q_shipped_period_revenue
+ORACLE_SQL["shipped_period_revenue"] = SQL_SHIPPED_PERIOD

@@ -236,3 +236,86 @@ ORACLE_SQL = {
  FROM turns GROUP BY conv_id, w_start"""
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# per-conversation argmax (rank-1 per group): the turn with the longest
+# inter-turn latency. Mergeable argmax partials (best row per conv per
+# batch) → bucketed final reduction — no full-row shuffle.
+
+
+def _best_per_conv(tbl, value_col="lag_ts_delta_s"):
+    import numpy as np
+    import pyarrow as pa
+
+    conv = tbl.column("conv_id").to_pandas()
+    delta = tbl.column(value_col).to_numpy(zero_copy_only=False)
+    tix = tbl.column("turn_idx").cast(pa.int64()).to_numpy()
+    valid = ~np.isnan(np.asarray(delta, dtype=np.float64))
+    if not valid.any():
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "peak_latency_s": pa.array([], pa.float64()),
+            }
+        )
+    import pandas as pd
+
+    codes, uniq = pd.factorize(conv[valid], sort=False)
+    d = np.asarray(delta, dtype=np.float64)[valid]
+    t = tix[valid]
+    order = np.lexsort((t, -d, codes))
+    c_sorted = codes[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = c_sorted[1:] != c_sorted[:-1]
+    pick = order[first]
+    return pa.table(
+        {
+            "conv_id": pa.array(uniq[codes[pick]], pa.string()),
+            "turn_idx": pa.array(t[pick], pa.int64()),
+            "peak_latency_s": pa.array(d[pick], pa.float64()),
+        }
+    )
+
+
+def q_conv_peak_latency(sf_dir: str):
+    from ..functions.hashing import bucket_of, hash64
+
+    feats = _features(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "lag_ts_delta_s"]
+    )
+    partials = feats.map_batches(
+        _best_per_conv, batch_format="pyarrow", batch_size=None
+    )
+
+    import pyarrow as pa
+
+    def _assign(tbl: pa.Table) -> pa.Table:
+        h = hash64(tbl.column("conv_id").to_pandas())
+        return tbl.append_column("__gb", pa.array(bucket_of(h, 16)))
+
+    def _final(group: pa.Table) -> pa.Table:
+        return _best_per_conv(
+            group.drop_columns(["__gb"]), value_col="peak_latency_s"
+        )
+
+    return (
+        partials.map_batches(_assign, batch_format="pyarrow", batch_size=None)
+        .groupby("__gb")
+        .map_groups(_final, batch_format="pyarrow")
+    )
+
+
+QUERIES["conv_peak_latency"] = q_conv_peak_latency
+ORACLE_SQL["conv_peak_latency"] = (
+    SQL_PREAMBLE
+    + """
+ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+        lag_ts_delta_s AS peak_latency_s
+ FROM (SELECT conv_id, turn_idx, lag_ts_delta_s,
+              row_number() OVER (PARTITION BY conv_id
+                  ORDER BY lag_ts_delta_s DESC, turn_idx) AS rn
+       FROM feats WHERE lag_ts_delta_s IS NOT NULL)
+ WHERE rn = 1"""
+)

@@ -5,6 +5,7 @@ we engineered for IEEE parity)."""
 
 from __future__ import annotations
 
+import os
 import numpy as np
 import pandas as pd
 import pytest
@@ -15,7 +16,7 @@ from dane_visual_feature_extraction_worker_ray.pipelines import registry
 QUERIES = registry.queries()
 ORACLE_SQL = registry.oracle_sql()
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region",
     "nation",

@@ -484,3 +484,49 @@ GROUP BY l_returnflag
 
 QUERIES["shipped_period_revenue"] = q_shipped_period_revenue
 ORACLE_SQL["shipped_period_revenue"] = SQL_SHIPPED_PERIOD
+
+
+# --------------------------------------------------------------------------
+# anti join via broadcast key set (semi/anti joins never shuffle: the
+# key side is ray.put once and filtered against per batch)
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Customers with no order before 1996 (anti join; the date filter
+    keeps the result non-empty at every scale factor)."""
+    import datetime
+
+    import pyarrow.compute as pcc
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=(pcc.field("o_orderdate") < pa.scalar(datetime.datetime(1996, 1, 1))),
+    )
+    keys = set()
+    for b in orders.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        keys.update(b.column("o_custkey").to_pylist())
+    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def _anti(tbl: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ck = tbl.column("c_custkey").to_numpy()
+        if len(ks) == 0:
+            return tbl
+        pos = np.searchsorted(ks, ck).clip(0, len(ks) - 1)
+        return tbl.filter(pa.array(ks[pos] != ck))
+
+    return cust.map_batches(_anti, batch_format="pyarrow", batch_size=None)
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01')
+""".strip()
+
+QUERIES["customers_without_orders"] = q_customers_without_orders
+ORACLE_SQL["customers_without_orders"] = SQL_ANTI

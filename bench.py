@@ -143,6 +143,26 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
     timed("synthetic_flagship", _synthetic_flagship)
 
+    def _scorer_stage():
+        # the reference's hot path (batched forward pass,
+        # feature_extraction.py:17-32): score every written feature row
+        # through the actor pool; weights load once per actor
+        from dane_visual_feature_extraction_worker_ray.stages.scorer import (
+            score_features,
+        )
+
+        feats = rd.read_parquet(f"/tmp/graft_bench_out/cpus{num_cpus}")
+        scored = score_features(
+            feats, cfg, concurrency=max(2, num_cpus // 2), batch_size=16384
+        )
+        n = 0
+        for b in scored.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        assert n > 0
+        return None
+
+    timed("scorer_stage", _scorer_stage)
+
     if os.environ.get("GRAFT_BENCH_ONLY") == "flagship":
         total = round(sum(timings.values()), 3)
         result = {

@@ -63,3 +63,17 @@ ORACLE_SQL = {
     # recall/precision are covered by tests/test_dedup.py against a
     # brute-force oracle on a constructed near-dup corpus.
 }
+
+
+def q_dedup_near_survivors(sf_dir: str):
+    """Corpus minus near-duplicates: MinHash-LSH pairs → connected
+    components → keep min doc_id per cluster (rows-only; clustering is
+    sketch-derived). On the synthetic corpus near-dup pairs may be
+    empty → returns the full corpus, which is correct."""
+    from ..stages.dedup import near_dup_survivors
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.6).to_pandas()
+    return near_dup_survivors(_docs(sf_dir), pairs)
+
+
+QUERIES["dedup_near_survivors"] = q_dedup_near_survivors

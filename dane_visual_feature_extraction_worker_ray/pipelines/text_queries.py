@@ -65,3 +65,22 @@ FROM documents
     # lang_id / doc_fingerprints: heuristic / sketch ops → rows-only;
     # determinism + correctness covered in tests/test_text.py.
 }
+
+
+def q_sample_documents(sf_dir: str):
+    """Deterministic systematic sample (doc_id % 7 == 0) — the
+    reproducible sampling pattern for training-data subsetting (seeded
+    random_sample exists in Ray but cannot be SQL-checked)."""
+    import pyarrow as pa
+
+    def _take(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        return tbl.filter(pa.array(ids % 7 == 0))
+
+    return _docs(sf_dir).map_batches(_take, batch_format="pyarrow")
+
+
+QUERIES["sample_documents"] = q_sample_documents
+ORACLE_SQL["sample_documents"] = (
+    "SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0"
+)

@@ -26,9 +26,6 @@ import pyarrow as pa
 
 from ..functions.hashing import hash64, rehash64
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-
-
 # --------------------------------------------------------------------------
 # exact dedup
 
@@ -90,7 +87,6 @@ def _word_shingles(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
     tok_h = hash64(pd.Series(flat))
     # rolling combine of k consecutive token hashes within a row
-    out_row, out_h = [], []
     acc = tok_h.copy()
     same_row = np.ones(len(row), dtype=bool)
     for j in range(1, k):
@@ -384,3 +380,51 @@ def simhash_pairs(
     return hash_grouped_aggregate(
         pairs, ["doc_a", "doc_b"], [("hamming", "min")]
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup clustering → survivor set
+
+
+def near_dup_survivors(
+    docs_ds,
+    pairs_df,
+    id_col: str = "doc_id",
+):
+    """Connected components over near-dup pairs → keep min id per
+    cluster, drop the rest.
+
+    The pair list is the *output* of LSH banding — orders of magnitude
+    smaller than the corpus (only colliding candidates), so union-find
+    runs on the driver (the guide's documented criterion: driver-side
+    only when the candidate set is provably small); the drop-set is
+    broadcast and applied as a vectorized anti filter.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = sorted(x for x in parent if find(x) != x)
+    drop_arr = np.array(drop, dtype=np.int64)
+    drop_ref = ray.put(drop_arr)
+
+    def _anti(tbl: pa.Table) -> pa.Table:
+        ds_ = ray.get(drop_ref)
+        if len(ds_) == 0:
+            return tbl
+        ids = tbl.column(id_col).to_numpy()
+        pos = np.searchsorted(ds_, ids).clip(0, len(ds_) - 1)
+        return tbl.filter(pa.array(ds_[pos] != ids))
+
+    return docs_ds.map_batches(_anti, batch_format="pyarrow", batch_size=None)

@@ -16,13 +16,10 @@ vec_example_np.py:14-22`` — re-expressed as streaming batch kernels.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 import ray
 
-from ..functions.hashing import rehash64
 
 
 def _matrix(tbl: pa.Table, col: str) -> np.ndarray:
@@ -106,9 +103,6 @@ def near_dup_pairs_cosine(
     a final (tiny) groupby. Recall grows with n_tables; guaranteed hits
     for very high thresholds.
     """
-    rng = np.random.default_rng(seed)
-    planes = None  # built lazily once dim is known
-
     def _buckets(tbl: pa.Table) -> pa.Table:
         m = _normalize(_matrix(tbl, vec_col).astype(np.float64))
         d = m.shape[1]

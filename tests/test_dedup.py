@@ -102,3 +102,29 @@ def test_simhash_near_dups():
     assert ham.loc[(0, 1)] == 0
     if (0, 2) in found:
         assert ham.loc[(0, 2)] <= 10
+
+
+def test_near_dup_survivors():
+    import ray.data as rd_
+
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        near_dup_survivors,
+    )
+
+    tbl = _corpus()
+    pairs = minhash_lsh_pairs(rd.from_arrow(tbl), threshold=0.6).to_pandas()
+    surv = near_dup_survivors(rd.from_arrow(tbl), pairs).to_pandas()
+    kept = set(surv["doc_id"])
+    # cluster {0,1,...}: only the min id survives
+    assert 0 in kept and 1 not in kept
+    # unrelated docs all survive
+    for d in range(3, 15):
+        assert d in kept
+    # survivors + dropped = corpus
+    dropped = set(tbl.column("doc_id").to_pylist()) - kept
+    for d in dropped:
+        assert any(
+            (a in kept or b in kept)
+            for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+            if a == d or b == d
+        )

@@ -53,6 +53,28 @@ def ensure_bench_corpus() -> tuple[str, str]:
     return tp, sp
 
 
+def ensure_skew_corpus() -> tuple[str, str]:
+    """Skewed corpus: one 500k-turn mega-conversation among 50k normal
+    ones — exercises detection + salting + exact stitching at scale."""
+    from dane_visual_feature_extraction_worker_ray.sources.synthetic import (
+        write_corpus,
+    )
+
+    d = os.path.join(BENCH_DIR, "skew_50000_43")
+    tp = os.path.join(d, "transcripts.parquet")
+    sp = os.path.join(d, "snapshots.parquet")
+    if not (os.path.isfile(tp) and os.path.isfile(sp)):
+        write_corpus(
+            d,
+            n_convs=50_000,
+            seed=43,
+            mega_turns=500_000,
+            row_group_size=131_072,
+            text_pool=50_000,
+        )
+    return tp, sp
+
+
 def run_bench(num_cpus: int, sf_dir: str) -> dict:
     import ray
 
@@ -162,6 +184,25 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         return None
 
     timed("scorer_stage", _scorer_stage)
+
+    def _salted_flagship():
+        # skew path: detection pre-pass + mega-conversation chunking
+        # with exact carry stitching (stages/salting.py)
+        from dane_visual_feature_extraction_worker_ray.stages.salting import (
+            compute_features_auto,
+        )
+
+        stp, ssp = ensure_skew_corpus()
+        ds = compute_features_auto(
+            read_parquet_tuned(stp), read_parquet_tuned(ssp), cfg, pcfg
+        )
+        n = 0
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        assert n > 500_000
+        return None
+
+    timed("salted_flagship", _salted_flagship)
 
     if os.environ.get("GRAFT_BENCH_ONLY") == "flagship":
         total = round(sum(timings.values()), 3)

@@ -165,6 +165,23 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
     timed("synthetic_flagship", _synthetic_flagship)
 
+    if os.environ.get("GRAFT_BENCH_ONLY") == "flagship":
+        total = round(sum(timings.values()), 3)
+        result = {
+            "metric": "synthetic flagship wall-clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": os.path.basename(sf_dir.rstrip("/")),
+            "num_cpus": num_cpus,
+            "synthetic_turns": n_turns,
+            "synthetic_turns_per_sec": round(
+                n_turns / timings["synthetic_flagship"], 1
+            ),
+        }
+        ray.shutdown()
+        return result
+
     def _scorer_stage():
         # the reference's hot path (batched forward pass,
         # feature_extraction.py:17-32): score every written feature row
@@ -203,23 +220,6 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         return None
 
     timed("salted_flagship", _salted_flagship)
-
-    if os.environ.get("GRAFT_BENCH_ONLY") == "flagship":
-        total = round(sum(timings.values()), 3)
-        result = {
-            "metric": "synthetic flagship wall-clock",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": os.path.basename(sf_dir.rstrip("/")),
-            "num_cpus": num_cpus,
-            "synthetic_turns": n_turns,
-            "synthetic_turns_per_sec": round(
-                n_turns / timings["synthetic_flagship"], 1
-            ),
-        }
-        ray.shutdown()
-        return result
 
     timed("flagship_events", lambda: transcript_queries.q_flagship(sf_dir))
     timed(

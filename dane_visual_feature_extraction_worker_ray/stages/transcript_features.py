@@ -115,11 +115,20 @@ def compute_bucket_features(
     if n == 0:
         return out_schema.empty_table()
 
-    conv = tbl.column("conv_id").to_pandas()
-    # sort=True → codes in lexicographic conv_id order → deterministic
-    # output row order regardless of shuffle arrival order (resume-safe)
-    codes_all, _ = pd.factorize(conv, sort=True)
-    codes_all = codes_all.astype(np.int64)
+    # dictionary-encode conv_id (C++), then remap codes so they follow
+    # lexicographic conv_id order → deterministic output row order
+    # regardless of shuffle arrival order (resume-safe); the remap sort
+    # touches only the (small) unique-conversation dictionary
+    dict_arr = pc.dictionary_encode(tbl.column("conv_id"))
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.chunk(0)
+    raw_codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+    uniq = np.asarray(dict_arr.dictionary.to_pandas(), dtype=object)
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[np.argsort(uniq, kind="stable")] = np.arange(len(uniq))
+    codes_all = rank[np.asarray(raw_codes, dtype=np.int64)]
     ts_all = tbl.column("ts").cast(pa.int64()).to_numpy()
     is_snap = tbl.column("is_snap").to_numpy(zero_copy_only=False)
 

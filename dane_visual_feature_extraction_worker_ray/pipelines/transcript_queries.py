@@ -319,3 +319,37 @@ ORACLE_SQL["conv_peak_latency"] = (
        FROM feats WHERE lag_ts_delta_s IS NOT NULL)
  WHERE rn = 1"""
 )
+
+
+# --------------------------------------------------------------------------
+# user-extension surface: registry feature ops (functions/feature_ops.py)
+
+
+def q_feature_ops(sf_dir: str):
+    ev = _events(sf_dir)
+    from ..sources.events_adapter import events_to_snapshots, events_to_turns
+
+    feats = compute_features(
+        events_to_turns(ev),
+        events_to_snapshots(ev),
+        cfg=CFG,
+        pcfg=PCFG,
+        assign_turn_idx=True,
+        extra_ops=["conv_turn_count", "is_session_start", "role_changed"],
+    )
+    return feats.select_columns(
+        ["conv_id", "turn_idx", "conv_turn_count", "is_session_start",
+         "role_changed"]
+    )
+
+
+QUERIES["feature_ops"] = q_feature_ops
+ORACLE_SQL["feature_ops"] = (
+    SQL_PREAMBLE
+    + f"""
+ SELECT conv_id, turn_idx,
+        CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS conv_turn_count,
+        (delta_us IS NULL OR delta_us > {_GAP}) AS is_session_start,
+        COALESCE(role <> prev_role, FALSE) AS role_changed
+ FROM sess"""
+)

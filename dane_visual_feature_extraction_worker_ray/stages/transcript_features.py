@@ -104,14 +104,19 @@ def compute_bucket_features(
     tbl: pa.Table,
     cfg: FeatureConfig,
     assign_turn_idx: bool = False,
+    extra_ops: list[str] | None = None,
 ) -> pa.Table:
-    """All per-turn features for one bucket of whole conversations."""
+    """All per-turn features for one bucket of whole conversations.
+
+    ``extra_ops``: names from the user-extension registry
+    (functions/feature_ops.py); each appends one column, computed in
+    the same vectorized pass."""
     from ..functions.runtime import pin_arrow_threads
 
     pin_arrow_threads()
     tbl = tbl.combine_chunks()
     n = tbl.num_rows
-    out_schema = _features_schema()
+    out_schema = _features_schema(extra_ops)
     if n == 0:
         return out_schema.empty_table()
 
@@ -258,10 +263,32 @@ def compute_bucket_features(
             "ffill_tool": _take_str(tool_arr, ff_idx, ff_ok),
         }
     )
+    if extra_ops:
+        from ..functions.feature_ops import FeatureOpContext, resolve_ops
+
+        ctx = FeatureOpContext(
+            n=nt,
+            ts_us=ts_t,
+            seg=seg,
+            first=first,
+            turn_idx=tidx,
+            role=role_arr,
+            text=turns.column("text").combine_chunks(),
+            tool=tool_arr,
+            tool_valid=tool_valid,
+            cfg=cfg,
+        )
+        for name, fn in resolve_ops(extra_ops).items():
+            out = out.append_column(name, fn(ctx))
     return out.cast(out_schema)
 
 
-def _features_schema() -> pa.Schema:
+def _features_schema(extra_ops: list[str] | None = None) -> pa.Schema:
+    from ..functions.feature_ops import FEATURE_OP_TYPES
+
+    extra = [
+        (name, FEATURE_OP_TYPES[name]) for name in (extra_ops or [])
+    ]
     return pa.schema(
         [
             ("conv_id", pa.string()),
@@ -284,6 +311,7 @@ def _features_schema() -> pa.Schema:
             ("snap_age_s", pa.float64()),
             ("ffill_tool", pa.string()),
         ]
+        + extra
     )
 
 
@@ -297,8 +325,13 @@ def compute_features(
     cfg: FeatureConfig | None = None,
     pcfg: PartitionConfig | None = None,
     assign_turn_idx: bool = False,
+    extra_ops: list[str] | None = None,
 ):
     """turns (∪ snapshots) → per-turn feature Dataset. Lazy, streaming."""
+    if extra_ops:
+        from ..functions.feature_ops import resolve_ops
+
+        resolve_ops(extra_ops)  # fail fast on unknown op names
     cfg = cfg or FeatureConfig()
     pcfg = pcfg or PartitionConfig()
 
@@ -318,14 +351,16 @@ def compute_features(
         from .exchange import hash_exchange
 
         def _kernel(_p: int, table: pa.Table) -> pa.Table:
-            return compute_bucket_features(table, cfg, assign_turn_idx)
+            return compute_bucket_features(
+                table, cfg, assign_turn_idx, extra_ops
+            )
 
         return hash_exchange(
             ds,
             "conv_id",
             pcfg.num_buckets,
             _kernel,
-            empty_schema=_features_schema(),
+            empty_schema=_features_schema(extra_ops),
         )
 
     # Dataset-native fallback (sort-based shuffle; slower, kept for
@@ -334,7 +369,7 @@ def compute_features(
 
     def _kernel_g(group: pa.Table) -> pa.Table:
         return compute_bucket_features(
-            group.drop_columns(["bucket"]), cfg, assign_turn_idx
+            group.drop_columns(["bucket"]), cfg, assign_turn_idx, extra_ops
         )
 
     return ds.groupby("bucket").map_groups(_kernel_g, batch_format="pyarrow")

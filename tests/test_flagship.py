@@ -181,3 +181,32 @@ def test_dedup_applied(corpus):
         turns.select(["conv_id", "turn_idx"]).to_pandas().drop_duplicates().shape[0]
     )
     assert len(got) == n_unique
+
+
+def test_extra_feature_ops(corpus):
+    """User-extension registry: extra ops compute in the same pass and
+    unknown names fail fast (reference analog: model-type switch errors
+    on unknown, nn_models.py:330-348)."""
+    turns, snaps = corpus
+    ds = compute_features(
+        rd.from_arrow(turns),
+        rd.from_arrow(snaps),
+        pcfg=PartitionConfig(num_buckets=8),
+        extra_ops=["conv_turn_count", "is_session_start", "role_changed"],
+    )
+    df = canon(ds.to_pandas())
+    sizes = df.groupby("conv_id")["turn_idx"].transform("size")
+    assert (df["conv_turn_count"] == sizes).all()
+    # session starts agree with session_id transitions
+    starts = df.groupby("conv_id")["session_id"].diff().fillna(1) > 0
+    assert (df["is_session_start"] == starts.to_numpy()).all()
+    prev_role = df.groupby("conv_id")["role"].shift(1)
+    expect = (df["role"] != prev_role) & prev_role.notna()
+    assert (df["role_changed"] == expect.to_numpy()).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        compute_features(
+            rd.from_arrow(turns), None, extra_ops=["nope"]
+        )

@@ -3,10 +3,11 @@
 Logical plan (SURVEY.md §7.1)::
 
     turns ∪ snapshots  (schema-aligned, tagged with is_snap)
-      → add_bucket_column(conv_id)                # map-side, stateless
-      → groupby("bucket").map_groups(kernel)      # THE one wide shuffle
+      → two-stage hash exchange on conv_id        # THE one wide shuffle
+        (stages/exchange.py; Dataset-native groupby fallback behind
+         PartitionConfig.use_core_exchange=False)
            kernel (zero Python per-conversation work):
-             factorize conv_id (sorted → deterministic output order)
+             dictionary-encode conv_id (sorted → deterministic order)
              lexsort (conv, turn_idx, ts)   [analog: sorted(paths.keys()),
                                              /root/reference/data_handling.py:33]
              exact dedup (conv_id, turn_idx) keep-first

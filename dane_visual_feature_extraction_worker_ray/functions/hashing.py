@@ -29,7 +29,10 @@ def hash64(values) -> np.ndarray:
 
 def rehash64(h: np.ndarray, seed: int) -> np.ndarray:
     """Cheap independent-ish family member: splitmix64 finalizer over h^seed."""
-    x = h.astype(np.uint64) ^ (np.uint64(seed) * _MIX)
+    # seed mix wraps in Python-int space first: a numpy scalar multiply
+    # would emit "overflow encountered in scalar multiply" (and fail -W error)
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    x = h.astype(np.uint64) ^ seed_mix
     x ^= x >> np.uint64(30)
     x *= np.uint64(0xBF58476D1CE4E5B9)
     x ^= x >> np.uint64(27)

@@ -2,9 +2,11 @@
 
 Demonstrates the engine's general query capabilities (SURVEY.md §2.6,
 §2.7): partial-then-final grouped aggregates, broadcast map-side joins
-(small dimension side via ``ray.put`` once, looked up per batch), sort
-/ top-k, and two-level distinct — all streaming, no driver-side row
-loops.
+(genuinely small dimension sides via ``ray.put`` once — pre-sorted
+parallel key/name arrays, looked up per batch), a hash-partitioned
+semi-join for the fact-to-fact case (nothing fact-scale ever touches
+the driver), sort / top-k, and two-level distinct — all streaming, no
+driver-side row loops.
 
 Float policy: money columns are 2-decimal; both sides aggregate in
 *integer cents* (exact int64 sums) and divide once at the end, so Ray
@@ -152,33 +154,67 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # --------------------------------------------------------------------------
-# Q3-style: revenue per order for one market segment. Customer side is
-# small → broadcast it once with ray.put; lineitem never shuffles until
-# the (orderkey, revenue) partials.
+# Q3-style: revenue per order for one market segment, as a two-stage
+# hash-partitioned semi-join. Both join sides are fact-scale (the
+# matching orders are ~1/5 of all orders), so NOTHING is collected on
+# the driver or broadcast: customer keys and orders are co-partitioned
+# on custkey (exchange 1 → matching orderkeys), then those orderkeys
+# and the per-batch (orderkey, revenue) partials are co-partitioned on
+# orderkey (exchange 2 → final semi-joined aggregate). All exchanged
+# tables are narrow int64 projections / pre-aggregated partials.
 
 
-def q_segment_order_revenue(sf_dir: str, segment: str = "BUILDING"):
+def q_segment_order_revenue(
+    sf_dir: str, segment: str = "BUILDING", num_partitions: int = 16
+):
+    from ..stages.exchange import hash_exchange
+
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    keys = set()
-    for b in cust.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        m = pc.equal(b.column("c_mktsegment"), segment)
-        keys.update(b.filter(m).column("c_custkey").to_pylist())
-    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
-
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    def _filter_orders(tbl: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        ok = tbl.column("o_custkey").to_numpy()
-        hit = ks[np.searchsorted(ks, ok).clip(0, len(ks) - 1)] == ok
-        return tbl.filter(pa.array(hit)).select(["o_orderkey"])
+    def _cust_side(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column("c_mktsegment"), segment))
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t.column("c_custkey").cast(pa.int64()),
+                "payload": pa.array(np.full(n, -1, np.int64)),
+                "side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
 
-    seg_orders = orders.map_batches(_filter_orders, batch_format="pyarrow")
-    ok_list = []
-    for b in seg_orders.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        ok_list.append(b.column("o_orderkey").to_numpy())
-    ok_arr = np.sort(np.concatenate(ok_list)) if ok_list else np.array([], dtype=np.int64)
-    ok_ref = ray.put(ok_arr)
+    def _orders_side(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        return pa.table(
+            {
+                "key": tbl.column("o_custkey").cast(pa.int64()),
+                "payload": tbl.column("o_orderkey").cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    semi_in = cust.map_batches(
+        _cust_side, batch_format="pyarrow", batch_size=None
+    ).union(
+        orders.map_batches(_orders_side, batch_format="pyarrow", batch_size=None)
+    )
+    semi_schema = pa.schema([("o_orderkey", pa.int64())])
+
+    def _semi_kernel(p: int, tbl: pa.Table) -> pa.Table:
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        keys = tbl.column("key").to_numpy(zero_copy_only=False)
+        ck = np.unique(keys[side == 0])
+        o_mask = side == 1
+        ok = keys[o_mask]
+        if len(ck) == 0 or len(ok) == 0:
+            return semi_schema.empty_table()
+        hit = ck[np.searchsorted(ck, ok).clip(0, len(ck) - 1)] == ok
+        okeys = tbl.column("payload").to_numpy(zero_copy_only=False)[o_mask][hit]
+        return pa.table({"o_orderkey": pa.array(okeys, pa.int64())})
+
+    seg_orders = hash_exchange(
+        semi_in, "key", num_partitions, _semi_kernel, empty_schema=semi_schema
+    )
 
     li = _read(
         sf_dir,
@@ -186,40 +222,69 @@ def q_segment_order_revenue(sf_dir: str, segment: str = "BUILDING"):
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def _partial(tbl: pa.Table) -> pa.Table:
-        ks = ray.get(ok_ref)
-        lk = tbl.column("l_orderkey").to_numpy()
-        if len(ks) == 0:
-            return pa.table(
-                {"l_orderkey": pa.array([], pa.int64()),
-                 "rev_c2": pa.array([], pa.int64())}
-            )
-        hit = ks[np.searchsorted(ks, lk).clip(0, len(ks) - 1)] == lk
-        t = tbl.filter(pa.array(hit))
-        rev = _cents(t.column("l_extendedprice")) * (
-            100 - _cents(t.column("l_discount"))
-        )
-        p = pa.table(
-            {"l_orderkey": t.column("l_orderkey"), "rev_c2": pa.array(rev)}
-        )
-        g = p.group_by("l_orderkey").aggregate([("rev_c2", "sum")])
-        return g.rename_columns(["l_orderkey", "rev_c2"])
-
-    partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-    final = hash_grouped_aggregate(
-        partials, ["l_orderkey"], [("rev_c2", "sum")]
-    )
-
-    def _finish(tbl: pa.Table) -> pa.Table:
-        rev = tbl.column("rev_c2").cast(pa.int64()).to_numpy()
+    def _okey_side(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
         return pa.table(
             {
-                "o_orderkey": tbl.column("l_orderkey").cast(pa.int64()),
+                "key": tbl.column("o_orderkey").cast(pa.int64()),
+                "rev_c2": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def _li_partial(tbl: pa.Table) -> pa.Table:
+        rev = _cents(tbl.column("l_extendedprice")) * (
+            100 - _cents(tbl.column("l_discount"))
+        )
+        p = pa.table(
+            {
+                "key": tbl.column("l_orderkey").cast(pa.int64()),
+                "rev_c2": pa.array(rev),
+            }
+        )
+        g = p.group_by("key").aggregate([("rev_c2", "sum")])
+        g = g.rename_columns(["key", "rev_c2"])
+        return g.append_column(
+            "side", pa.array(np.ones(g.num_rows, np.int8))
+        )
+
+    join_in = seg_orders.map_batches(
+        _okey_side, batch_format="pyarrow", batch_size=None
+    ).union(
+        li.map_batches(_li_partial, batch_format="pyarrow", batch_size=None)
+    )
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("revenue", pa.float64())]
+    )
+
+    def _agg_kernel(p: int, tbl: pa.Table) -> pa.Table:
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        okeys = np.unique(
+            tbl.column("key").to_numpy(zero_copy_only=False)[side == 0]
+        )
+        li_part = tbl.filter(pa.array(side == 1))
+        if len(okeys) == 0 or li_part.num_rows == 0:
+            return out_schema.empty_table()
+        g = (
+            li_part.select(["key", "rev_c2"])
+            .group_by("key")
+            .aggregate([("rev_c2", "sum")])
+            .rename_columns(["key", "rev_c2"])
+        )
+        k = g.column("key").to_numpy()
+        hit = okeys[np.searchsorted(okeys, k).clip(0, len(okeys) - 1)] == k
+        g = g.filter(pa.array(hit))
+        rev = g.column("rev_c2").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "o_orderkey": g.column("key"),
                 "revenue": pa.array(rev.astype(np.float64) / 10_000.0),
             }
         )
 
-    return final.map_batches(_finish, batch_format="pyarrow")
+    return hash_exchange(
+        join_in, "key", num_partitions, _agg_kernel, empty_schema=out_schema
+    )
 
 
 SQL_SEGMENT_REVENUE = """
@@ -243,8 +308,11 @@ def q_region_revenue(sf_dir: str):
     m = sup.merge(
         nat, left_on="s_nationkey", right_on="n_nationkey"
     ).merge(reg, left_on="n_regionkey", right_on="r_regionkey")
-    supp_to_region = dict(zip(m["s_suppkey"], m["r_name"]))
-    lut_ref = ray.put(supp_to_region)
+    # broadcast pre-sorted parallel arrays ONCE (rebuilding a sorted
+    # key array from a dict inside every batch was pure overhead)
+    m = m.sort_values("s_suppkey")
+    keys_ref = ray.put(m["s_suppkey"].to_numpy(dtype=np.int64))
+    names_ref = ray.put(m["r_name"].to_numpy(dtype=object))
 
     li = _read(
         sf_dir,
@@ -253,10 +321,14 @@ def q_region_revenue(sf_dir: str):
     )
 
     def _partial(tbl: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        keys = np.array(sorted(lut))
-        names = np.array([lut[k] for k in keys], dtype=object)
+        keys = ray.get(keys_ref)
+        names = ray.get(names_ref)
         sk = tbl.column("l_suppkey").to_numpy()
+        if len(keys) == 0:
+            return pa.table(
+                {"r_name": pa.array([], pa.string()),
+                 "rev_c2": pa.array([], pa.int64())}
+            )
         pos = np.searchsorted(keys, sk).clip(0, len(keys) - 1)
         hit = keys[pos] == sk
         rev = _cents(tbl.column("l_extendedprice")) * (
@@ -319,16 +391,21 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 def q_mktsegment_order_counts(sf_dir: str):
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    lut_ref = ray.put(
-        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"]))
-    )
+    cust = cust.sort_values("c_custkey")
+    keys_ref = ray.put(cust["c_custkey"].to_numpy(dtype=np.int64))
+    names_ref = ray.put(cust["c_mktsegment"].to_numpy(dtype=object))
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def _partial(tbl: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        keys = np.array(sorted(lut))
-        names = np.array([lut[k] for k in keys], dtype=object)
+        keys = ray.get(keys_ref)
+        names = ray.get(names_ref)
         ck = tbl.column("o_custkey").to_numpy()
+        if len(keys) == 0:
+            return pa.table(
+                {"c_mktsegment": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "price_c": pa.array([], pa.int64())}
+            )
         pos = np.searchsorted(keys, ck).clip(0, len(keys) - 1)
         hit = keys[pos] == ck  # inner-join semantics, like the oracle
         seg = pa.array(names[pos], type=pa.string())

@@ -15,8 +15,10 @@ is restored via per-chunk carry state combined on the driver:
 - sliding row windows: a >= row_window halo of (ts, tool-valid) rows,
 - sliding time windows: iteratively merged tail of timestamps within
   ``time_window_us`` of each chunk end (bounded by chunk size because
-  ``ts`` is non-decreasing per conversation), plus the same-ts peer
-  count at the chunk boundary (value-based frames),
+  ``ts`` is non-decreasing per conversation), plus the total forward
+  same-ts peer count across ALL later chunks (an equal-ts run may span
+  many chunk boundaries; a backward pass over the summaries chains
+  through chunks made entirely of the boundary ts),
 - as-of join: the conversation's snapshots are replicated to every
   chunk (exact superset of what each chunk can match).
 
@@ -187,6 +189,19 @@ def combine_carries(summaries: pd.DataFrame, cfg: FeatureConfig) -> dict:
         tail_ts = np.empty(0, dtype=np.int64)
         tail_tv = np.empty(0, dtype=bool)
         rows = list(grp.itertuples())
+        # Backward pass: total forward same-ts peers of each chunk's
+        # last_ts across ALL later chunks (an equal-ts run may span many
+        # chunk boundaries, so the next chunk's leading run alone
+        # undercounts). If the next chunk consists entirely of that ts,
+        # its own forward peers are the same ts and chain on.
+        fwd_peers = [0] * len(rows)
+        for i in range(len(rows) - 2, -1, -1):
+            nxt = rows[i + 1]
+            if int(nxt.first_ts) == int(rows[i].last_ts):
+                f = int(nxt.leading_eq)
+                if int(nxt.leading_eq) == int(nxt.n_rows):
+                    f += fwd_peers[i + 1]
+                fwd_peers[i] = f
         for i, r in enumerate(rows):
             if prev is None:
                 cross = True  # very first row starts session 0
@@ -203,8 +218,7 @@ def combine_carries(summaries: pd.DataFrame, cfg: FeatureConfig) -> dict:
                 "halo_ts": tail_ts.copy(),
                 "halo_tool_valid": tail_tv.copy(),
                 "next_first_role": None if nxt is None else nxt.first_role,
-                "next_first_ts": None if nxt is None else int(nxt.first_ts),
-                "next_leading_eq": 0 if nxt is None else int(nxt.leading_eq),
+                "fwd_peers": fwd_peers[i],
             }
             # fold this chunk into the running state
             boundary_total += int(cross) + int(r.boundaries)
@@ -253,8 +267,7 @@ def _phase_b(group: pa.Table, cfg: FeatureConfig, carries: dict) -> pa.Table:
         "halo_ts": np.empty(0, np.int64),
         "halo_tool_valid": np.empty(0, bool),
         "next_first_role": None,
-        "next_first_ts": None,
-        "next_leading_eq": 0,
+        "fwd_peers": 0,
     }
 
     t, tidx, ts = _sort_dedup_chunk(turns_t)
@@ -334,9 +347,11 @@ def _phase_b(group: pa.Table, cfg: FeatureConfig, carries: dict) -> pa.Table:
     left = np.searchsorted(cat_ts, cat_ts - cfg.time_window_us, side="left")
     right = np.searchsorted(cat_ts, cat_ts, side="right")
     tw_cnt = (right - left)[h:]
-    if c["next_first_ts"] is not None and n:
-        peers = ts == c["next_first_ts"]
-        tw_cnt = tw_cnt + np.where(peers, c["next_leading_eq"], 0)
+    if c["fwd_peers"] and n:
+        # ts is non-decreasing per conversation, so only rows equal to
+        # this chunk's last ts can have same-ts peers in later chunks
+        peers = ts == ts[-1]
+        tw_cnt = tw_cnt + np.where(peers, c["fwd_peers"], 0)
 
     # ---- forward fill with carry
     ff_idx, ff_ok = sk.ffill_indices(tool_valid, np.zeros(n, dtype=np.int64))

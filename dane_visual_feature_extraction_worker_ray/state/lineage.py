@@ -63,6 +63,11 @@ def list_completed_buckets(out_dir: str, fingerprint: str) -> set[int]:
     for name in os.listdir(out_dir):
         if not name.startswith("bucket="):
             continue
+        if ".tmp." in name:
+            # stale half-written dir from a task preempted before the
+            # atomic rename: purge so it can never shadow real output
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+            continue
         marker = os.path.join(out_dir, name, "_SUCCESS.json")
         part = os.path.join(out_dir, name, "part.parquet")
         if not (os.path.isfile(marker) and os.path.isfile(part)):
@@ -197,7 +202,11 @@ def write_features_checkpointed(
 def read_checkpointed(out_dir: str) -> pa.Table:
     parts = []
     for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("bucket=") or ".tmp." in name:
+            # '.tmp.' dirs are preempted tasks' half-writes awaiting the
+            # atomic rename — reading them would double-count the bucket
+            continue
         p = os.path.join(out_dir, name, "part.parquet")
-        if name.startswith("bucket=") and os.path.isfile(p):
+        if os.path.isfile(p):
             parts.append(pq.read_table(p))
     return pa.concat_tables(parts) if parts else None

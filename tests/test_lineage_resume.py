@@ -95,6 +95,31 @@ def test_resume_skips_and_is_identical(corpus, tmp_path):
     pd.testing.assert_frame_equal(resumed, fresh)
 
 
+def test_stale_tmp_dirs_are_ignored_and_purged(corpus, tmp_path):
+    """A task preempted before the atomic rename leaves bucket=N.tmp.<pid>;
+    it must never be read back (double-counting) and must be purged on the
+    next resume scan."""
+    out = str(tmp_path / "stale")
+    _run(corpus, out)
+    fresh = _canon(read_checkpointed(out))
+
+    # simulate the preempted task's half-write: a full copy under .tmp.
+    buckets = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    stale = os.path.join(out, buckets[0] + ".tmp.12345")
+    shutil.copytree(os.path.join(out, buckets[0]), stale)
+
+    again = _canon(read_checkpointed(out))
+    pd.testing.assert_frame_equal(again, fresh)  # no duplicated rows
+
+    done = list_completed_buckets(out, FP)
+    assert len(done) == len(buckets)
+    assert not os.path.isdir(stale)  # purged by the resume scan
+
+    lineage, skipped = _run(corpus, out)
+    assert len(skipped) == len(buckets)
+    pd.testing.assert_frame_equal(_canon(read_checkpointed(out)), fresh)
+
+
 def test_fingerprint_mismatch_forces_recompute(corpus, tmp_path):
     out = str(tmp_path / "fp")
     _run(corpus, out)

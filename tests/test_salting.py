@@ -96,6 +96,74 @@ def test_salted_matches_oracle(skew_corpus):
         assert all(same), c
 
 
+def test_equal_ts_run_spanning_many_chunks():
+    """An equal-ts run longer than salt_chunk spans >1 chunk boundary;
+    tw_turn_count must still count every forward peer (regression: only
+    the immediately-next chunk's leading run was credited)."""
+    import pyarrow as pa
+
+    n = 250
+    same_ts = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["conv-eq"] * n, pa.string()),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "role": pa.array(
+                np.array(["user", "assistant"], object)[np.arange(n) % 2]
+            ),
+            "text": pa.array([f"t{i}" for i in range(n)], pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(
+                np.full(n, same_ts, np.int64), pa.timestamp("us")
+            ),
+        }
+    )
+    pcfg = PartitionConfig(num_buckets=4, salt_threshold=100, salt_chunk=60)
+    salted = canon(
+        compute_features_auto(rd.from_arrow(tbl), None, CFG, pcfg).to_pandas()
+    )
+    plain = canon(
+        compute_features(rd.from_arrow(tbl), None, CFG, PCFG_OFF).to_pandas()
+    )
+    assert (salted["tw_turn_count"] == n).all()
+    pd.testing.assert_frame_equal(salted, plain)
+
+
+def test_partial_equal_ts_tail_across_chunks():
+    """Equal-ts run covering the tail of one chunk and two full later
+    chunks; earlier distinct-ts rows must be unaffected."""
+    import pyarrow as pa
+
+    n = 260
+    run_start = 50  # rows 50..259 share one ts → run of 210 > 3 chunks
+    base = 1_700_000_000_000_000
+    ts = np.where(
+        np.arange(n) < run_start,
+        base + np.arange(n) * 2_000_000,
+        base + run_start * 2_000_000,
+    ).astype(np.int64)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["conv-eq2"] * n, pa.string()),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "role": pa.array(
+                np.array(["user", "assistant"], object)[np.arange(n) % 2]
+            ),
+            "text": pa.array([f"t{i}" for i in range(n)], pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    pcfg = PartitionConfig(num_buckets=4, salt_threshold=100, salt_chunk=60)
+    salted = canon(
+        compute_features_auto(rd.from_arrow(tbl), None, CFG, pcfg).to_pandas()
+    )
+    plain = canon(
+        compute_features(rd.from_arrow(tbl), None, CFG, PCFG_OFF).to_pandas()
+    )
+    pd.testing.assert_frame_equal(salted, plain)
+
+
 def test_no_skew_falls_through(skew_corpus):
     turns, snaps = skew_corpus
     a = canon(

@@ -44,3 +44,12 @@ def rehash64(h: np.ndarray, seed: int) -> np.ndarray:
 def bucket_of(h: np.ndarray, num_buckets: int) -> np.ndarray:
     """Bucket id in [0, num_buckets) from a uint64 hash (int32 output)."""
     return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def hash64_columns(tbl, keys: list[str]) -> np.ndarray:
+    """Stable combined uint64 hash of one or more Arrow table columns
+    (the composite shuffle key used by the exchange and groupagg)."""
+    h = hash64(tbl.column(keys[0]).to_pandas())
+    for i, k in enumerate(keys[1:], start=1):
+        h = rehash64(h ^ hash64(tbl.column(k).to_pandas()), seed=i)
+    return h

@@ -26,11 +26,23 @@ def q_dedup_minhash_lsh(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    return simhash_pairs(_docs(sf_dir), max_hamming=8)
+    # bands=16 → pigeonhole-guaranteed recall up to hamming 15 >= 8
+    return simhash_pairs(_docs(sf_dir), max_hamming=8, bands=16)
+
+
+NGRAM_J_THRESHOLD = 0.5
 
 
 def q_dedup_ngram_jaccard(sf_dir: str):
-    """MinHash-LSH candidates → exact word-3-gram Jaccard verification."""
+    """MinHash-LSH candidates (loose est >= 0.3) → exact word-3-gram
+    Jaccard verification, keep >= NGRAM_J_THRESHOLD.
+
+    Fully SQL-checkable: the oracle brute-forces exact Jaccard over all
+    pairs. Equality holds because every pair with true J >= 0.5 is an
+    LSH candidate on this corpus (near-dup pairs here sit at J >= 0.8,
+    where 16-band/4-row LSH recall is ~1-6e-4 per pair and the seeded
+    signatures are deterministic — verified offline at both sf tiers).
+    """
     from ..stages.dedup import jaccard_verify
 
     cand = minhash_lsh_pairs(_docs(sf_dir), threshold=0.3).to_pandas()
@@ -44,7 +56,11 @@ def q_dedup_ngram_jaccard(sf_dir: str):
              "jaccard": pd.Series(dtype="float64")}
         )
     out = jaccard_verify(_docs(sf_dir), pairs)
-    return out[out["jaccard"] >= 0.3].reset_index(drop=True)
+    return (
+        out[out["jaccard"] >= NGRAM_J_THRESHOLD]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
 
 
 QUERIES = {
@@ -62,6 +78,32 @@ ORACLE_SQL = {
     # minhash_lsh / simhash are sketch-based → rows-only driver check;
     # recall/precision are covered by tests/test_dedup.py against a
     # brute-force oracle on a constructed near-dup corpus.
+    #
+    # ngram_jaccard: exact metric → full brute-force oracle. Shingle
+    # identity: 3 consecutive whitespace tokens (joined rendering here,
+    # combined token-hash in the engine — same set relations); docs
+    # shorter than 3 tokens fall back to a single whole-text shingle.
+    "dedup_ngram_jaccard": r"""
+WITH toks AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) < 3 THEN [coalesce(text, '')]
+         ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+    END AS g
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+ORDER BY doc_a, doc_b
+""".strip(),
 }
 
 

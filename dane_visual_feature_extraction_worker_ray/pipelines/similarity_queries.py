@@ -33,8 +33,40 @@ def q_knn_topk(sf_dir: str):
     return df[["vec_id", "score"]].reset_index(drop=True)
 
 
+N_PLANTED = 20
+PLANT_OFFSET = 1_000_000
+
+
 def q_embedding_near_dups(sf_dir: str):
-    return near_dup_pairs_cosine(_emb(sf_dir), threshold=0.9)
+    """Near-dup pairs over the embeddings table augmented with planted
+    exact duplicates (vec_id < N_PLANTED copied to vec_id + offset) —
+    the synthetic embeddings are random (max natural cosine ~0.6), so
+    without planting the query is vacuously empty; with exact copies
+    the LSH recall is guaranteed (identical sign bits in every table)
+    and the result is fully SQL-checkable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _plant(tbl: pa.Table) -> pa.Table:
+        m = tbl.filter(pc.less(tbl.column("vec_id"), N_PLANTED))
+        if m.num_rows == 0:
+            return tbl
+        i = m.schema.get_field_index("vec_id")
+        dup = m.set_column(
+            i, "vec_id", pc.add(m.column("vec_id"), PLANT_OFFSET)
+        )
+        return pa.concat_tables([tbl, dup])
+
+    aug = _emb(sf_dir).map_batches(_plant, batch_format="pyarrow")
+    pairs = near_dup_pairs_cosine(aug, threshold=0.9)
+
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("cosine")
+        return t.set_column(
+            i, "cosine", pc.round(t.column("cosine"), ndigits=4)
+        )
+
+    return pairs.map_batches(_round, batch_format="pyarrow")
 
 
 QUERIES = {
@@ -51,6 +83,21 @@ FROM embeddings
 ORDER BY score DESC, vec_id
 LIMIT {K}
 """.strip(),
-    # embedding_near_dups: LSH sketch → rows-only; recall verified in
-    # tests/test_similarity.py against a brute-force cosine oracle.
+    # full brute-force oracle: the only pairs >= 0.9 are the planted
+    # exact duplicates (max natural cosine ~0.6 — verified), which the
+    # hyperplane LSH finds with certainty, so sketch == brute force here
+    "embedding_near_dups": f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id < {N_PLANTED}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      CAST(b.embedding AS DOUBLE[])) >= 0.9
+""".strip(),
 }

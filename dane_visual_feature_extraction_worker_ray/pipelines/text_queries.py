@@ -7,6 +7,7 @@ import os
 import ray.data as rd
 
 from ..stages.text import (
+    _LANG_PROFILES,
     _STOPWORDS,
     doc_fingerprints,
     lang_id,
@@ -62,9 +63,57 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_word_tokens
 FROM documents
 """.strip(),
-    # lang_id / doc_fingerprints: heuristic / sketch ops → rows-only;
-    # determinism + correctness covered in tests/test_text.py.
+    # doc_fingerprints: hash-sketch op → rows-only; determinism +
+    # correctness covered in tests/test_text.py.
 }
+
+
+def _lang_id_sql() -> str:
+    """DuckDB oracle mirroring LangId exactly: per-language profile hit
+    counts over whitespace tokens, argmax with first-in-sorted-order
+    tie-break, conf = max/sum as a single IEEE division."""
+    langs = sorted(_LANG_PROFILES)  # same order as LangId.__init__
+    score_cols = ",\n    ".join(
+        "CAST(len(list_filter(tk, x -> x IN ({}))) AS DOUBLE) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in _LANG_PROFILES[lang]), lang
+        )
+        for lang in langs
+    )
+    total = " + ".join(f"s_{lang}" for lang in langs)
+    greatest = "greatest({})".format(
+        ", ".join(f"s_{lang}" for lang in langs)
+    )
+    # argmax tie-break = first max in sorted lang order (np.argmax)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs[i + 1:]
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case_pred = (
+        f"CASE WHEN {total} = 0 THEN 'und' "
+        + " ".join(branches)
+        + f" ELSE '{langs[-1]}' END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM toks
+)
+SELECT doc_id,
+  {case_pred} AS lang_pred,
+  CASE WHEN {total} = 0 THEN 0.0
+       ELSE {greatest} / ({total}) END AS lang_conf
+FROM scored
+""".strip()
+
+
+ORACLE_SQL["lang_id"] = _lang_id_sql()
 
 
 def q_sample_documents(sf_dir: str):

@@ -280,8 +280,6 @@ def _best_per_conv(tbl, value_col="lag_ts_delta_s"):
 
 
 def q_conv_peak_latency(sf_dir: str):
-    from ..functions.hashing import bucket_of, hash64
-
     feats = _features(sf_dir).select_columns(
         ["conv_id", "turn_idx", "lag_ts_delta_s"]
     )
@@ -291,20 +289,12 @@ def q_conv_peak_latency(sf_dir: str):
 
     import pyarrow as pa
 
-    def _assign(tbl: pa.Table) -> pa.Table:
-        h = hash64(tbl.column("conv_id").to_pandas())
-        return tbl.append_column("__gb", pa.array(bucket_of(h, 16)))
+    from ..stages.exchange import hash_exchange
 
-    def _final(group: pa.Table) -> pa.Table:
-        return _best_per_conv(
-            group.drop_columns(["__gb"]), value_col="peak_latency_s"
-        )
+    def _final(p: int, table: pa.Table) -> pa.Table:
+        return _best_per_conv(table, value_col="peak_latency_s")
 
-    return (
-        partials.map_batches(_assign, batch_format="pyarrow", batch_size=None)
-        .groupby("__gb")
-        .map_groups(_final, batch_format="pyarrow")
-    )
+    return hash_exchange(partials, "conv_id", 16, _final)
 
 
 QUERIES["conv_peak_latency"] = q_conv_peak_latency

@@ -20,11 +20,29 @@ content-addressed.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import hash64, rehash64
+
+logger = logging.getLogger(__name__)
+
+# 16-bit popcount lookup (64 KiB) → vectorized 64-bit hamming distance
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (any shape)."""
+    m = np.uint64(0xFFFF)
+    return (
+        _POP16[(x & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _POP16[(x >> np.uint64(48)).astype(np.int64)]
+    ).astype(np.int64)
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -86,12 +104,16 @@ def _word_shingles(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
     if len(flat) == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
     tok_h = hash64(pd.Series(flat))
-    # rolling combine of k consecutive token hashes within a row
+    # rolling combine of k consecutive token hashes within a row.
+    # ORDER-SENSITIVE polynomial step (acc*C + h, wraps mod 2^64) then
+    # an avalanche mix — a plain XOR combine made the first two tokens
+    # commute ("a b c" vs "b a c" collided structurally)
+    _POLY_C = np.uint64(0x100000001B3)
     acc = tok_h.copy()
     same_row = np.ones(len(row), dtype=bool)
     for j in range(1, k):
         shifted = np.roll(tok_h, -j)
-        acc = rehash64(acc ^ shifted, seed=j)
+        acc = rehash64(acc * _POLY_C + shifted, seed=j)
         same_row &= np.roll(row, -j) == row
     valid = same_row
     if k > 1:
@@ -138,13 +160,16 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int = 16384,
 ):
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     Stage 1 (map_batches): signatures per doc → explode to
     (band_id, band_hash, doc_id, sig...) rows.
-    Stage 2 (groupby band bucket): candidate pairs within a bucket,
-    estimated Jaccard from full signatures, dedup pairs globally.
+    Stage 2 (groupby band bucket): candidate pairs within a bucket via
+    blocked vectorized signature-matrix comparison, dedup pairs
+    globally. Buckets larger than ``max_bucket`` rows (degenerate
+    content, ~n²/2 candidates) are skipped WITH a logged count.
     """
     rows_per_band = num_perm // bands
 
@@ -177,44 +202,72 @@ def minhash_lsh_pairs(
 
     exploded = docs_ds.map_batches(_bands, batch_format="pyarrow")
 
+    empty_pairs = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+
     def _pairs(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy()
-        if len(ids) < 2:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "est_jaccard": pa.array([], pa.float64()),
-                }
+        n = len(ids)
+        if n < 2:
+            return empty_pairs
+        if n > max_bucket:
+            # no silent caps: ~n^2/2 candidate pairs skipped here; for
+            # minhash the SAME pair collides in other (smaller) bands
+            # whenever any other band hash matches, so recall degrades
+            # only for pairs whose every matching band is degenerate
+            logger.warning(
+                "minhash_lsh: skipping bucket of %d rows (> max_bucket=%d,"
+                " ~%d candidate pairs); other bands may still surface them",
+                n, max_bucket, n * (n - 1) // 2,
             )
+            return empty_pairs
         sig = np.vstack(group.column("sig").to_numpy(zero_copy_only=False))
-        gid = ids
-        o = np.argsort(gid, kind="stable")
-        idx = np.arange(len(gid))[o]
-        gid = gid[o]
+        o = np.argsort(ids, kind="stable")
+        gid = ids[o]
+        sig = sig[o]
         a_list, b_list, j_list = [], [], []
-        # pathological buckets (e.g. all-empty docs hashing together)
-        # would be O(n^2); cap and let other bands catch the pairs
-        if len(idx) <= 2000:
-            for x in range(len(idx)):
-                for y in range(x + 1, len(idx)):
-                    if gid[x] == gid[y]:
-                        continue
-                    est = float((sig[idx[x]] == sig[idx[y]]).mean())
-                    if est >= threshold:
-                        a_list.append(int(gid[x]))
-                        b_list.append(int(gid[y]))
-                        j_list.append(est)
+        # blocked signature-matrix comparison: for a row block, count
+        # per-permutation matches against ALL rows at once (C kernels)
+        blk = 512
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            eq = np.zeros((e - s, n), np.int16)
+            for p in range(num_perm):
+                eq += sig[s:e, p][:, None] == sig[None, :, p]
+            est = eq.astype(np.float64) / num_perm
+            # upper triangle (global col > global row) + distinct ids
+            rows_g = np.arange(s, e)[:, None]
+            cols_g = np.arange(n)[None, :]
+            mask = (
+                (cols_g > rows_g)
+                & (est >= threshold)
+                & (gid[None, :] != gid[s:e, None])
+            )
+            r_i, c_i = np.nonzero(mask)
+            if len(r_i):
+                a_list.append(gid[r_i + s])
+                b_list.append(gid[c_i])
+                j_list.append(est[r_i, c_i])
+        if not a_list:
+            return empty_pairs
         return pa.table(
             {
-                "doc_a": pa.array(a_list, pa.int64()),
-                "doc_b": pa.array(b_list, pa.int64()),
-                "est_jaccard": pa.array(j_list, pa.float64()),
+                "doc_a": pa.array(np.concatenate(a_list).astype(np.int64)),
+                "doc_b": pa.array(np.concatenate(b_list).astype(np.int64)),
+                "est_jaccard": pa.array(np.concatenate(j_list)),
             }
         )
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs, batch_format="pyarrow"
+    from .exchange import hash_grouped_map
+
+    pairs = hash_grouped_map(
+        exploded, ["band_id", "band_hash"], _pairs,
+        empty_schema=empty_pairs.schema,
     )
 
     # a pair can surface from several bands → keep one (max estimate)
@@ -317,12 +370,35 @@ def simhash_pairs(
     docs_ds,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int = 16384,
+    allow_partial_recall: bool = False,
 ):
     """Near-dup pairs by SimHash: band the 64 bits into ``bands``
-    16-bit keys (a pair within hamming<=bands-1 shares >=1 band —
-    standard pigeonhole LSH), verify hamming distance per candidate."""
+    keys of ``64 // bands`` bits (pigeonhole: a pair within
+    hamming <= bands-1 differs in at most bands-1 bands, so at least
+    one band key matches — guaranteed recall only up to bands-1).
+
+    Defaults are aligned (max_hamming=3, bands=4 → 16-bit keys).
+    Raising ``max_hamming`` past ``bands - 1`` requires either more
+    bands (e.g. bands=16 guarantees <=15 at the cost of 4-bit keys →
+    far coarser buckets) or ``allow_partial_recall=True``, which keeps
+    the cheap banding and accepts that pairs at distance bands..max_
+    hamming surface only on a coincidental band collision (logged)."""
+    if max_hamming > bands - 1:
+        if not allow_partial_recall:
+            raise ValueError(
+                f"max_hamming={max_hamming} exceeds the pigeonhole "
+                f"guarantee of bands={bands} (only <= {bands - 1} "
+                "guaranteed). Raise bands, lower max_hamming, or pass "
+                "allow_partial_recall=True to accept the recall gap."
+            )
+        logger.warning(
+            "simhash_pairs: recall gap — distances %d..%d are found "
+            "only on coincidental band collisions (bands=%d)",
+            bands, max_hamming, bands,
+        )
     sigs = simhash_signatures(docs_ds, text_col, id_col)
     width = 64 // bands
 
@@ -347,33 +423,64 @@ def simhash_pairs(
 
     exploded = sigs.map_batches(_bands, batch_format="pyarrow")
 
+    empty_pairs = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+
     def _pairs(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy()
+        n = len(ids)
+        if n < 2:
+            return empty_pairs
+        if n > max_bucket:
+            # no silent caps: report exactly what is skipped (for
+            # simhash there is NO other-band guarantee for these pairs)
+            logger.warning(
+                "simhash_pairs: skipping bucket of %d rows (> "
+                "max_bucket=%d, ~%d candidate pairs lost)",
+                n, max_bucket, n * (n - 1) // 2,
+            )
+            return empty_pairs
         h = group.column("simhash").to_numpy()
         o = np.argsort(ids, kind="stable")
         ids, h = ids[o], h[o]
         a_l, b_l, d_l = [], [], []
-        if len(ids) > 2000:  # pathological bucket cap (see minhash note)
-            ids = ids[:0]
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                if ids[x] == ids[y]:
-                    continue
-                d = int(bin(int(h[x]) ^ int(h[y])).count("1"))
-                if d <= max_hamming:
-                    a_l.append(int(ids[x]))
-                    b_l.append(int(ids[y]))
-                    d_l.append(d)
+        # blocked vectorized hamming: XOR matrix + 16-bit popcount LUT
+        blk = 1024
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            d = _popcount64(h[s:e, None] ^ h[None, :])
+            rows_g = np.arange(s, e)[:, None]
+            cols_g = np.arange(n)[None, :]
+            mask = (
+                (cols_g > rows_g)
+                & (d <= max_hamming)
+                & (ids[None, :] != ids[s:e, None])
+            )
+            r_i, c_i = np.nonzero(mask)
+            if len(r_i):
+                a_l.append(ids[r_i + s])
+                b_l.append(ids[c_i])
+                d_l.append(d[r_i, c_i])
+        if not a_l:
+            return empty_pairs
         return pa.table(
             {
-                "doc_a": pa.array(a_l, pa.int64()),
-                "doc_b": pa.array(b_l, pa.int64()),
-                "hamming": pa.array(d_l, pa.int64()),
+                "doc_a": pa.array(np.concatenate(a_l).astype(np.int64)),
+                "doc_b": pa.array(np.concatenate(b_l).astype(np.int64)),
+                "hamming": pa.array(np.concatenate(d_l).astype(np.int64)),
             }
         )
 
-    pairs = exploded.groupby(["band_id", "band_key"]).map_groups(
-        _pairs, batch_format="pyarrow"
+    from .exchange import hash_grouped_map
+
+    pairs = hash_grouped_map(
+        exploded, ["band_id", "band_key"], _pairs,
+        empty_schema=empty_pairs.schema,
     )
     from .groupagg import hash_grouped_aggregate
 

@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.hashing import bucket_of, hash64
+from ..functions.hashing import bucket_of, hash64, hash64_columns
 
 
 def _ipc_bytes(tbl: pa.Table) -> bytes:
@@ -54,7 +54,7 @@ def _from_ipc(buf: bytes) -> pa.Table:
 
 
 @ray.remote
-def _split_block(block: pa.Table, key: str, num_partitions: int):
+def _split_block(block: pa.Table, key, num_partitions: int):
     # one Arrow thread per task: 32 tasks x 32-thread default pools
     # thrash the node (measured 55s -> 24s on the 8.5M-turn exchange)
     pa.set_cpu_count(1)
@@ -63,7 +63,8 @@ def _split_block(block: pa.Table, key: str, num_partitions: int):
     if block.num_rows == 0:
         empty = _ipc_bytes(block.slice(0, 0))
         return tuple(empty for _ in range(num_partitions))
-    h = hash64(block.column(key).to_pandas())
+    keys = [key] if isinstance(key, str) else list(key)
+    h = hash64_columns(block, keys)
     b = bucket_of(h, num_partitions)
     idx = np.argsort(b, kind="stable")
     bs = b[idx]
@@ -83,11 +84,13 @@ def _reduce_partition(kernel, partition_idx: int, empty_schema, *frags):
     tables = [_from_ipc(f) for f in frags]
     live = [t for t in tables if t.num_rows > 0]
     if not live:
-        return (
-            empty_schema.empty_table()
-            if empty_schema is not None
-            else tables[0].slice(0, 0)
-        )
+        if empty_schema is not None:
+            return empty_schema.empty_table()
+        # no declared output schema: run the kernel on a typed empty
+        # INPUT table so the empty output still carries the kernel's
+        # column types (schema-less empty blocks trip Ray's
+        # "RefBundle with a different schema" warning downstream)
+        return kernel(partition_idx, tables[0].slice(0, 0))
     table = pa.concat_tables(live).combine_chunks()
     return kernel(partition_idx, table)
 
@@ -107,12 +110,13 @@ def _cpus_per_task() -> int:
 
 def hash_exchange(
     ds,
-    key: str,
+    key: str | list[str],
     num_partitions: int,
     kernel,
     empty_schema: pa.Schema | None = None,
 ):
-    """Co-locate rows by ``hash64(key) % num_partitions`` and apply
+    """Co-locate rows by ``hash64(key) % num_partitions`` (``key`` may
+    be one column or a composite list) and apply
     ``kernel(partition_idx, table)`` to each whole partition. Returns a
     Dataset of the kernel outputs.
 
@@ -141,3 +145,59 @@ def hash_exchange(
         for p in range(num_partitions)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+def hash_grouped_map(
+    ds,
+    keys: str | list[str],
+    fn,
+    num_partitions: int = 32,
+    empty_schema: pa.Schema | None = None,
+):
+    """``groupby(keys).map_groups(fn)`` on the explicit hash exchange.
+
+    Replaces the Dataset-native path (global SORT shuffle + schema-less
+    empty blocks on empty partitions — Ray's "RefBundle with a
+    different schema" warning) with: hash-partition on the composite
+    key, then inside each partition a single C++ ``sort_indices`` and a
+    per-group-run application of ``fn`` (a whole co-located group per
+    call, like ``map_groups``). Groups are never split; empty
+    partitions yield typed empty tables.
+    """
+    import pyarrow.compute as pc
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def _kernel(p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            if empty_schema is not None:
+                return empty_schema.empty_table()
+            out = fn(tbl)
+            return out if out.num_rows == 0 else out.slice(0, 0)
+        idx = pc.sort_indices(
+            tbl, sort_keys=[(k, "ascending") for k in key_list]
+        )
+        t = tbl.take(idx)
+        # group run boundaries on the sorted key columns (exact values,
+        # not hashes — no collision risk)
+        n = t.num_rows
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for k in key_list:
+            col = t.column(k).to_numpy(zero_copy_only=False)
+            new[1:] |= col[1:] != col[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        outs = []
+        for s, e in zip(starts, ends):
+            o = fn(t.slice(s, e - s))
+            if o.num_rows:
+                outs.append(o)
+        if not outs:
+            if empty_schema is not None:
+                return empty_schema.empty_table()
+            o = fn(t.slice(0, 0))
+            return o if o.num_rows == 0 else o.slice(0, 0)
+        return pa.concat_tables(outs)
+
+    return hash_exchange(ds, key_list, num_partitions, _kernel, empty_schema)

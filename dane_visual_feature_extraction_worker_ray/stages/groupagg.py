@@ -7,9 +7,8 @@ same partial→final contract with both sides vectorized:
 
 1. map side: caller pre-aggregates per batch (one row per key per
    batch) — already the norm in this codebase;
-2. a single hash shuffle on a derived ``__gb`` bucket column (few
-   buckets, small partial rows);
-3. final combine per bucket with ``pyarrow.Table.group_by`` (C++).
+2. a single hash exchange on the composite key (small partial rows);
+3. final combine per partition with ``pyarrow.Table.group_by`` (C++).
 
 Aggregation spec uses pyarrow group_by names (``sum``/``min``/``max``)
 and must be mergeable (sums of sums etc.) — counts are emitted as
@@ -18,10 +17,7 @@ columns on the map side and summed here.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
-
-from ..functions.hashing import bucket_of, hash64, rehash64
 
 
 def hash_grouped_aggregate(
@@ -30,32 +26,22 @@ def hash_grouped_aggregate(
     agg_spec: list[tuple[str, str]],
     num_buckets: int = 32,
 ):
-    """Final combine of mergeable partials: groupby(keys) with C++ kernels."""
+    """Final combine of mergeable partials: groupby(keys) with C++ kernels.
+
+    Runs on the explicit hash exchange (``stages/exchange.py``) rather
+    than ``Dataset.groupby().map_groups``: no global sort, and empty
+    partitions emit typed empty tables (the Dataset-native path emitted
+    schema-less empties → Ray's "RefBundle with a different schema"
+    warning)."""
     out_names = keys + [c for c, _ in agg_spec]
 
-    def _assign(tbl: pa.Table) -> pa.Table:
-        h = hash64(tbl.column(keys[0]).to_pandas())
-        for i, k in enumerate(keys[1:], start=1):
-            h = rehash64(h ^ hash64(tbl.column(k).to_pandas()), seed=i)
-        return tbl.append_column(
-            "__gb", pa.array(bucket_of(h, num_buckets))
-        )
-
-    bucketed = partials_ds.map_batches(
-        _assign, batch_format="pyarrow", batch_size=None
-    )
-
-    def _combine(group: pa.Table) -> pa.Table:
+    def _combine(p: int, table: pa.Table) -> pa.Table:
         from ..functions.runtime import pin_arrow_threads
 
         pin_arrow_threads()
-        g = (
-            group.drop_columns(["__gb"])
-            .group_by(keys)
-            .aggregate(agg_spec)
-        )
+        g = table.group_by(keys).aggregate(agg_spec)
         return g.rename_columns(out_names)
 
-    return bucketed.groupby("__gb").map_groups(
-        _combine, batch_format="pyarrow"
-    )
+    from .exchange import hash_exchange
+
+    return hash_exchange(partials_ds, keys, num_buckets, _combine)

@@ -103,6 +103,22 @@ def _stub_decode(payloads: list[bytes | None], out_dim: int, seed: int) -> np.nd
     return out
 
 
+def mock_decode_fn(payloads, modality: str, out_dim: int) -> np.ndarray:
+    """Reference implementation of the ``decoder="real"`` plug-point
+    contract (torchvision-read_image-like: bytes in, float matrix out)
+    — deterministic from payload length, used to exercise the real-path
+    plumbing in environments without codecs. Swap for a wrapper around
+    ``torchvision.io.read_image`` / ``librosa.load`` in production."""
+    out = np.zeros((len(payloads), out_dim), dtype=np.float32)
+    lens = np.array([len(p) if p else 0 for p in payloads], np.float32)
+    valid = lens > 0
+    if valid.any():
+        out[valid] = (
+            (lens[valid, None] % 7.0) + np.arange(out_dim, dtype=np.float32)
+        ) / 100.0
+    return out
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: batched media → per-(asset, ts) feature rows.
 
@@ -116,17 +132,25 @@ class MediaFeatureExtractor:
     IMAGE_DIM = 32
     AUDIO_DIM = 16
 
-    def __init__(self, decoder: str = "stub", seed: int = 42):
+    def __init__(self, decoder: str = "stub", seed: int = 42, decode_fn=None):
+        """``decode_fn``: the ``decoder="real"`` plug point. Contract
+        (mirrors a torchvision.io.read_image / librosa front-end,
+        reference integration point ``data_handling.py:86-109``):
+        ``decode_fn(payloads: list[bytes|None], modality: str,
+        out_dim: int) -> float32 ndarray (len(payloads), out_dim)``,
+        rows for None/empty payloads zero-filled."""
         if decoder not in ("stub", "real"):
             raise ValueError(decoder)
-        if decoder == "real":
+        if decoder == "real" and decode_fn is None:
             raise NotImplementedError(
-                "real codecs are not available in this environment; plug a "
-                "torchvision.io.read_image / librosa decode here (reference "
-                "integration point: data_handling.py:86-109) and keep the "
-                "same (payloads, dims) -> float32 matrix contract"
+                "real codecs are not available in this environment; pass "
+                "decode_fn= wrapping torchvision.io.read_image / librosa "
+                "(reference integration point: data_handling.py:86-109) "
+                "with the (payloads, modality, out_dim) -> float32 matrix "
+                "contract"
             )
         self.decoder = decoder
+        self.decode_fn = decode_fn
         self.seed = seed
         rng = np.random.default_rng(seed)
         d = self.IMAGE_DIM + self.AUDIO_DIM
@@ -134,41 +158,64 @@ class MediaFeatureExtractor:
             np.float32
         )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    def _decode(self, payloads, modality: str, out_dim: int, seed: int):
+        if self.decoder == "real":
+            out = np.asarray(
+                self.decode_fn(list(payloads), modality, out_dim),
+                dtype=np.float32,
+            )
+            if out.shape != (len(payloads), out_dim):
+                raise ValueError(
+                    f"decode_fn returned {out.shape}, expected "
+                    f"{(len(payloads), out_dim)}"
+                )
+            return out
+        return _stub_decode(payloads, out_dim, seed)
 
-        df = batch.to_pandas()
-        # pivot the two modalities onto (asset_id, ts) — the reference's
-        # full-outer modality merge J1 (data_handling.py:30-33)
-        img = df[df["modality"] == MODALITY_IMAGE]
-        aud = df[df["modality"] == MODALITY_AUDIO]
-        keys = (
-            df[["asset_id", "ts"]]
-            .drop_duplicates()
-            .sort_values(["asset_id", "ts"], kind="mergesort")
-            .reset_index(drop=True)
-        )
-        k_idx = pd.MultiIndex.from_frame(keys)
-        img_map = img.set_index(["asset_id", "ts"])["payload"]
-        aud_map = aud.set_index(["asset_id", "ts"])["payload"]
-        img_payloads = [
-            img_map.get(k, None) for k in k_idx
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # Arrow/numpy sorted-merge pivot of the two modalities onto
+        # (asset_id, ts) — the reference's full-outer modality merge J1
+        # (data_handling.py:30-33). No pandas, no per-key lookups:
+        # dictionary-encode the asset key (C++), lexsort, run-detect.
+        asset = batch.column("asset_id").combine_chunks()
+        codes = pc.dictionary_encode(asset).indices.to_numpy().astype(np.int64)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        is_audio = pc.equal(
+            batch.column("modality"), MODALITY_AUDIO
+        ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((is_audio, ts, codes))
+        codes_s, ts_s = codes[order], ts[order]
+        aud_s = is_audio[order]
+        new_key = np.ones(len(order), dtype=bool)
+        new_key[1:] = (codes_s[1:] != codes_s[:-1]) | (ts_s[1:] != ts_s[:-1])
+        key_id = np.cumsum(new_key) - 1
+        n_keys = int(key_id[-1]) + 1 if len(key_id) else 0
+        rep_rows = order[new_key]  # one representative input row per key
+
+        payload_s = batch.column("payload").to_numpy(zero_copy_only=False)[
+            order
         ]
-        aud_payloads = [
-            aud_map.get(k, None) for k in k_idx
-        ]
-        v_img = _stub_decode(img_payloads, self.IMAGE_DIM, self.seed)
-        v_aud = _stub_decode(aud_payloads, self.AUDIO_DIM, self.seed + 777)
+        img_payloads = np.full(n_keys, None, dtype=object)
+        aud_payloads = np.full(n_keys, None, dtype=object)
+        # stable sort puts images before audio within a key; duplicate
+        # (asset, ts, modality) rows resolve last-wins (deterministic),
+        # mirroring the reference's "last glob hit wins" path index
+        img_payloads[key_id[~aud_s]] = payload_s[~aud_s]
+        aud_payloads[key_id[aud_s]] = payload_s[aud_s]
+
+        v_img = self._decode(img_payloads, MODALITY_IMAGE, self.IMAGE_DIM, self.seed)
+        v_aud = self._decode(aud_payloads, MODALITY_AUDIO, self.AUDIO_DIM, self.seed + 777)
         feats = np.hstack([v_img, v_aud]) @ self.proj
-        audio_present = np.array([p is not None for p in aud_payloads])
+        audio_present = np.zeros(n_keys, dtype=bool)
+        audio_present[key_id[aud_s]] = True
         flat = pa.array(feats.astype(np.float32).ravel(), pa.float32())
+        take_idx = pa.array(rep_rows, pa.int64())
         return pa.table(
             {
-                "asset_id": pa.array(keys["asset_id"], pa.string()),
-                "ts": pa.array(
-                    keys["ts"].astype("datetime64[us]"),
-                    pa.timestamp("us"),
-                ),
+                "asset_id": pc.take(asset, take_idx),
+                "ts": pc.take(batch.column("ts"), take_idx),
                 "audio_present": pa.array(audio_present),
                 "media_vec": pa.FixedSizeListArray.from_arrays(
                     flat, self.IMAGE_DIM + self.AUDIO_DIM
@@ -181,6 +228,7 @@ def extract_media_features(
     media_ds,
     decoder: str = "stub",
     concurrency: int | tuple[int, int] = 2,
+    decode_fn=None,
 ):
     """Group by asset (both modalities of a timestamp co-locate in one
     group) and run the extractor as an actor pool — weights built once
@@ -190,7 +238,7 @@ def extract_media_features(
     groups/batches small (object-store friendly)."""
     return media_ds.groupby("asset_id").map_groups(
         MediaFeatureExtractor,
-        fn_constructor_kwargs={"decoder": decoder},
+        fn_constructor_kwargs={"decoder": decoder, "decode_fn": decode_fn},
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,

@@ -509,20 +509,31 @@ def compute_features_auto(
     else:
         mega_all = turns_aligned
 
-    summaries = (
-        turns_aligned.groupby(["conv_id", "salt"])
-        .map_groups(
-            lambda g: _phase_a(g, cfg), batch_format="pyarrow"
-        )
-        .to_pandas()
-    )
+    from .exchange import hash_grouped_map
+
+    # both phases run on the explicit hash exchange keyed on
+    # (conv_id, salt) — no sort shuffle, typed empty partitions; the
+    # aligned mega subset is materialized once (bounded by the skewed
+    # tail) so phases A and B don't each re-scan the full input
+    turns_aligned = turns_aligned.materialize()
+    summaries = hash_grouped_map(
+        turns_aligned,
+        ["conv_id", "salt"],
+        lambda g: _phase_a(g, cfg),
+        num_partitions=pcfg.num_buckets,
+        empty_schema=_summary_schema(),
+    ).to_pandas()
     carries = combine_carries(summaries, cfg)
     carries_ref = ray.put(carries)
 
     def _phase_b_fn(g: pa.Table) -> pa.Table:
         return _phase_b(g, cfg, ray.get(carries_ref))
 
-    mega_feats = mega_all.groupby(["conv_id", "salt"]).map_groups(
-        _phase_b_fn, batch_format="pyarrow"
+    mega_feats = hash_grouped_map(
+        mega_all,
+        ["conv_id", "salt"],
+        _phase_b_fn,
+        num_partitions=pcfg.num_buckets,
+        empty_schema=_features_schema(),
     )
     return normal_feats.union(mega_feats)

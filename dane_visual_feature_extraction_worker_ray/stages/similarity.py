@@ -135,16 +135,28 @@ def near_dup_pairs_cosine(
 
     exploded = emb_ds.map_batches(_buckets, batch_format="pyarrow")
 
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
     def _pairs(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy()
-        empty = pa.table(
-            {
-                "vec_a": pa.array([], pa.int64()),
-                "vec_b": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
-        )
-        if len(ids) < 2 or len(ids) > 4000:
+        if len(ids) < 2:
+            return empty
+        if len(ids) > 4000:
+            # no silent caps: report the skipped bucket
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "near_dup_pairs_cosine: skipping bucket of %d rows "
+                "(> 4000, ~%d candidate pairs); other tables may still "
+                "surface them",
+                len(ids), len(ids) * (len(ids) - 1) // 2,
+            )
             return empty
         m = _matrix(group, "nvec").astype(np.float64)
         o = np.argsort(ids, kind="stable")
@@ -160,8 +172,11 @@ def near_dup_pairs_cosine(
             }
         )
 
-    pairs = exploded.groupby(["table_id", "bucket_key"]).map_groups(
-        _pairs, batch_format="pyarrow"
+    from .exchange import hash_grouped_map
+
+    pairs = hash_grouped_map(
+        exploded, ["table_id", "bucket_key"], _pairs,
+        empty_schema=empty.schema,
     )
     from .groupagg import hash_grouped_aggregate
 

@@ -137,10 +137,12 @@ def write_features_checkpointed(
         if "bucket" in group.column_names:
             group = group.drop_columns(["bucket"])
         feats = compute_bucket_features(group, cfg, assign_turn_idx)
+        t_kernel = time.monotonic()
         final_dir = _bucket_dir(out_dir, bucket)
         tmp_dir = final_dir + f".tmp.{os.getpid()}"
         os.makedirs(tmp_dir, exist_ok=True)
         pq.write_table(feats, os.path.join(tmp_dir, "part.parquet"))
+        t_write = time.monotonic()
         conv_sorted = feats.column("conv_id")
         rec = {
             "bucket": bucket,
@@ -157,6 +159,23 @@ def write_features_checkpointed(
             ),
             "checksum": content_checksum(feats),
             "elapsed_s": round(time.monotonic() - t0, 4),
+            # per-step provenance tree (reference analog: nested
+            # activity records with per-step durations,
+            # /root/reference/provenance.py:19-43, models.py:19-43)
+            "steps": [
+                {
+                    "name": "compute_bucket_features",
+                    "elapsed_s": round(t_kernel - t0, 4),
+                    "rows_in": rows_in,
+                    "rows_out": feats.num_rows,
+                },
+                {
+                    "name": "write_parquet",
+                    "elapsed_s": round(t_write - t_kernel, 4),
+                    "rows_out": feats.num_rows,
+                    "output_path": os.path.join(final_dir, "part.parquet"),
+                },
+            ],
         }
         with open(os.path.join(tmp_dir, "_SUCCESS.json"), "w") as f:
             json.dump(rec, f)
@@ -168,7 +187,7 @@ def write_features_checkpointed(
                 {
                     k: v
                     for k, v in rec.items()
-                    if k not in ("fingerprint", "engine_version")
+                    if k not in ("fingerprint", "engine_version", "steps")
                 }
             ]
         )
@@ -196,7 +215,65 @@ def write_features_checkpointed(
     lineage = hash_exchange(
         ds, "conv_id", pcfg.num_buckets, _kernel, empty_schema=lineage_schema
     ).to_pandas()
+    write_job_manifest(out_dir, fingerprint, lineage, sorted(done))
     return lineage, sorted(done)
+
+
+def write_job_manifest(
+    out_dir: str, fingerprint: str, lineage, skipped: list[int]
+) -> dict:
+    """Persist one queryable job-summary record (reference analog: the
+    per-job index result row, ``/root/reference/worker.py:93-114``)
+    plus the aggregated step tree collected from every bucket's
+    ``_SUCCESS.json`` provenance."""
+    steps_agg: dict[str, dict] = {}
+    for name in os.listdir(out_dir):
+        if not name.startswith("bucket=") or ".tmp." in name:
+            continue
+        marker = os.path.join(out_dir, name, "_SUCCESS.json")
+        try:
+            with open(marker) as f:
+                rec = json.load(f)
+        except (ValueError, OSError):
+            continue
+        if rec.get("fingerprint") != fingerprint:
+            continue
+        for st in rec.get("steps", []):
+            agg = steps_agg.setdefault(
+                st["name"],
+                {"name": st["name"], "elapsed_s": 0.0, "rows_out": 0,
+                 "n_buckets": 0},
+            )
+            agg["elapsed_s"] = round(agg["elapsed_s"] + st["elapsed_s"], 4)
+            agg["rows_out"] += int(st.get("rows_out", 0))
+            agg["n_buckets"] += 1
+    manifest = {
+        "fingerprint": fingerprint,
+        "engine_version": __version__,
+        "output_dir": out_dir,
+        "n_buckets": int(len(lineage)) + len(skipped),
+        "n_computed": int(len(lineage)),
+        "n_skipped": len(skipped),
+        "rows_in": int(lineage["rows_in"].sum()) if len(lineage) else 0,
+        "rows_out": int(lineage["rows_out"].sum()) if len(lineage) else 0,
+        "elapsed_s_total": (
+            round(float(lineage["elapsed_s"].sum()), 4) if len(lineage) else 0.0
+        ),
+        "steps": sorted(steps_agg.values(), key=lambda s: s["name"]),
+    }
+    tmp = os.path.join(out_dir, f"_JOB.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_JOB.json"))
+    return manifest
+
+
+def read_job_manifest(out_dir: str) -> dict | None:
+    p = os.path.join(out_dir, "_JOB.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def read_checkpointed(out_dir: str) -> pa.Table:

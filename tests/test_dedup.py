@@ -95,13 +95,49 @@ def test_jaccard_verify_matches_brute():
 
 def test_simhash_near_dups():
     tbl = _corpus()
-    pairs = simhash_pairs(rd.from_arrow(tbl), max_hamming=10).to_pandas()
+    # bands=16 → pigeonhole guarantees recall up to hamming 15 >= 10
+    pairs = simhash_pairs(
+        rd.from_arrow(tbl), max_hamming=10, bands=16
+    ).to_pandas()
     found = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (0, 1) in found  # identical docs, hamming 0
     ham = pairs.set_index(["doc_a", "doc_b"])["hamming"]
     assert ham.loc[(0, 1)] == 0
     if (0, 2) in found:
         assert ham.loc[(0, 2)] <= 10
+
+
+def test_simhash_rejects_recall_gap_params():
+    import pytest
+
+    tbl = _corpus()
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(rd.from_arrow(tbl), max_hamming=8, bands=4)
+    # the escape hatch keeps the old behavior, now explicit
+    pairs = simhash_pairs(
+        rd.from_arrow(tbl), max_hamming=8, bands=4, allow_partial_recall=True
+    ).to_pandas()
+    assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_large_bucket_pairs_still_surface():
+    """A bucket larger than the old silent 2000-row cap must still
+    yield its pairs (vectorized verify); a bucket above max_bucket is
+    skipped (loudly, via log) rather than processed."""
+    n = 2100  # one all-identical bucket > the old 2000 cap
+    tbl = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()),
+         "text": pa.array(["the same document text here"] * n, pa.string())}
+    )
+    pairs = minhash_lsh_pairs(
+        rd.from_arrow(tbl), num_perm=16, bands=2, threshold=1.0
+    ).to_pandas()
+    assert len(pairs) == n * (n - 1) // 2  # every pair surfaces
+    capped = minhash_lsh_pairs(
+        rd.from_arrow(tbl), num_perm=16, bands=2, threshold=1.0,
+        max_bucket=100,
+    ).to_pandas()
+    assert len(capped) == 0  # capped: skipped, logged in worker output
 
 
 def test_near_dup_survivors():

@@ -95,6 +95,49 @@ def test_resume_skips_and_is_identical(corpus, tmp_path):
     pd.testing.assert_frame_equal(resumed, fresh)
 
 
+def test_provenance_step_tree_and_job_manifest(corpus, tmp_path):
+    """Every bucket's _SUCCESS.json carries a per-step provenance tree;
+    the job manifest aggregates it and persists one queryable summary
+    row that reconciles with the lineage."""
+    from dane_visual_feature_extraction_worker_ray.state.lineage import (
+        read_job_manifest,
+    )
+
+    out = str(tmp_path / "prov")
+    lineage, skipped = _run(corpus, out)
+
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("bucket="):
+            continue
+        rec = json.load(open(os.path.join(out, d, "_SUCCESS.json")))
+        steps = rec["steps"]
+        names = [s["name"] for s in steps]
+        assert names == ["compute_bucket_features", "write_parquet"]
+        assert steps[0]["rows_in"] == rec["rows_in"]
+        assert steps[0]["rows_out"] == rec["rows_out"]
+        assert steps[1]["output_path"].endswith(f"{d}/part.parquet")
+        assert all(s["elapsed_s"] >= 0 for s in steps)
+
+    m = read_job_manifest(out)
+    assert m is not None
+    assert m["fingerprint"] == FP
+    assert m["n_computed"] == len(lineage)
+    assert m["n_skipped"] == 0
+    assert m["rows_out"] == int(lineage["rows_out"].sum())
+    step_names = [s["name"] for s in m["steps"]]
+    assert step_names == ["compute_bucket_features", "write_parquet"]
+    for s in m["steps"]:
+        assert s["n_buckets"] == len(lineage)
+        if s["name"] == "write_parquet":
+            assert s["rows_out"] == m["rows_out"]
+
+    # resume run: manifest reflects all-skipped
+    _run(corpus, out)
+    m2 = read_job_manifest(out)
+    assert m2["n_skipped"] == len(lineage)
+    assert m2["n_computed"] == 0
+
+
 def test_stale_tmp_dirs_are_ignored_and_purged(corpus, tmp_path):
     """A task preempted before the atomic rename leaves bucket=N.tmp.<pid>;
     it must never be read back (double-counting) and must be purged on the

@@ -11,6 +11,7 @@ from dane_visual_feature_extraction_worker_ray.stages.multimodal import (
     MediaFeatureExtractor,
     extract_media_features,
     media_schema,
+    mock_decode_fn,
     synthesize_media_table,
 )
 
@@ -18,6 +19,40 @@ from dane_visual_feature_extraction_worker_ray.stages.multimodal import (
 def test_real_decoder_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(decoder="real")
+
+
+def test_real_decoder_plumbing_with_mock():
+    """decoder="real" with an injected decode_fn must run the full
+    actor-pool path end-to-end (exercises the integration contract the
+    stub otherwise bypasses). The mock lives in the library module so
+    Ray workers can deserialize it by import path."""
+    t = synthesize_media_table(n_assets=2, frames_per_asset=6)
+    out = (
+        extract_media_features(
+            rd.from_arrow(t), decoder="real", decode_fn=mock_decode_fn
+        )
+        .to_pandas()
+        .sort_values(["asset_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n_keys = t.to_pandas()[["asset_id", "ts"]].drop_duplicates().shape[0]
+    assert len(out) == n_keys
+    vecs = np.vstack(out["media_vec"].to_numpy())
+    assert vecs.shape[1] == (
+        MediaFeatureExtractor.IMAGE_DIM + MediaFeatureExtractor.AUDIO_DIM
+    )
+    assert np.isfinite(vecs).all()
+    # missing audio still zero-filled through the real path
+    assert (~out["audio_present"]).any()
+
+
+def test_real_decoder_shape_contract_enforced():
+    ex = MediaFeatureExtractor(
+        decoder="real", decode_fn=lambda p, m, d: np.zeros((1, 1), np.float32)
+    )
+    t = synthesize_media_table(n_assets=1, frames_per_asset=2)
+    with pytest.raises(ValueError, match="decode_fn returned"):
+        ex(t)
 
 
 def test_schema_and_corpus():

@@ -78,28 +78,13 @@ def q_pricing_summary(sf_dir: str):
                 "n": pa.array(np.ones(tbl.num_rows, dtype=np.int64)),
             }
         )
-        return (
-            t.group_by(["l_returnflag", "l_linestatus"])
-            .aggregate(
-                [
-                    ("qty", "sum"),
-                    ("price_c", "sum"),
-                    ("disc_price_c2", "sum"),
-                    ("charge_c4", "sum"),
-                    ("n", "sum"),
-                ]
-            )
-            .rename_columns(
-                [
-                    "l_returnflag",
-                    "l_linestatus",
-                    "qty",
-                    "price_c",
-                    "disc_price_c2",
-                    "charge_c4",
-                    "n",
-                ]
-            )
+        from ..stages.groupagg import group_aggregate_table
+
+        return group_aggregate_table(
+            t,
+            ["l_returnflag", "l_linestatus"],
+            [("qty", "sum"), ("price_c", "sum"), ("disc_price_c2", "sum"),
+             ("charge_c4", "sum"), ("n", "sum")],
         )
 
     partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
@@ -242,8 +227,9 @@ def q_segment_order_revenue(
                 "rev_c2": pa.array(rev),
             }
         )
-        g = p.group_by("key").aggregate([("rev_c2", "sum")])
-        g = g.rename_columns(["key", "rev_c2"])
+        from ..stages.groupagg import group_aggregate_table
+
+        g = group_aggregate_table(p, ["key"], [("rev_c2", "sum")])
         return g.append_column(
             "side", pa.array(np.ones(g.num_rows, np.int8))
         )
@@ -340,8 +326,9 @@ def q_region_revenue(sf_dir: str):
                 "rev_c2": pa.array(rev),
             }
         ).filter(pa.array(hit))
-        g = t.group_by("r_name").aggregate([("rev_c2", "sum")])
-        return g.rename_columns(["r_name", "rev_c2"])
+        from ..stages.groupagg import group_aggregate_table
+
+        return group_aggregate_table(t, ["r_name"], [("rev_c2", "sum")])
 
     partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
     final = hash_grouped_aggregate(
@@ -417,10 +404,11 @@ def q_mktsegment_order_counts(sf_dir: str):
                 "price_c": pa.array(price_c),
             }
         ).filter(pa.array(hit))
-        g = t.group_by("c_mktsegment").aggregate(
-            [("n", "sum"), ("price_c", "sum")]
+        from ..stages.groupagg import group_aggregate_table
+
+        return group_aggregate_table(
+            t, ["c_mktsegment"], [("n", "sum"), ("price_c", "sum")]
         )
-        return g.rename_columns(["c_mktsegment", "n", "price_c"])
 
     partials = orders.map_batches(_partial, batch_format="pyarrow", batch_size=None)
     final = hash_grouped_aggregate(
@@ -524,10 +512,11 @@ def q_shipped_period_revenue(sf_dir: str):
                 "n": pa.array(np.ones(tbl.num_rows, dtype=np.int64)),
             }
         )
-        g = t.group_by("l_returnflag").aggregate(
-            [("rev_c2", "sum"), ("n", "sum")]
+        from ..stages.groupagg import group_aggregate_table
+
+        return group_aggregate_table(
+            t, ["l_returnflag"], [("rev_c2", "sum"), ("n", "sum")]
         )
-        return g.rename_columns(["l_returnflag", "rev_c2", "n"])
 
     partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
     final = hash_grouped_aggregate(

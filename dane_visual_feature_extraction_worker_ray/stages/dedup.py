@@ -65,8 +65,11 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
                 id_col: tbl.column(id_col),
             }
         )
-        g = t.group_by(["h", text_col]).aggregate([(id_col, "min")])
-        return g.rename_columns(["h", text_col, id_col])
+        from .groupagg import group_aggregate_table
+
+        return group_aggregate_table(
+            t, ["h", text_col], [(id_col, "min")], ["h", text_col, id_col]
+        )
 
     from .groupagg import hash_grouped_aggregate
 

@@ -78,21 +78,23 @@ def _split_block(block: pa.Table, key, num_partitions: int):
     )
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def _reduce_partition(kernel, partition_idx: int, empty_schema, *frags):
     pa.set_cpu_count(1)  # see _split_block
     tables = [_from_ipc(f) for f in frags]
     live = [t for t in tables if t.num_rows > 0]
     if not live:
         if empty_schema is not None:
-            return empty_schema.empty_table()
-        # no declared output schema: run the kernel on a typed empty
-        # INPUT table so the empty output still carries the kernel's
-        # column types (schema-less empty blocks trip Ray's
-        # "RefBundle with a different schema" warning downstream)
-        return kernel(partition_idx, tables[0].slice(0, 0))
+            out = empty_schema.empty_table()
+        else:
+            # no declared output schema: run the kernel on a typed
+            # empty INPUT table so the empty output still carries the
+            # kernel's column types
+            out = kernel(partition_idx, tables[0].slice(0, 0))
+        return out, out.num_rows
     table = pa.concat_tables(live).combine_chunks()
-    return kernel(partition_idx, table)
+    out = kernel(partition_idx, table)
+    return out, out.num_rows
 
 
 def _cpus_per_task() -> int:
@@ -138,12 +140,21 @@ def hash_exchange(
     ]
     if num_partitions == 1:  # num_returns=1 yields a bare ref, not a list
         frag_lists = [[fl] for fl in frag_lists]
-    out_refs = [
-        _reduce_partition.options(num_cpus=ncpu).remote(
+    pairs = [
+        _reduce_partition.options(num_cpus=ncpu, num_returns=2).remote(
             kernel, p, empty_schema, *[fl[p] for fl in frag_lists]
         )
         for p in range(num_partitions)
     ]
+    # Drop empty partition outputs BEFORE handing refs to Ray Data:
+    # this Ray version's map operators skip the UDF on 0-row blocks
+    # and emit 0-COLUMN blocks, poisoning downstream schemas ("RefBundle
+    # with a different schema" warnings). Row counts are tiny ints; the
+    # exchange is already an all-to-all barrier, so the sync is cheap.
+    counts = ray.get([c for _, c in pairs])
+    out_refs = [t for (t, _), n in zip(pairs, counts) if n > 0]
+    if not out_refs:
+        out_refs = [pairs[0][0]]  # keep one typed empty block
     return rd.from_arrow_refs(out_refs)
 
 

@@ -20,6 +20,29 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def group_aggregate_table(
+    table: pa.Table,
+    keys: list[str],
+    agg_spec: list[tuple[str, str]],
+    out_names: list[str] | None = None,
+) -> pa.Table:
+    """``table.group_by(keys).aggregate(agg_spec)`` with typed output
+    on EMPTY input: pyarrow's group_by on a 0-row table returns a
+    0-COLUMN table, which poisons downstream schemas (Ray's "RefBundle
+    with a different schema" warning / union failures). sum/min/max
+    preserve the input column type, so the empty schema is derivable.
+    """
+    out_names = out_names or (keys + [c for c, _ in agg_spec])
+    if table.num_rows == 0:
+        fields = [
+            pa.field(n, table.schema.field(k).type)
+            for n, k in zip(out_names, keys + [c for c, _ in agg_spec])
+        ]
+        return pa.schema(fields).empty_table()
+    g = table.group_by(keys).aggregate(agg_spec)
+    return g.rename_columns(out_names)
+
+
 def hash_grouped_aggregate(
     partials_ds,
     keys: list[str],
@@ -39,8 +62,7 @@ def hash_grouped_aggregate(
         from ..functions.runtime import pin_arrow_threads
 
         pin_arrow_threads()
-        g = table.group_by(keys).aggregate(agg_spec)
-        return g.rename_columns(out_names)
+        return group_aggregate_table(table, keys, agg_spec, out_names)
 
     from .exchange import hash_exchange
 

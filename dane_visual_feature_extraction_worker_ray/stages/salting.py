@@ -60,13 +60,16 @@ def conversation_counts(turns_ds):
     """(conv_id, n_rows) via partial per-batch counts → small groupby."""
 
     def _partial(tbl: pa.Table) -> pa.Table:
-        g = (
-            tbl.select(["conv_id"])
-            .append_column("one", pa.array(np.ones(tbl.num_rows, np.int64)))
-            .group_by("conv_id")
-            .aggregate([("one", "sum")])
+        from .groupagg import group_aggregate_table
+
+        return group_aggregate_table(
+            tbl.select(["conv_id"]).append_column(
+                "one", pa.array(np.ones(tbl.num_rows, np.int64))
+            ),
+            ["conv_id"],
+            [("one", "sum")],
+            ["conv_id", "n_rows"],
         )
-        return g.rename_columns(["conv_id", "n_rows"])
 
     from .groupagg import hash_grouped_aggregate
 

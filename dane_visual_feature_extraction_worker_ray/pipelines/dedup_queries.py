@@ -108,14 +108,14 @@ ORDER BY doc_a, doc_b
 
 
 def q_dedup_near_survivors(sf_dir: str):
-    """Corpus minus near-duplicates: MinHash-LSH pairs → connected
-    components → keep min doc_id per cluster (rows-only; clustering is
-    sketch-derived). On the synthetic corpus near-dup pairs may be
-    empty → returns the full corpus, which is correct."""
-    from ..stages.dedup import near_dup_survivors
+    """Corpus minus near-duplicates: MinHash-LSH pairs → DISTRIBUTED
+    connected components (min-label propagation on the hash exchange;
+    the pair list never lands on the driver) → keep min doc_id per
+    cluster (rows-only; clustering is sketch-derived)."""
+    from ..stages.dedup import near_dup_survivors_distributed
 
-    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.6).to_pandas()
-    return near_dup_survivors(_docs(sf_dir), pairs)
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.6)
+    return near_dup_survivors_distributed(_docs(sf_dir), pairs)
 
 
 QUERIES["dedup_near_survivors"] = q_dedup_near_survivors

@@ -8,7 +8,11 @@ import numpy as np
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from ..stages.similarity import knn_brute_force, near_dup_pairs_cosine
+from ..stages.similarity import (
+    knn_brute_force,
+    knn_ivf,
+    near_dup_pairs_cosine,
+)
 
 K = 10
 QUERY_VEC_ID = 0
@@ -29,6 +33,20 @@ def _query_vec(sf_dir: str) -> np.ndarray:
 def q_knn_topk(sf_dir: str):
     df = knn_brute_force(
         _emb(sf_dir), _query_vec(sf_dir), k=K, round_decimals=4
+    )
+    return df[["vec_id", "score"]].reset_index(drop=True)
+
+
+def q_knn_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN top-k (scale path): 32 coarse lists, 16 probed
+    — half the candidate lists are pruned before scoring. At the
+    driver's sf tiers the probed lists provably contain the exact
+    top-10 (verified against brute force), so the full-strength DuckDB
+    oracle applies; general recall < 1 is measured in
+    tests/test_similarity.py."""
+    df = knn_ivf(
+        _emb(sf_dir), _query_vec(sf_dir), k=K, n_lists=32, n_probe=16,
+        round_decimals=4,
     )
     return df[["vec_id", "score"]].reset_index(drop=True)
 
@@ -71,10 +89,21 @@ def q_embedding_near_dups(sf_dir: str):
 
 QUERIES = {
     "knn_topk": q_knn_topk,
+    "knn_ivf_topk": q_knn_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
 }
 
+_SQL_KNN = f"""
+SELECT vec_id,
+  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = {QUERY_VEC_ID})), 4) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id
+LIMIT {K}
+""".strip()
+
 ORACLE_SQL = {
+    "knn_ivf_topk": _SQL_KNN,
     "knn_topk": f"""
 SELECT vec_id,
   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

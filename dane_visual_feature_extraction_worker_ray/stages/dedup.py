@@ -493,6 +493,224 @@ def simhash_pairs(
 
 
 # --------------------------------------------------------------------------
+# distributed connected components (min-label propagation)
+
+
+def connected_components_labels(
+    pairs_ds,
+    num_partitions: int = 32,
+    max_rounds: int = 64,
+):
+    """Distributed connected components over an edge Dataset
+    ``(doc_a, doc_b)`` → label Dataset ``(node, label)`` with
+    ``label`` = min node id of the component.
+
+    Min-label propagation, two hash exchanges per round (labels joined
+    onto edges at the source endpoint, then messages combined with
+    labels at the destination), iterated to fixpoint — O(component
+    diameter) rounds, every step hash-partitioned; the driver sees only
+    a per-round changed-count scalar. This is the 100 TB path for the
+    pair graph; the union-find in :func:`near_dup_survivors` remains
+    the small-candidate fast path.
+    """
+    import ray.data as rd
+
+    from .exchange import hash_exchange
+    from .groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    def _edges_bidir(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, b])),
+                "val": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        _edges_bidir, batch_format="pyarrow", batch_size=None
+    ).materialize()  # reused every round; bidirectional edge list
+
+    def _init_labels(t: pa.Table) -> pa.Table:
+        return group_aggregate_table(
+            pa.table({"node": t.column("key"), "label": t.column("key")}),
+            ["node"],
+            [("label", "min")],
+        )
+
+    labels = hash_grouped_aggregate(
+        edges.map_batches(
+            _init_labels, batch_format="pyarrow", batch_size=None
+        ),
+        ["node"],
+        [("label", "min")],
+    )
+
+    msg_schema = pa.schema([("key", pa.int64()), ("lab", pa.int64())])
+    lab_schema = pa.schema(
+        [("node", pa.int64()), ("label", pa.int64()), ("changed", pa.int64())]
+    )
+
+    def _phase1(p: int, tbl: pa.Table) -> pa.Table:
+        # side 0 = edge (key=src, val=dst); side 1 = label (key, val)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        val = tbl.column("val").to_numpy(zero_copy_only=False)
+        lmask = side == 1
+        lkeys, lvals = key[lmask], val[lmask]
+        o = np.argsort(lkeys, kind="stable")
+        lkeys, lvals = lkeys[o], lvals[o]
+        emask = ~lmask
+        src, dst = key[emask], val[emask]
+        if len(src) == 0 or len(lkeys) == 0:
+            return msg_schema.empty_table()
+        pos = np.searchsorted(lkeys, src).clip(0, len(lkeys) - 1)
+        hit = lkeys[pos] == src  # always true: every node has a label
+        return pa.table(
+            {
+                "key": pa.array(dst[hit]),
+                "lab": pa.array(lvals[pos][hit]),
+            }
+        )
+
+    def _phase2(p: int, tbl: pa.Table) -> pa.Table:
+        # side 0 = message (key, lab); side 1 = current label (key, lab)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        lab = tbl.column("lab").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, key))
+        k_s, l_s, s_s = key[order], lab[order], side[order]
+        new_grp = np.ones(len(k_s), dtype=bool)
+        new_grp[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(new_grp)
+        nodes = k_s[starts]
+        new_label = l_s[starts]  # min lab per node (lab-sorted)
+        # old label = the side==1 row for the node (exactly one)
+        old = np.full(len(nodes), np.iinfo(np.int64).max, np.int64)
+        gidx = np.cumsum(new_grp) - 1
+        lrows = s_s == 1
+        old[gidx[lrows]] = l_s[lrows]
+        # nodes with no label row (message to a node outside this
+        # round's label table cannot happen: labels cover all nodes)
+        changed = (new_label < old).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(nodes),
+                "label": pa.array(np.minimum(new_label, old)),
+                "changed": pa.array(changed),
+            }
+        )
+
+    for _ in range(max_rounds):
+        in1 = edges.map_batches(
+            lambda t: t.append_column(
+                "side", pa.array(np.zeros(t.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).union(
+            labels.map_batches(
+                lambda t: pa.table(
+                    {
+                        "key": t.column("node"),
+                        "val": t.column("label"),
+                        "side": pa.array(np.ones(t.num_rows, np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+        msgs = hash_exchange(
+            in1, "key", num_partitions, _phase1, empty_schema=msg_schema
+        )
+        in2 = msgs.map_batches(
+            lambda t: t.append_column(
+                "side", pa.array(np.zeros(t.num_rows, np.int8))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).union(
+            labels.map_batches(
+                lambda t: pa.table(
+                    {
+                        "key": t.column("node"),
+                        "lab": t.column("label"),
+                        "side": pa.array(np.ones(t.num_rows, np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+        new_labels = hash_exchange(
+            in2, "key", num_partitions, _phase2, empty_schema=lab_schema
+        ).materialize()
+        n_changed = new_labels.sum("changed") or 0
+        labels = new_labels.map_batches(
+            lambda t: t.drop_columns(["changed"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        if n_changed == 0:
+            break
+    else:
+        logger.warning(
+            "connected_components_labels: no fixpoint after %d rounds",
+            max_rounds,
+        )
+    return labels
+
+
+def near_dup_survivors_distributed(
+    docs_ds,
+    pairs_ds,
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+):
+    """Corpus minus near-duplicates with the clustering fully
+    distributed (see :func:`connected_components_labels`); only the
+    final drop-id set (nodes whose component label differs — bounded by
+    the candidate-pair node count, not the corpus) is broadcast for the
+    anti filter."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    labels = connected_components_labels(pairs_ds, num_partitions)
+    drop_parts = labels.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("node"), t.column("label"))
+        ).select(["node"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    drop = np.sort(
+        np.concatenate(
+            [
+                b.column("node").to_numpy()
+                for b in drop_parts.iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    drop_ref = ray.put(drop)
+
+    def _anti(tbl: pa.Table) -> pa.Table:
+        ds_ = ray.get(drop_ref)
+        if len(ds_) == 0:
+            return tbl
+        ids = tbl.column(id_col).to_numpy()
+        pos = np.searchsorted(ds_, ids).clip(0, len(ds_) - 1)
+        return tbl.filter(pa.array(ds_[pos] != ids))
+
+    return docs_ds.map_batches(_anti, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
 # near-dup clustering → survivor set
 
 

@@ -291,15 +291,22 @@ def _phase_b(group: pa.Table, cfg: FeatureConfig, carries: dict) -> pa.Table:
     lag_idx, lag_valid = sk.lag_indices(np.zeros(n, dtype=np.int64))
     prev_role = _take_str(role_arr, lag_idx, lag_valid)
     if c["prev_last_role"] is not None and n:
-        pr = prev_role.to_pylist()
-        pr[0] = c["prev_last_role"]
-        prev_role = pa.array(pr, pa.string())
+        # patch only the edge element — no O(chunk) pylist round-trip
+        prev_role = pa.concat_arrays(
+            [
+                pa.array([c["prev_last_role"]], pa.string()),
+                prev_role.slice(1),
+            ]
+        )
     lead_idx, lead_valid = sk.lead_indices(np.zeros(n, dtype=np.int64))
     next_role = _take_str(role_arr, lead_idx, lead_valid)
     if c["next_first_role"] is not None and n:
-        nr = next_role.to_pylist()
-        nr[-1] = c["next_first_role"]
-        next_role = pa.array(nr, pa.string())
+        next_role = pa.concat_arrays(
+            [
+                next_role.slice(0, n - 1),
+                pa.array([c["next_first_role"]], pa.string()),
+            ]
+        )
 
     # ---- sessionization with boundary offsets
     new_sess = np.zeros(n, dtype=bool)
@@ -360,13 +367,16 @@ def _phase_b(group: pa.Table, cfg: FeatureConfig, carries: dict) -> pa.Table:
     ff_idx, ff_ok = sk.ffill_indices(tool_valid, np.zeros(n, dtype=np.int64))
     ffill_tool = _take_str(tool_arr, ff_idx, ff_ok)
     if c["ffill_tool"] is not None:
-        fl = ffill_tool.to_pylist()
-        for i in range(n):
-            if not ff_ok[i]:
-                fl[i] = c["ffill_tool"]
-            else:
-                break
-        ffill_tool = pa.array(fl, pa.string())
+        # the carry applies to the leading run of rows with no prior
+        # valid tool; patch just that prefix (vectorized length)
+        prefix = int(np.argmax(ff_ok)) if ff_ok.any() else n
+        if prefix > 0:
+            ffill_tool = pa.concat_arrays(
+                [
+                    pa.array([c["ffill_tool"]] * prefix, pa.string()),
+                    ffill_tool.slice(prefix),
+                ]
+            )
 
     # ---- as-of join (snapshots replicated to this chunk)
     snaps_t = group.filter(pa.array(is_snap))

@@ -85,6 +85,118 @@ def knn_brute_force(
     return df.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
 
 
+def knn_ivf(
+    emb_ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_lists: int = 32,
+    n_probe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int | None = 4,
+):
+    """IVF-bucketed approximate cosine top-k — the scale path next to
+    :func:`knn_brute_force`.
+
+    Coarse quantizer: the ``n_lists`` vectors with the smallest ids
+    (deterministic, no k-means dependency) act as centroids; every row
+    is assigned to its nearest centroid inside the streaming scan, and
+    a query scores ONLY rows whose list is among its ``n_probe``
+    closest centroids (rows outside every probed list are dropped
+    before the scoring matmul). ``n_probe == n_lists`` degrades to the
+    exact brute force. Centroids are broadcast once via ``ray.put``.
+    """
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+
+    # deterministic centroid pick: n_lists smallest ids, streamed
+    def _cand(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy()
+        if len(ids) > n_lists:
+            idx = np.sort(np.argpartition(ids, n_lists)[:n_lists])
+            tbl = tbl.take(pa.array(idx))
+        return tbl.select([id_col, vec_col])
+
+    cand = pa.concat_tables(
+        list(
+            emb_ds.map_batches(
+                _cand, batch_format="pyarrow"
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    )
+    cids = cand.column(id_col).to_numpy()
+    order = np.argsort(cids)[:n_lists]
+    centroids = _normalize(
+        _matrix(cand.take(pa.array(order)), vec_col).astype(np.float64)
+    )
+    c_ref = ray.put(centroids)
+    # per-query probe sets → (n_lists, nq) membership matrix
+    probe_rank = np.argsort(-(centroids @ q.T), axis=0, kind="stable")
+    member = np.zeros((centroids.shape[0], q.shape[0]), dtype=bool)
+    for j in range(q.shape[0]):
+        member[probe_rank[: min(n_probe, len(centroids)), j], j] = True
+    member_ref = ray.put(member)
+    q_ref = ray.put(q)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        C = ray.get(c_ref)
+        L = ray.get(member_ref)
+        m = _normalize(_matrix(tbl, vec_col).astype(np.float64))
+        ids = tbl.column(id_col).to_numpy()
+        assign = np.argmax(m @ C.T, axis=1)  # nearest list per row
+        row_member = L[assign]  # (batch, nq)
+        keep = row_member.any(axis=1)
+        m, ids, row_member = m[keep], ids[keep], row_member[keep]
+        nq = qm.shape[0]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        scores = m @ qm.T
+        out_q, out_id, out_s = [], [], []
+        for j in range(nq):
+            in_probe = row_member[:, j]
+            s = scores[in_probe, j]
+            pid = ids[in_probe]
+            if len(pid) == 0:
+                continue
+            if round_decimals is not None:
+                s = np.round(s, round_decimals)
+            kk = min(k, len(pid))
+            top = np.lexsort((pid, -s))[:kk]
+            out_q.append(np.full(kk, j, dtype=np.int64))
+            out_id.append(pid[top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partials = emb_ds.map_batches(_partial, batch_format="pyarrow")
+    df = partials.to_pandas()  # ≤ k × nq × n_batches rows — small
+    df = df.sort_values(
+        ["query_idx", "score", id_col],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    return df.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+
+
 def near_dup_pairs_cosine(
     emb_ds,
     threshold: float = 0.9,

@@ -140,6 +140,62 @@ def test_large_bucket_pairs_still_surface():
     assert len(capped) == 0  # capped: skipped, logged in worker output
 
 
+def test_distributed_cc_matches_union_find():
+    """Distributed min-label-propagation CC == driver union-find, on a
+    graph with a long path (forces multiple propagation rounds), a
+    clique, and singletons."""
+    import ray.data as rd_
+
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        connected_components_labels,
+        near_dup_survivors,
+        near_dup_survivors_distributed,
+    )
+
+    # path 0-1-2-...-9 (diameter 9), clique {20,21,22}, pair {30,31}
+    edges = [(i, i + 1) for i in range(9)]
+    edges += [(20, 21), (20, 22), (21, 22), (30, 31)]
+    pairs_df = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    pairs_tbl = pa.table(
+        {
+            "doc_a": pa.array(pairs_df["doc_a"], pa.int64()),
+            "doc_b": pa.array(pairs_df["doc_b"], pa.int64()),
+        }
+    )
+    labels = (
+        connected_components_labels(rd_.from_arrow(pairs_tbl), num_partitions=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    exp = {i: 0 for i in range(10)}
+    exp.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30})
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == exp
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(35)), pa.int64()),
+            "text": pa.array([f"d{i}" for i in range(35)], pa.string()),
+        }
+    )
+    surv_d = (
+        near_dup_survivors_distributed(
+            rd_.from_arrow(docs), rd_.from_arrow(pairs_tbl), num_partitions=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    surv_u = (
+        near_dup_survivors(rd_.from_arrow(docs), pairs_df)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(surv_d, surv_u)
+
+
 def test_near_dup_survivors():
     import ray.data as rd_
 

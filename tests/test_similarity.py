@@ -8,6 +8,7 @@ import ray.data as rd
 
 from dane_visual_feature_extraction_worker_ray.stages.similarity import (
     knn_brute_force,
+    knn_ivf,
     near_dup_pairs_cosine,
 )
 
@@ -31,6 +32,37 @@ def _cosine(a, b):
     a = a / np.linalg.norm(a)
     b = b / np.linalg.norm(b)
     return float(a @ b)
+
+
+def test_knn_ivf_full_probe_is_exact():
+    """n_probe == n_lists degrades IVF to the exact brute force."""
+    tbl, m = _emb_table()
+    q = m[7].astype(np.float64)
+    bf = knn_brute_force(rd.from_arrow(tbl).repartition(4), q, k=10)
+    iv = knn_ivf(
+        rd.from_arrow(tbl).repartition(4), q, k=10, n_lists=16, n_probe=16
+    )
+    assert bf[["vec_id", "score"]].reset_index(drop=True).equals(
+        iv[["vec_id", "score"]].reset_index(drop=True)
+    )
+
+
+def test_knn_ivf_partial_probe_recall():
+    """Partial probing trades recall for pruning; recall@10 must stay
+    high on this corpus and every returned score must be correct (IVF
+    never fabricates scores, it only restricts the candidate set)."""
+    tbl, m = _emb_table(n=400)
+    q = m[7].astype(np.float64)
+    bf = knn_brute_force(rd.from_arrow(tbl).repartition(4), q, k=10)
+    iv = knn_ivf(
+        rd.from_arrow(tbl).repartition(4), q, k=10, n_lists=16, n_probe=6
+    )
+    recall = len(set(bf["vec_id"]) & set(iv["vec_id"])) / 10
+    assert recall >= 0.7
+    bf_scores = dict(zip(bf["vec_id"], bf["score"]))
+    for vid, s in zip(iv["vec_id"], iv["score"]):
+        if vid in bf_scores:
+            assert s == bf_scores[vid]
 
 
 def test_knn_matches_brute_force():

@@ -28,7 +28,9 @@ from ..stages.groupagg import hash_grouped_aggregate
 
 
 def _read(sf_dir: str, name: str, columns=None):
-    return rd.read_parquet(
+    from ..sources.parquet import read_parquet_tuned
+
+    return read_parquet_tuned(
         os.path.join(sf_dir, f"{name}.parquet"), columns=columns
     )
 
@@ -485,7 +487,9 @@ def q_shipped_period_revenue(sf_dir: str):
     projection reads only 4 columns."""
     import pyarrow.compute as pcc
 
-    li = rd.read_parquet(
+    from ..sources.parquet import read_parquet_tuned
+
+    li = read_parquet_tuned(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=[
             "l_returnflag",
@@ -564,7 +568,9 @@ def q_customers_without_orders(sf_dir: str):
 
     import pyarrow.compute as pcc
 
-    orders = rd.read_parquet(
+    from ..sources.parquet import read_parquet_tuned
+
+    orders = read_parquet_tuned(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey"],
         filter=(pcc.field("o_orderdate") < pa.scalar(datetime.datetime(1996, 1, 1))),

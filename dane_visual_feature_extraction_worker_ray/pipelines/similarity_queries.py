@@ -19,7 +19,9 @@ QUERY_VEC_ID = 0
 
 
 def _emb(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from ..sources.parquet import read_parquet_tuned
+
+    return read_parquet_tuned(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:

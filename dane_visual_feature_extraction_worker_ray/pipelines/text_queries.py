@@ -17,7 +17,9 @@ from ..stages.text import (
 
 
 def _docs(sf_dir: str):
-    return rd.read_parquet(
+    from ..sources.parquet import read_parquet_tuned
+
+    return read_parquet_tuned(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 

@@ -23,10 +23,17 @@ def read_parquet_tuned(
     columns: list[str] | None = None,
     rows_per_block: int = DEFAULT_ROWS_PER_BLOCK,
     max_blocks: int = 512,
+    **kwargs,
 ):
+    """Extra ``kwargs`` (e.g. ``filter=``) pass through to
+    ``read_parquet``; block sizing is computed from file metadata
+    BEFORE filtering (conservative: a filtered read gets at most the
+    unfiltered block count)."""
     try:
         n_rows = pq.read_metadata(path).num_rows
     except Exception:
-        return rd.read_parquet(path, columns=columns)
+        return rd.read_parquet(path, columns=columns, **kwargs)
     blocks = max(1, min(max_blocks, (n_rows + rows_per_block - 1) // rows_per_block))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=blocks, **kwargs
+    )

@@ -166,28 +166,50 @@ def doc_fingerprints(
         s = tbl.column(text_col).to_pandas()
         ids = tbl.column(id_col).to_numpy()
         row, sh = _word_shingles(s, k)
-        out_id, out_fp = [], []
-        if len(row):
-            order = np.argsort(row, kind="stable")
-            row, sh = row[order], sh[order]
-            starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
-            ends = np.r_[starts[1:], len(row)]
-            for s0, e0 in zip(starts, ends):
-                h = sh[s0:e0]
-                if len(h) <= window:
-                    mins = {h.min()}
-                else:
-                    view = np.lib.stride_tricks.sliding_window_view(h, window)
-                    mins = set(view.min(axis=1).tolist())
-                fps = sorted(mins)
-                out_id.extend([ids[row[s0]]] * len(fps))
-                out_fp.extend(fps)
+        if len(row) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "fingerprint": pa.array([], pa.uint64()),
+                }
+            )
+        order = np.argsort(row, kind="stable")
+        row, sh = row[order], sh[order]
+        starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+        ends = np.r_[starts[1:], len(row)]
+        counts = ends - starts
+        # vectorized winnowing across ALL docs at once:
+        # 1) docs with <= window shingles contribute their global min
+        small = counts <= window
+        small_rows = row[starts[small]]
+        small_fps = np.minimum.reduceat(sh, starts)[small]
+        # 2) larger docs: one global sliding window over the
+        #    concatenated shingle array; a window is valid iff it lies
+        #    entirely inside one doc (first and last index same row)
+        if len(sh) >= window:
+            view = np.lib.stride_tricks.sliding_window_view(sh, window)
+            wmins = view.min(axis=1)
+            same_doc = row[: len(wmins)] == row[window - 1 :]
+            in_large = ~small[np.searchsorted(starts, np.arange(len(wmins)), side="right") - 1]
+            valid = same_doc & in_large
+            w_rows = row[: len(wmins)][valid]
+            w_fps = wmins[valid]
+        else:
+            w_rows = np.empty(0, np.int64)
+            w_fps = np.empty(0, np.uint64)
+        all_rows = np.concatenate([small_rows, w_rows])
+        all_fps = np.concatenate([small_fps, w_fps])
+        # distinct (doc, fingerprint), ordered by (doc, fingerprint)
+        o = np.lexsort((all_fps, all_rows))
+        all_rows, all_fps = all_rows[o], all_fps[o]
+        keep = np.ones(len(all_rows), dtype=bool)
+        keep[1:] = (all_rows[1:] != all_rows[:-1]) | (
+            all_fps[1:] != all_fps[:-1]
+        )
         return pa.table(
             {
-                id_col: pa.array(np.array(out_id, dtype=np.int64)),
-                "fingerprint": pa.array(
-                    np.array(out_fp, dtype=np.uint64)
-                ),
+                id_col: pa.array(ids[all_rows[keep]].astype(np.int64)),
+                "fingerprint": pa.array(all_fps[keep].astype(np.uint64)),
             }
         )
 

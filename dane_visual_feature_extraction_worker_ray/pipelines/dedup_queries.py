@@ -44,8 +44,11 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     LSH candidate on this corpus (near-dup pairs here sit at J >= 0.8,
     where 16-band/4-row LSH recall is ~1-6e-4 per pair and the seeded
     signatures are deterministic — verified offline at both sf tiers).
+
+    Verification runs distributed (shingle-partitioned intersection
+    counts) — shingle sets never land on the driver.
     """
-    from ..stages.dedup import jaccard_verify
+    from ..stages.dedup import jaccard_verify_distributed
 
     cand = minhash_lsh_pairs(_docs(sf_dir), threshold=0.3).to_pandas()
     pairs = list(zip(cand["doc_a"], cand["doc_b"]))
@@ -57,7 +60,7 @@ def q_dedup_ngram_jaccard(sf_dir: str):
              "doc_b": pd.Series(dtype="int64"),
              "jaccard": pd.Series(dtype="float64")}
         )
-    out = jaccard_verify(_docs(sf_dir), pairs)
+    out = jaccard_verify_distributed(_docs(sf_dir), pairs)
     return (
         out[out["jaccard"] >= NGRAM_J_THRESHOLD]
         .sort_values(["doc_a", "doc_b"])

@@ -337,6 +337,177 @@ def jaccard_verify(
     return pd.DataFrame(out)
 
 
+def _pair_struct(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Structured (a, b) array — lexicographically sortable/searchable
+    without packing two int64s into one word (no overflow at any id
+    range)."""
+    m = np.empty(len(a), dtype=[("a", "<i8"), ("b", "<i8")])
+    m["a"], m["b"] = a, b
+    return m
+
+
+def jaccard_verify_distributed(
+    docs_ds,
+    pairs: list[tuple[int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_partitions: int = 32,
+):
+    """Exact word-k-gram Jaccard for explicit candidate pairs, with the
+    set arithmetic distributed (unlike :func:`jaccard_verify`, which
+    gathers candidate shingle sets onto the driver).
+
+    |A∩B| is computed as a shingle-partitioned self-join: shingle rows
+    of candidate docs are hash-exchanged on the shingle, each partition
+    emits (a, b, 1) partials for candidate pairs sharing a shingle, and
+    a grouped sum yields the intersection; |A| comes from per-doc
+    distinct counts. Only O(#pairs + #candidate docs) rows reach the
+    driver — never the shingle sets themselves.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .exchange import hash_exchange
+    from .groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    if not pairs:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    pair_arr = np.sort(
+        _pair_struct(
+            np.array([min(p) for p in pairs], np.int64),
+            np.array([max(p) for p in pairs], np.int64),
+        )
+    )
+    wanted = np.unique(
+        np.concatenate([pair_arr["a"], pair_arr["b"]])
+    )
+    wanted_ref = ray.put(wanted)
+    pairs_ref = ray.put(pair_arr)
+
+    def _shingle_rows(tbl: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        m = pc.is_in(tbl.column(id_col), value_set=pa.array(w))
+        t = tbl.filter(m)
+        texts = t.column(text_col).to_pandas()
+        ids = t.column(id_col).to_numpy()
+        row, sh = _word_shingles(texts, shingle_k)
+        if len(row) == 0:
+            return pa.table(
+                {
+                    "shingle": pa.array([], pa.uint64()),
+                    "doc": pa.array([], pa.int64()),
+                }
+            )
+        # distinct (doc, shingle): a doc lives wholly in one batch
+        u = np.unique(np.stack([sh.astype(np.int64), ids[row]], axis=1), axis=0)
+        return pa.table(
+            {
+                "shingle": pa.array(u[:, 0].astype(np.uint64)),
+                "doc": pa.array(u[:, 1]),
+            }
+        )
+
+    shingles = docs_ds.map_batches(
+        _shingle_rows, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # per-doc distinct-shingle counts (doc wholly in one batch → the
+    # per-batch count is already exact; the grouped sum just merges)
+    sizes = hash_grouped_aggregate(
+        shingles.map_batches(
+            lambda t: group_aggregate_table(
+                t.append_column(
+                    "one", pa.array(np.ones(t.num_rows, np.int64))
+                ),
+                ["doc"],
+                [("one", "sum")],
+                ["doc", "n"],
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["doc"],
+        [("n", "sum")],
+    ).to_pandas()
+
+    inter_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n", pa.int64())]
+    )
+
+    def _inter_kernel(p: int, tbl: pa.Table) -> pa.Table:
+        cand = ray.get(pairs_ref)
+        sh = tbl.column("shingle").to_numpy()
+        doc = tbl.column("doc").to_numpy()
+        order = np.lexsort((doc, sh))
+        sh, doc = sh[order], doc[order]
+        runs = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[runs[1:], len(sh)]
+        a_l, b_l = [], []
+        for s0, e0 in zip(runs, ends):
+            d = doc[s0:e0]
+            if len(d) < 2:
+                continue
+            iu, ju = np.triu_indices(len(d), k=1)
+            a_l.append(d[iu])
+            b_l.append(d[ju])
+        if not a_l:
+            return inter_schema.empty_table()
+        a = np.concatenate(a_l)
+        b = np.concatenate(b_l)
+        keys = _pair_struct(np.minimum(a, b), np.maximum(a, b))
+        pos = np.searchsorted(cand, keys).clip(0, len(cand) - 1)
+        hit = cand[pos] == keys
+        keys = keys[hit]
+        if len(keys) == 0:
+            return inter_schema.empty_table()
+        t = pa.table(
+            {
+                "doc_a": pa.array(keys["a"]),
+                "doc_b": pa.array(keys["b"]),
+                "n": pa.array(np.ones(len(keys), np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["doc_a", "doc_b"], [("n", "sum")])
+
+    inters = hash_exchange(
+        shingles, "shingle", num_partitions, _inter_kernel,
+        empty_schema=inter_schema,
+    )
+    inter_final = hash_grouped_aggregate(
+        inters, ["doc_a", "doc_b"], [("n", "sum")]
+    ).to_pandas()
+
+    size_map = dict(zip(sizes["doc"], sizes["n"]))
+    imap = {
+        (int(a), int(b)): int(n)
+        for a, b, n in zip(
+            inter_final["doc_a"], inter_final["doc_b"], inter_final["n"]
+        )
+    }
+    out = []
+    for a, b in pairs:
+        ka, kb = (min(a, b), max(a, b))
+        inter = imap.get((ka, kb), 0)
+        union = (
+            int(size_map.get(a, 0)) + int(size_map.get(b, 0)) - inter
+        )
+        out.append(
+            {
+                "doc_a": a,
+                "doc_b": b,
+                "jaccard": inter / union if union else 0.0,
+            }
+        )
+    return pd.DataFrame(out)
+
+
 # --------------------------------------------------------------------------
 # SimHash
 

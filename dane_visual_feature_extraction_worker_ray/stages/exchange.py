@@ -89,8 +89,14 @@ def _reduce_partition(kernel, partition_idx: int, empty_schema, *frags):
         else:
             # no declared output schema: run the kernel on a typed
             # empty INPUT table so the empty output still carries the
-            # kernel's column types
-            out = kernel(partition_idx, tables[0].slice(0, 0))
+            # kernel's column types. Kernels that can't take 0 rows
+            # fall back to the input schema — harmless, because empty
+            # partitions are dropped by the driver unless EVERY
+            # partition is empty.
+            try:
+                out = kernel(partition_idx, tables[0].slice(0, 0))
+            except Exception:
+                out = tables[0].slice(0, 0)
         return out, out.num_rows
     table = pa.concat_tables(live).combine_chunks()
     out = kernel(partition_idx, table)
@@ -183,7 +189,10 @@ def hash_grouped_map(
         if tbl.num_rows == 0:
             if empty_schema is not None:
                 return empty_schema.empty_table()
-            out = fn(tbl)
+            try:
+                out = fn(tbl)
+            except Exception:
+                return tbl  # input schema; dropped unless all empty
             return out if out.num_rows == 0 else out.slice(0, 0)
         idx = pc.sort_indices(
             tbl, sort_keys=[(k, "ascending") for k in key_list]
@@ -207,7 +216,10 @@ def hash_grouped_map(
         if not outs:
             if empty_schema is not None:
                 return empty_schema.empty_table()
-            o = fn(t.slice(0, 0))
+            try:
+                o = fn(t.slice(0, 0))
+            except Exception:
+                return t.slice(0, 0)
             return o if o.num_rows == 0 else o.slice(0, 0)
         return pa.concat_tables(outs)
 

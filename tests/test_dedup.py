@@ -93,6 +93,23 @@ def test_jaccard_verify_matches_brute():
         assert abs(r["jaccard"] - brute[(r["doc_a"], r["doc_b"])]) < 1e-12
 
 
+def test_jaccard_verify_distributed_matches_driver():
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        jaccard_verify_distributed,
+    )
+
+    tbl = _corpus()
+    cand = [(0, 1), (0, 2), (0, 15), (3, 4), (2, 15)]
+    drv = jaccard_verify(rd.from_arrow(tbl), cand)
+    dist = jaccard_verify_distributed(
+        rd.from_arrow(tbl), cand, num_partitions=8
+    )
+    pd.testing.assert_frame_equal(
+        drv.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        dist.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+    )
+
+
 def test_simhash_near_dups():
     tbl = _corpus()
     # bands=16 → pigeonhole guarantees recall up to hamming 15 >= 10

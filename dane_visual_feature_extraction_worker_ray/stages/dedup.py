@@ -528,7 +528,10 @@ def simhash_signatures(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
                 (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)
             ).astype(np.int64) * 2 - 1
-            np.add.at(votes, row, bits)
+            # rows from explode are non-decreasing → segment-sum with
+            # reduceat (C loop) instead of the slow np.add.at scatter
+            starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+            votes[row[starts]] = np.add.reduceat(bits, starts, axis=0)
         sig = (votes > 0).astype(np.uint64)
         packed = np.zeros(n, dtype=np.uint64)
         for b in range(64):

@@ -575,10 +575,25 @@ def q_customers_without_orders(sf_dir: str):
         columns=["o_custkey"],
         filter=(pcc.field("o_orderdate") < pa.scalar(datetime.datetime(1996, 1, 1))),
     )
-    keys = set()
-    for b in orders.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        keys.update(b.column("o_custkey").to_pylist())
-    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+    # per-batch distinct upstream, Arrow/numpy end-to-end on the driver
+    # (no Python set / to_pylist detour); the broadcast side is the
+    # distinct customer-key set — dimension-scale, not fact-scale
+    dedup = orders.map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t.column("o_custkey").cast(pa.int64()).unique()}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    parts = [
+        b.column("o_custkey").to_numpy()
+        for b in dedup.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    keys_ref = ray.put(
+        np.unique(np.concatenate(parts))
+        if parts
+        else np.array([], np.int64)
+    )
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
 

@@ -617,3 +617,83 @@ WHERE c_custkey NOT IN
 
 QUERIES["customers_without_orders"] = q_customers_without_orders
 ORACLE_SQL["customers_without_orders"] = SQL_ANTI
+
+
+# --------------------------------------------------------------------------
+# brand revenue: lineitem ⋈ part (dimension broadcast) — exercises the
+# until-now-unused part table
+
+
+def q_brand_revenue(sf_dir: str):
+    """Revenue by part brand: part is dimension-scale → broadcast
+    pre-sorted (key, brand) arrays once; lineitem streams partials."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    part = part.sort_values("p_partkey")
+    keys_ref = ray.put(part["p_partkey"].to_numpy(dtype=np.int64))
+    brands_ref = ray.put(part["p_brand"].to_numpy(dtype=object))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        brands = ray.get(brands_ref)
+        pk = tbl.column("l_partkey").to_numpy()
+        if len(keys) == 0:
+            return pa.table(
+                {"p_brand": pa.array([], pa.string()),
+                 "rev_c2": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        pos = np.searchsorted(keys, pk).clip(0, len(keys) - 1)
+        hit = keys[pos] == pk
+        rev = _cents(tbl.column("l_extendedprice")) * (
+            100 - _cents(tbl.column("l_discount"))
+        )
+        t = pa.table(
+            {
+                "p_brand": pa.array(brands[pos], type=pa.string()),
+                "rev_c2": pa.array(rev),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        ).filter(pa.array(hit))
+        from ..stages.groupagg import group_aggregate_table
+
+        return group_aggregate_table(
+            t, ["p_brand"], [("rev_c2", "sum"), ("n", "sum")]
+        )
+
+    partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    final = hash_grouped_aggregate(
+        partials, ["p_brand"], [("rev_c2", "sum"), ("n", "sum")]
+    )
+
+    def _finish(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": tbl.column("p_brand"),
+                "revenue": pa.array(
+                    tbl.column("rev_c2").cast(pa.int64()).to_numpy()
+                    .astype(np.float64)
+                    / 10_000.0
+                ),
+                "n_items": tbl.column("n").cast(pa.int64()),
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pyarrow")
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand,
+  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""".strip()
+
+QUERIES["brand_revenue"] = q_brand_revenue
+ORACLE_SQL["brand_revenue"] = SQL_BRAND_REVENUE

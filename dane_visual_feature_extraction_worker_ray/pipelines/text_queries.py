@@ -118,6 +118,61 @@ FROM scored
 ORACLE_SQL["lang_id"] = _lang_id_sql()
 
 
+def q_top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Grouped window-rank: top-k documents per language by n_chars
+    (deterministic tie-break on doc_id) — row_number() OVER (PARTITION
+    BY lang ORDER BY ...) expressed as a hash_grouped_map (one
+    co-located group per call, rank computed with a lexsort)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.exchange import hash_grouped_map
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("doc_id", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("rnk", pa.int64()),
+        ]
+    )
+
+    def _top(g: pa.Table) -> pa.Table:
+        nc = g.column("n_chars").to_numpy()
+        ids = g.column("doc_id").to_numpy()
+        order = np.lexsort((ids, -nc))[:k]
+        t = g.take(pa.array(order))
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return hash_grouped_map(
+        docs, ["lang"], _top, num_partitions=8, empty_schema=out_schema
+    )
+
+
+QUERIES["top_docs_per_lang"] = q_top_docs_per_lang
+ORACLE_SQL["top_docs_per_lang"] = """
+SELECT lang, doc_id, n_chars, rnk FROM (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(n_chars AS BIGINT) AS n_chars,
+    CAST(row_number() OVER (
+      PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+  FROM documents)
+WHERE rnk <= 3
+""".strip()
+
+
 def q_sample_documents(sf_dir: str):
     """Deterministic systematic sample (doc_id % 7 == 0) — the
     reproducible sampling pattern for training-data subsetting (seeded

@@ -5,6 +5,7 @@ validity — the randomized complement to the fixed-seed golden tests."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from hypothesis import given, settings, strategies as st
 
 from dane_visual_feature_extraction_worker_ray.functions import segkernels as sk
@@ -122,3 +123,140 @@ def test_asof_property(left, right, allow_exact):
             assert ok[i] and idx[i] == c[-1]
         else:
             assert not ok[i]
+
+
+# ---------------------------------------------------------------------------
+# salted stitching property: Ray-free drive of the phase-A summary →
+# carry combine → phase-B kernels against the unsalted bucket kernel,
+# over adversarial timestamp patterns (zero-gap runs spanning chunk
+# boundaries, session-breaking gaps, sparse tools, snapshots)
+
+
+@st.composite
+def _conversation(draw):
+    n = draw(st.integers(min_value=1, max_value=90))
+    # gap alphabet: 0 (equal-ts runs), small, around the session gap
+    gaps = draw(
+        st.lists(
+            st.sampled_from([0, 0, 1, 1_000_000, 5 * 3600 * 1_000_000]),
+            min_size=n - 1,
+            max_size=n - 1,
+        )
+    )
+    tool = draw(
+        st.lists(
+            st.sampled_from([None, None, None, "search", "code"]),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    n_snaps = draw(st.integers(min_value=0, max_value=5))
+    snap_offsets = draw(
+        st.lists(
+            st.integers(min_value=-10, max_value=200),
+            min_size=n_snaps,
+            max_size=n_snaps,
+        )
+    )
+    return n, gaps, tool, snap_offsets
+
+
+@settings(max_examples=60, deadline=None)
+@given(conv=_conversation(), salt_chunk=st.sampled_from([5, 7, 13]))
+def test_salted_stitching_property(conv, salt_chunk):
+    import pyarrow as pa
+
+    from dane_visual_feature_extraction_worker_ray.config import (
+        FeatureConfig,
+    )
+    from dane_visual_feature_extraction_worker_ray.stages.salting import (
+        _phase_a,
+        _phase_b,
+        combine_carries,
+    )
+    from dane_visual_feature_extraction_worker_ray.stages.transcript_features import (
+        _align_snaps,
+        _align_turns,
+        compute_bucket_features,
+    )
+
+    n, gaps, tool, snap_offsets = conv
+    cfg = FeatureConfig()
+    base = 1_700_000_000_000_000
+    ts = base + np.cumsum(np.r_[0, np.asarray(gaps, np.int64)])
+    turns = pa.table(
+        {
+            "conv_id": pa.array(["c"] * n, pa.string()),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "role": pa.array(
+                np.array(["user", "assistant"], object)[np.arange(n) % 2]
+            ),
+            "text": pa.array([f"t{i}" for i in range(n)], pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    snaps = pa.table(
+        {
+            "conv_id": pa.array(["c"] * len(snap_offsets), pa.string()),
+            "ts": pa.array(
+                np.array(
+                    [base + o * 1_000_000 for o in snap_offsets], np.int64
+                ),
+                pa.timestamp("us"),
+            ),
+            "snap_val": pa.array(
+                [float(i) for i in range(len(snap_offsets))], pa.float64()
+            ),
+            "snap_tag": pa.array(
+                ["s"] * len(snap_offsets), pa.string()
+            ),
+        }
+    )
+
+    aligned = pa.concat_tables(
+        [_align_turns(turns, False), _align_snaps(snaps)]
+    )
+    plain = (
+        compute_bucket_features(aligned, cfg)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    # salted path, driven directly: chunk on turn_idx // salt_chunk,
+    # snapshots replicated to every chunk
+    tix = aligned.column("turn_idx").to_numpy(zero_copy_only=False)
+    is_snap = aligned.column("is_snap").to_numpy(zero_copy_only=False)
+    n_chunks = (n + salt_chunk - 1) // salt_chunk
+    chunks = []
+    for c in range(n_chunks):
+        t_mask = (~is_snap) & (tix >= c * salt_chunk) & (
+            tix < (c + 1) * salt_chunk
+        )
+        grp = pa.concat_tables(
+            [
+                aligned.filter(pa.array(t_mask)),
+                aligned.filter(pa.array(is_snap)),
+            ]
+        ).append_column(
+            "salt",
+            pa.array(
+                np.full(
+                    int(t_mask.sum()) + int(is_snap.sum()), c, np.int64
+                )
+            ),
+        )
+        chunks.append(grp)
+
+    summaries = pa.concat_tables(
+        [_phase_a(g, cfg) for g in chunks]
+    ).to_pandas()
+    carries = combine_carries(summaries, cfg)
+    out = pa.concat_tables([_phase_b(g, cfg, carries) for g in chunks])
+    salted = (
+        out.to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(salted, plain)

@@ -36,26 +36,23 @@ def session_stats(
     def _partial(tbl: pa.Table) -> pa.Table:
         # a session may straddle map_batches boundaries → emit mergeable
         # partials here, combine in the (tiny) final groupby below
-        g = (
-            tbl.select(["conv_id", "session_id", "ts", "tool", "turn_idx"])
-            .group_by(["conv_id", "session_id"])
-            .aggregate(
-                [
-                    ("turn_idx", "count"),
-                    ("tool", "count"),
-                    ("ts", "min"),
-                    ("ts", "max"),
-                ]
-            )
+        from .groupagg import group_aggregate_table
+
+        g = group_aggregate_table(
+            tbl.select(["conv_id", "session_id", "ts", "tool", "turn_idx"]),
+            ["conv_id", "session_id"],
+            [("turn_idx", "count"), ("tool", "count"),
+             ("ts", "min"), ("ts", "max")],
+            ["conv_id", "session_id", "n_turns", "n_tool", "t0_us", "t1_us"],
         )
         return pa.table(
             {
                 "conv_id": g.column("conv_id"),
                 "session_id": g.column("session_id"),
-                "n_turns": g.column("turn_idx_count").cast(pa.int64()),
-                "n_tool": g.column("tool_count").cast(pa.int64()),
-                "t0_us": g.column("ts_min").cast(pa.int64()),
-                "t1_us": g.column("ts_max").cast(pa.int64()),
+                "n_turns": g.column("n_turns").cast(pa.int64()),
+                "n_tool": g.column("n_tool").cast(pa.int64()),
+                "t0_us": g.column("t0_us").cast(pa.int64()),
+                "t1_us": g.column("t1_us").cast(pa.int64()),
             }
         )
 
@@ -117,15 +114,20 @@ def tumbling_aggregate(
                 "tool": tbl.column("tool"),
             }
         )
-        g = t.group_by(["conv_id", "w_us"]).aggregate(
-            [("w_us", "count"), ("tool", "count")]
+        from .groupagg import group_aggregate_table
+
+        g = group_aggregate_table(
+            t,
+            ["conv_id", "w_us"],
+            [("w_us", "count"), ("tool", "count")],
+            ["conv_id", "w_us", "turn_cnt", "tool_cnt"],
         )
         return pa.table(
             {
                 "conv_id": g.column("conv_id"),
                 "w_us": g.column("w_us"),
-                "turn_cnt": g.column("w_us_count").cast(pa.int64()),
-                "tool_cnt": g.column("tool_count").cast(pa.int64()),
+                "turn_cnt": g.column("turn_cnt").cast(pa.int64()),
+                "tool_cnt": g.column("tool_cnt").cast(pa.int64()),
             }
         )
 

@@ -180,6 +180,11 @@ def hash_grouped_map(
     per-group-run application of ``fn`` (a whole co-located group per
     call, like ``map_groups``). Groups are never split; empty
     partitions yield typed empty tables.
+
+    Key columns must be non-null and non-float (run detection compares
+    adjacent values; NaN != NaN and int-with-null → float casting would
+    shatter groups) — true of every engine key (strings, ints, uint64
+    hashes).
     """
     import pyarrow.compute as pc
 

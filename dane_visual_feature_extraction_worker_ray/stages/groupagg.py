@@ -34,11 +34,22 @@ def group_aggregate_table(
     """
     out_names = out_names or (keys + [c for c, _ in agg_spec])
     if table.num_rows == 0:
-        fields = [
+        # sum/min/max preserve the input column type; count families
+        # always yield int64
+        key_fields = [
             pa.field(n, table.schema.field(k).type)
-            for n, k in zip(out_names, keys + [c for c, _ in agg_spec])
+            for n, k in zip(out_names, keys)
         ]
-        return pa.schema(fields).empty_table()
+        agg_fields = [
+            pa.field(
+                n,
+                pa.int64()
+                if agg.startswith("count")
+                else table.schema.field(c).type,
+            )
+            for n, (c, agg) in zip(out_names[len(keys):], agg_spec)
+        ]
+        return pa.schema(key_fields + agg_fields).empty_table()
     g = table.group_by(keys).aggregate(agg_spec)
     return g.rename_columns(out_names)
 

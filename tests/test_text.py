@@ -102,3 +102,53 @@ def test_doc_fingerprints_deterministic_and_containment():
     f2 = set(got[got["doc_id"] == 2]["fingerprint"])
     assert f0 == f1 and len(f0) > 0
     assert f0 != f2
+
+
+def test_winnowing_matches_naive_reference():
+    """The global-sliding-window winnowing kernel must equal the
+    straightforward per-doc reference implementation on random docs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        _word_shingles,
+    )
+
+    k, window = 4, 5
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(1, 40)))
+        for _ in range(150)
+    ]
+
+    def naive():
+        row, sh = _word_shingles(pd.Series(texts), k)
+        out = {}
+        order = np.argsort(row, kind="stable")
+        row, sh = row[order], sh[order]
+        starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+        ends = np.r_[starts[1:], len(row)]
+        for s0, e0 in zip(starts, ends):
+            h = sh[s0:e0]
+            if len(h) <= window:
+                mins = {int(h.min())}
+            else:
+                v = np.lib.stride_tricks.sliding_window_view(h, window)
+                mins = set(int(x) for x in v.min(axis=1))
+            out[int(row[s0])] = mins
+        return out
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got_df = doc_fingerprints(rd.from_arrow(tbl), k=k, window=window).to_pandas()
+    got = {
+        int(d): set(int(x) for x in g["fingerprint"])
+        for d, g in got_df.groupby("doc_id")
+    }
+    assert got == naive()

@@ -18,5 +18,22 @@ def q_media_features(sf_dir: str):
     return extract_media_features(media, concurrency=2)
 
 
-QUERIES = {"media_features": q_media_features}
+def q_media_frame_sample(sf_dir: str):
+    """Frame-sampled media features: every 2nd distinct timestamp per
+    asset kept (both modalities), then the extractor pool — the
+    decode-volume-reduction path a video pipeline runs before the
+    expensive stage (rows-only; same seeded corpus)."""
+    from ..stages.multimodal import sample_frames
+
+    media = rd.from_arrow(
+        synthesize_media_table(n_assets=8, frames_per_asset=12)
+    )
+    sampled = sample_frames(media, every_n=2, num_partitions=8)
+    return extract_media_features(sampled, concurrency=2)
+
+
+QUERIES = {
+    "media_features": q_media_features,
+    "media_frame_sample": q_media_frame_sample,
+}
 ORACLE_SQL: dict[str, str] = {}

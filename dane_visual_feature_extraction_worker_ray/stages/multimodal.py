@@ -103,6 +103,40 @@ def _stub_decode(payloads: list[bytes | None], out_dim: int, seed: int) -> np.nd
     return out
 
 
+def sample_frames(media_ds, every_n: int = 2, num_partitions: int = 32):
+    """Deterministic temporal frame sampling: keep every ``every_n``-th
+    distinct timestamp per asset (rank in ts order), BOTH modalities of
+    a kept timestamp retained. The reference reads all keyframes a
+    pre-processor sampled offline (``data_handling.py:31-33``); at
+    engine scale this is the knob that cuts decode volume before the
+    actor pool.
+
+    Runs as a :func:`hash_grouped_map` on ``asset_id`` — an asset's
+    frames co-locate, rank is a vectorized run-length over sorted ts.
+    """
+    from .exchange import hash_grouped_map
+
+    def _sample(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        new_ts = np.ones(len(ts_s), dtype=bool)
+        new_ts[1:] = ts_s[1:] != ts_s[:-1]
+        rank = np.cumsum(new_ts) - 1  # dense rank of each distinct ts
+        keep_sorted = (rank % every_n) == 0
+        keep = np.zeros(len(ts), dtype=bool)
+        keep[order] = keep_sorted
+        return g.filter(pa.array(keep))
+
+    return hash_grouped_map(
+        media_ds,
+        "asset_id",
+        _sample,
+        num_partitions=num_partitions,
+        empty_schema=media_schema(),
+    )
+
+
 def mock_decode_fn(payloads, modality: str, out_dim: int) -> np.ndarray:
     """Reference implementation of the ``decoder="real"`` plug-point
     contract (torchvision-read_image-like: bytes in, float matrix out)

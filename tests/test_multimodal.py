@@ -101,3 +101,38 @@ def test_deterministic_across_runs():
         np.vstack(a["media_vec"].to_numpy()),
         np.vstack(b["media_vec"].to_numpy()),
     )
+
+
+def test_sample_frames_every_n():
+    from dane_visual_feature_extraction_worker_ray.stages.multimodal import (
+        sample_frames,
+    )
+
+    t = synthesize_media_table(n_assets=3, frames_per_asset=10)
+    out = sample_frames(rd.from_arrow(t), every_n=3, num_partitions=4).to_pandas()
+    src = t.to_pandas()
+    src["ts_i"] = src["ts"].astype("int64")
+    out["ts_i"] = out["ts"].astype("int64")
+    for aid, g in src.groupby("asset_id"):
+        distinct_ts = np.sort(g["ts_i"].unique())
+        kept_ts = set(distinct_ts[::3])
+        got = out[out["asset_id"] == aid]
+        assert set(got["ts_i"].unique()) == kept_ts
+        # both modalities of a kept timestamp survive
+        for ts in kept_ts:
+            exp_mods = set(g[g["ts_i"] == ts]["modality"])
+            assert set(got[got["ts_i"] == ts]["modality"]) == exp_mods
+
+
+def test_sample_frames_then_extract_pipeline():
+    from dane_visual_feature_extraction_worker_ray.stages.multimodal import (
+        sample_frames,
+    )
+
+    t = synthesize_media_table(n_assets=2, frames_per_asset=8)
+    sampled = sample_frames(rd.from_arrow(t), every_n=2, num_partitions=4)
+    out = extract_media_features(sampled, concurrency=2).to_pandas()
+    n_keys = (
+        sampled.to_pandas()[["asset_id", "ts"]].drop_duplicates().shape[0]
+    )
+    assert len(out) == n_keys

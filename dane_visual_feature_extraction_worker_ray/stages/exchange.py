@@ -185,6 +185,12 @@ def hash_grouped_map(
     adjacent values; NaN != NaN and int-with-null → float casting would
     shatter groups) — true of every engine key (strings, ints, uint64
     hashes).
+
+    ``fn`` must BUILD its output (``take`` / ``filter`` / fresh arrays),
+    not return a raw ``slice`` of its input: the reduce task's return
+    value is pickled, and pickling an Arrow slice ships the ENTIRE
+    parent partition buffer (see ``_ipc_bytes``). Every in-repo kernel
+    complies.
     """
     import pyarrow.compute as pc
 

@@ -30,12 +30,21 @@ The hash function is the same stable ``hash64 % P`` used everywhere
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
 
 from ..functions.hashing import bucket_of, hash64, hash64_columns
+
+logger = logging.getLogger(__name__)
+
+# one reduce task concatenates its whole partition in heap; past this
+# size the partition count is undersized for the input (or one key is
+# pathologically hot) — warn loudly instead of OOMing silently
+PARTITION_BYTES_WARN = 4 << 30
 
 
 def _ipc_bytes(tbl: pa.Table) -> bytes:
@@ -98,6 +107,13 @@ def _reduce_partition(kernel, partition_idx: int, empty_schema, *frags):
             except Exception:
                 out = tables[0].slice(0, 0)
         return out, out.num_rows
+    part_bytes = sum(t.nbytes for t in live)
+    if part_bytes > PARTITION_BYTES_WARN:
+        logger.warning(
+            "hash_exchange: partition %d holds %.1f GiB in one reduce "
+            "task — raise num_partitions (or salt the hot key)",
+            partition_idx, part_bytes / (1 << 30),
+        )
     table = pa.concat_tables(live).combine_chunks()
     out = kernel(partition_idx, table)
     return out, out.num_rows

@@ -1,0 +1,197 @@
+"""End-to-end training-data curation pipeline, fully oracle-checked.
+
+The composed shape every corpus build runs (the brief's "would a user
+of the reference switch": quality gate → dedup → subset → stats), as
+ONE streaming Ray pipeline over the ``documents`` table:
+
+1. quality filter (per-batch, text_quality's exact definitions:
+   single-space tokens, integer counts, one IEEE division),
+2. exact dedup keeping the MIN doc_id per distinct text — survivor
+   attributes (lang) ride the aggregation as a combined
+   ``doc_id * K + lang_code`` key (min over the group = min-doc's
+   code, because doc_id strictly dominates), so no join-back and no
+   corpus-scale broadcast; the lang-code table itself is a distinct
+   pass over a bounded-cardinality column (legitimately broadcast),
+3. deterministic systematic sample (doc_id % 3 == 0),
+4. per-language aggregate (n_docs, total_chars) via the partial →
+   hash-exchange combine.
+
+Reference analog: the end-to-end job chain (download → process →
+upload) in ``/root/reference/worker.py:66-90`` — re-expressed as
+dataset stages instead of callback steps.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+from ..stages.text import _STOPWORDS
+
+MIN_WORDS = 30
+MAX_STOPWORD_RATIO = 0.12
+SAMPLE_MOD = 3
+_LANG_K = 1024  # combined-key multiplier; lang codes < _LANG_K
+
+
+def q_curation_stats(sf_dir: str):
+    import ray
+
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    # distinct langs (bounded cardinality) → stable code table
+    lang_parts = docs.map_batches(
+        lambda t: pa.table({"lang": t.column("lang").unique()}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    langs = sorted(
+        set(
+            l
+            for b in lang_parts.iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+            for l in b.column("lang").to_pylist()
+        )
+    )
+    assert len(langs) < _LANG_K
+    code_of = {l: i for i, l in enumerate(langs)}
+    langs_ref = ray.put(np.array(langs, dtype=object))
+    codes_ref = ray.put(code_of)
+
+    stop_set = frozenset(_STOPWORDS)
+
+    def _filter_and_key(tbl: pa.Table) -> pa.Table:
+        """Quality gate + per-batch dedup partial on (hash, text)."""
+        import pandas as pd
+
+        from ..functions.hashing import hash64
+
+        s = tbl.column("text").to_pandas().fillna("")
+        words = s.str.split(" ")
+        n_words = words.str.len().to_numpy(dtype=np.int64)
+        ex = words.explode()
+        mask = ex.notna()
+        row = ex.index.to_numpy()[mask].astype(np.int64)
+        stop_hits = ex[mask].isin(stop_set).to_numpy()
+        n_stop = np.bincount(
+            row, weights=stop_hits.astype(np.float64), minlength=len(s)
+        ).astype(np.int64)
+        nw_safe = np.where(n_words == 0, 1, n_words)
+        ratio = n_stop.astype(np.float64) / nw_safe.astype(np.float64)
+        keep = (n_words >= MIN_WORDS) & (ratio <= MAX_STOPWORD_RATIO)
+
+        t = tbl.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "text": pa.array([], pa.string()),
+                    "combined": pa.array([], pa.int64()),
+                }
+            )
+        cmap = ray.get(codes_ref)
+        st = t.column("text").to_pandas()
+        codes = (
+            t.column("lang").to_pandas().map(cmap).to_numpy(dtype=np.int64)
+        )
+        ids = t.column("doc_id").to_numpy()
+        combined = ids * _LANG_K + codes
+        p = pa.table(
+            {
+                "h": pa.array(hash64(st)),
+                "text": t.column("text"),
+                "combined": pa.array(combined),
+            }
+        )
+        return group_aggregate_table(p, ["h", "text"], [("combined", "min")])
+
+    partials = docs.map_batches(
+        _filter_and_key, batch_format="pyarrow", batch_size=None
+    )
+    survivors = hash_grouped_aggregate(
+        partials, ["h", "text"], [("combined", "min")]
+    )
+
+    def _sample_and_partial(tbl: pa.Table) -> pa.Table:
+        comb = tbl.column("combined").to_numpy()
+        ids = comb // _LANG_K
+        codes = comb % _LANG_K
+        keep = (ids % SAMPLE_MOD) == 0
+        if not keep.any():
+            return pa.table(
+                {
+                    "code": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "chars": pa.array([], pa.int64()),
+                }
+            )
+        import pyarrow.compute as pc
+
+        n_chars = pc.utf8_length(tbl.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        p = pa.table(
+            {
+                "code": pa.array(codes[keep]),
+                "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+                "chars": pa.array(n_chars[keep]),
+            }
+        )
+        return group_aggregate_table(
+            p, ["code"], [("n", "sum"), ("chars", "sum")]
+        )
+
+    agg = hash_grouped_aggregate(
+        survivors.map_batches(
+            _sample_and_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["code"],
+        [("n", "sum"), ("chars", "sum")],
+    )
+
+    def _finish(tbl: pa.Table) -> pa.Table:
+        langs_arr = ray.get(langs_ref)
+        codes = tbl.column("code").to_numpy()
+        return pa.table(
+            {
+                "lang": pa.array(langs_arr[codes], pa.string()),
+                "n_docs": tbl.column("n").cast(pa.int64()),
+                "total_chars": tbl.column("chars").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+SQL_CURATION = f"""
+WITH q AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE len(string_split(text, ' ')) >= {MIN_WORDS}
+    AND CAST(len(list_filter(string_split(text, ' '),
+          x -> x IN ({_STOPLIST_SQL}))) AS DOUBLE)
+        / len(string_split(text, ' ')) <= {MAX_STOPWORD_RATIO}
+), d AS (
+  SELECT text, min(doc_id) AS doc_id FROM q GROUP BY text
+), s AS (
+  SELECT q.doc_id, q.text, q.lang FROM q JOIN d ON q.doc_id = d.doc_id
+), samp AS (
+  SELECT * FROM s WHERE doc_id % {SAMPLE_MOD} = 0
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM samp GROUP BY lang
+""".strip()
+
+QUERIES = {"curation_stats": q_curation_stats}
+ORACLE_SQL = {"curation_stats": SQL_CURATION}

@@ -220,7 +220,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
         stp, ssp = ensure_skew_corpus()
         ds = compute_features_auto(
-            read_parquet_tuned(stp), read_parquet_tuned(ssp), cfg, pcfg
+            read_parquet_tuned(stp), read_parquet_tuned(ssp), cfg, pcfg,
+            detection_ds=read_parquet_tuned(stp, columns=["conv_id"]),
         )
         n = 0
         for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):

@@ -443,19 +443,33 @@ def compute_features_auto(
     snapshots_ds=None,
     cfg: FeatureConfig | None = None,
     pcfg: PartitionConfig | None = None,
+    detection_ds=None,
 ):
     """Flagship features with automatic skew salting.
 
     Requires a dense ``turn_idx`` column (the canonical transcript
     schema). Non-skewed conversations take the normal one-shuffle path;
     mega-conversations are chunked and exactly stitched.
+
+    ``detection_ds``: optional conv_id-only dataset for the counting
+    pre-pass — pass ``read_parquet_tuned(path, columns=["conv_id"])``
+    when reading from parquet (true read-level pruning is ~4× faster
+    than the post-read ``select_columns`` fallback used otherwise).
     """
     cfg = cfg or FeatureConfig()
     pcfg = pcfg or PartitionConfig()
     if cfg.row_window > pcfg.salt_chunk:
         raise ValueError("salt_chunk must be >= row_window")
 
-    mega = detect_mega_conversations(turns_ds, pcfg.salt_threshold)
+    # detection needs ONLY conv_id
+    mega = detect_mega_conversations(
+        (
+            detection_ds
+            if detection_ds is not None
+            else turns_ds.select_columns(["conv_id"])
+        ),
+        pcfg.salt_threshold,
+    )
     if len(mega) == 0:
         return compute_features(turns_ds, snapshots_ds, cfg, pcfg)
 

@@ -173,8 +173,64 @@ def q_window_tumbling(sf_dir: str):
     return tumbling_aggregate(events_to_turns(ev), cfg=CFG)
 
 
+def q_flagship_salted(sf_dir: str):
+    """The flagship feature set computed through the SKEW-SALTED path
+    (salt_threshold below the median conversation size, so most
+    conversations are chunked and exactly stitched) — shares the
+    flagship oracle, proving salted == unsalted in the driver gate, not
+    just in pytest.
+
+    turn_idx is pre-assigned per conversation with the same
+    (ts, order_key) ordering the kernel uses (dense rank via a grouped
+    map), because turn-range salting chunks on it."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..config import PartitionConfig
+    from ..stages.exchange import hash_grouped_map
+    from ..stages.salting import compute_features_auto
+
+    ev = _events(sf_dir)
+    turns = events_to_turns(ev)
+    idx_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("order_key", pa.int64()),
+            ("turn_idx", pa.int32()),
+        ]
+    )
+
+    def _rank(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        ok = g.column("order_key").to_numpy(zero_copy_only=False)
+        ok = np.where(pd.isna(ok), 0, ok).astype(np.int64)
+        order = np.lexsort((ok, ts))
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        return g.append_column(
+            "turn_idx", pa.array(inv.astype(np.int32))
+        ).cast(idx_schema)
+
+    turns_idx = hash_grouped_map(
+        turns, "conv_id", _rank, num_partitions=16, empty_schema=idx_schema
+    )
+    pcfg_salt = PartitionConfig(
+        num_buckets=PCFG.num_buckets, salt_threshold=50, salt_chunk=16
+    )
+    feats = compute_features_auto(
+        turns_idx, events_to_snapshots(ev), CFG, pcfg_salt
+    )
+    return feats.select_columns(FLAGSHIP_COLS)
+
+
 QUERIES = {
     "transcripts_ingest": q_transcripts_ingest,
+    "flagship_salted": q_flagship_salted,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "window_sliding": q_window_sliding,
@@ -212,6 +268,10 @@ ORACLE_SQL = {
         SQL_PREAMBLE + " SELECT conv_id, turn_idx, tool, ffill_tool FROM feats"
     ),
     "flagship_features": (
+        SQL_PREAMBLE + " SELECT " + ", ".join(FLAGSHIP_COLS) + " FROM asofj"
+    ),
+    # salted path must be bit-identical to the unsalted flagship
+    "flagship_salted": (
         SQL_PREAMBLE + " SELECT " + ", ".join(FLAGSHIP_COLS) + " FROM asofj"
     ),
     "session_stats": (

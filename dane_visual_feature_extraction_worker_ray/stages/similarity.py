@@ -214,6 +214,12 @@ def near_dup_pairs_cosine(
     verified inside each bucket; duplicates across tables are merged by
     a final (tiny) groupby. Recall grows with n_tables; guaranteed hits
     for very high thresholds.
+
+    Scale trade-off (deliberate): normalized vectors ride the shuffle
+    ×``n_tables`` as float32 so each bucket can verify cosine exactly
+    (1e-6 contract; float16 would halve the bytes but break it). At
+    extreme scale prefer fewer/wider tables or a two-pass design that
+    re-reads vectors for surviving candidates only.
     """
     def _buckets(tbl: pa.Table) -> pa.Table:
         m = _normalize(_matrix(tbl, vec_col).astype(np.float64))

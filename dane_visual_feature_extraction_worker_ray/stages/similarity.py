@@ -94,6 +94,8 @@ def knn_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_decimals: int | None = 4,
+    kmeans_iters: int = 0,
+    train_sample: int = 8192,
 ):
     """IVF-bucketed approximate cosine top-k — the scale path next to
     :func:`knn_brute_force`.
@@ -104,17 +106,32 @@ def knn_ivf(
     a query scores ONLY rows whose list is among its ``n_probe``
     closest centroids (rows outside every probed list are dropped
     before the scoring matmul). ``n_probe == n_lists`` degrades to the
-    exact brute force. Centroids are broadcast once via ``ray.put``.
+    exact brute force for ANY centroid set. Centroids are broadcast
+    once via ``ray.put``.
+
+    ``kmeans_iters > 0`` refines the centroids with spherical-k-means
+    Lloyd steps over a deterministic hash-based sample of at most
+    ``train_sample`` rows (driver-side numpy over a bounded sample —
+    the legitimate small side) — better recall per probed list.
     """
     q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
 
-    # deterministic centroid pick: n_lists smallest ids, streamed
+    # deterministic centroid pick: n_lists smallest ids, streamed;
+    # with kmeans also a bounded hash-based training sample
+    want_sample = n_lists if kmeans_iters == 0 else max(n_lists, train_sample)
+
     def _cand(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy()
+        keep = np.zeros(len(ids), dtype=bool)
         if len(ids) > n_lists:
-            idx = np.sort(np.argpartition(ids, n_lists)[:n_lists])
-            tbl = tbl.take(pa.array(idx))
-        return tbl.select([id_col, vec_col])
+            keep[np.argpartition(ids, n_lists)[:n_lists]] = True
+        else:
+            keep[:] = True
+        if kmeans_iters > 0:
+            # deterministic ~train_sample-sized sample by id hash
+            h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            keep |= (h % np.uint64(997)).astype(np.int64) < 97
+        return tbl.filter(pa.array(keep)).select([id_col, vec_col])
 
     cand = pa.concat_tables(
         list(
@@ -128,6 +145,18 @@ def knn_ivf(
     centroids = _normalize(
         _matrix(cand.take(pa.array(order)), vec_col).astype(np.float64)
     )
+    if kmeans_iters > 0 and cand.num_rows > n_lists:
+        train = _normalize(_matrix(cand, vec_col).astype(np.float64))
+        if len(train) > train_sample:
+            t_order = np.argsort(cids)[:train_sample]
+            train = train[t_order]
+        for _ in range(kmeans_iters):
+            assign = np.argmax(train @ centroids.T, axis=1)
+            for c in range(len(centroids)):
+                members = train[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+            centroids = _normalize(centroids)
     c_ref = ray.put(centroids)
     # per-query probe sets → (n_lists, nq) membership matrix
     probe_rank = np.argsort(-(centroids @ q.T), axis=0, kind="stable")

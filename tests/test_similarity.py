@@ -65,6 +65,32 @@ def test_knn_ivf_partial_probe_recall():
             assert s == bf_scores[vid]
 
 
+def test_knn_ivf_kmeans_refinement():
+    """k-means-refined centroids: full probe stays exact (invariant for
+    ANY centroid set), partial-probe recall stays high, every returned
+    score is still the exact cosine."""
+    tbl, m = _emb_table(n=400)
+    q = m[7].astype(np.float64)
+    bf = knn_brute_force(rd.from_arrow(tbl).repartition(4), q, k=10)
+    full = knn_ivf(
+        rd.from_arrow(tbl).repartition(4), q, k=10, n_lists=16, n_probe=16,
+        kmeans_iters=4,
+    )
+    assert bf[["vec_id", "score"]].reset_index(drop=True).equals(
+        full[["vec_id", "score"]].reset_index(drop=True)
+    )
+    part = knn_ivf(
+        rd.from_arrow(tbl).repartition(4), q, k=10, n_lists=16, n_probe=6,
+        kmeans_iters=4,
+    )
+    recall = len(set(bf["vec_id"]) & set(part["vec_id"])) / 10
+    assert recall >= 0.7
+    bf_scores = dict(zip(bf["vec_id"], bf["score"]))
+    for vid, s in zip(part["vec_id"], part["score"]):
+        if vid in bf_scores:
+            assert s == bf_scores[vid]
+
+
 def test_knn_matches_brute_force():
     tbl, m = _emb_table()
     q = m[7].astype(np.float64)

@@ -161,6 +161,49 @@ def q_top_docs_per_lang(sf_dir: str, k: int = 3):
     )
 
 
+def q_stratified_sample(sf_dir: str, every_n: int = 4):
+    """Stratified systematic sample: every Nth document per language in
+    doc_id order — the per-stratum subsetting pattern for balanced
+    training mixes (deterministic, SQL-checkable; same grouped-rank
+    machinery as top_docs_per_lang)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.exchange import hash_grouped_map
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    )
+    out_schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64())])
+
+    def _strat(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        order = np.argsort(ids)
+        keep_rows = order[::every_n]
+        t = g.take(pa.array(np.sort(keep_rows)))
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+            }
+        )
+
+    return hash_grouped_map(
+        docs, ["lang"], _strat, num_partitions=8, empty_schema=out_schema
+    )
+
+
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLE_SQL["stratified_sample"] = """
+SELECT lang, doc_id FROM (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS rn
+  FROM documents)
+WHERE rn % 4 = 0
+""".strip()
+
 QUERIES["top_docs_per_lang"] = q_top_docs_per_lang
 ORACLE_SQL["top_docs_per_lang"] = """
 SELECT lang, doc_id, n_chars, rnk FROM (

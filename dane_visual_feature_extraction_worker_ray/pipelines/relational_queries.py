@@ -697,3 +697,87 @@ GROUP BY p_brand
 
 QUERIES["brand_revenue"] = q_brand_revenue
 ORACLE_SQL["brand_revenue"] = SQL_BRAND_REVENUE
+
+
+# --------------------------------------------------------------------------
+# exact distributed percentiles over a bounded integer domain: money in
+# cents has a finite value set, so per-batch (flag, cents)-count
+# histogram partials are MERGEABLE and the exact order statistic falls
+# out of the merged histogram — no full-value shuffle, no sketch
+# approximation (the scale-safe alternative to sorting the fact table)
+
+
+def q_price_quantiles(sf_dir: str):
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        from ..stages.groupagg import group_aggregate_table
+
+        t = pa.table(
+            {
+                "l_returnflag": tbl.column("l_returnflag"),
+                "price_c": pa.array(_cents(tbl.column("l_extendedprice"))),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["l_returnflag", "price_c"], [("n", "sum")]
+        )
+
+    partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    hist = hash_grouped_aggregate(
+        partials, ["l_returnflag", "price_c"], [("n", "sum")]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("p50", pa.float64()),
+            ("p90", pa.float64()),
+            ("p99", pa.float64()),
+        ]
+    )
+
+    def _quant(g: pa.Table) -> pa.Table:
+        vals = g.column("price_c").to_numpy()
+        cnt = g.column("n").cast(pa.int64()).to_numpy()
+        o = np.argsort(vals)
+        vals, cnt = vals[o], cnt[o]
+        cum = np.cumsum(cnt)
+        total = int(cum[-1])
+        out = {}
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            # DuckDB quantile_disc convention: 0-based index
+            # ceil(q*n) - 1 (same IEEE expression shape on both sides)
+            k = int(np.ceil(q * total)) - 1
+            v = vals[np.searchsorted(cum, k + 1)]
+            out[name] = float(v) / 100.0
+        return pa.table(
+            {
+                "l_returnflag": pa.array(
+                    [g.column("l_returnflag")[0].as_py()], pa.string()
+                ),
+                "p50": pa.array([out["p50"]]),
+                "p90": pa.array([out["p90"]]),
+                "p99": pa.array([out["p99"]]),
+            }
+        )
+
+    from ..stages.exchange import hash_grouped_map
+
+    return hash_grouped_map(
+        hist, ["l_returnflag"], _quant, num_partitions=8,
+        empty_schema=out_schema,
+    )
+
+
+SQL_PRICE_QUANTILES = """
+SELECT l_returnflag,
+  quantile_disc(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5)/100.0 AS p50,
+  quantile_disc(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9)/100.0 AS p90,
+  quantile_disc(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.99)/100.0 AS p99
+FROM lineitem GROUP BY l_returnflag
+""".strip()
+
+QUERIES["price_quantiles"] = q_price_quantiles
+ORACLE_SQL["price_quantiles"] = SQL_PRICE_QUANTILES

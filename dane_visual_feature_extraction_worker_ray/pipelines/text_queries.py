@@ -204,6 +204,69 @@ SELECT lang, doc_id FROM (
 WHERE rn % 4 = 0
 """.strip()
 
+def q_mode_source_per_lang(sf_dir: str):
+    """Grouped mode/argmax: the most frequent source per language
+    (deterministic tie-break: smallest source) — mergeable
+    (lang, source)-count partials, then a per-lang argmax in a grouped
+    map. The distributed shape for 'dominant category per key'."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.exchange import hash_grouped_map
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.append_column(
+            "n", pa.array(np.ones(tbl.num_rows, np.int64))
+        )
+        return group_aggregate_table(t, ["lang", "source"], [("n", "sum")])
+
+    counts = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["lang", "source"],
+        [("n", "sum")],
+    )
+    out_schema = pa.schema(
+        [
+            ("lang", pa.string()),
+            ("top_source", pa.string()),
+            ("n_docs", pa.int64()),
+        ]
+    )
+
+    def _argmax(g: pa.Table) -> pa.Table:
+        n = g.column("n").cast(pa.int64()).to_numpy()
+        src = g.column("source").to_numpy(zero_copy_only=False)
+        best = np.lexsort((src, -n))[0]
+        return pa.table(
+            {
+                "lang": pa.array([g.column("lang")[0].as_py()], pa.string()),
+                "top_source": pa.array([src[best]], pa.string()),
+                "n_docs": pa.array([int(n[best])], pa.int64()),
+            }
+        )
+
+    return hash_grouped_map(
+        counts, ["lang"], _argmax, num_partitions=8, empty_schema=out_schema
+    )
+
+
+QUERIES["mode_source_per_lang"] = q_mode_source_per_lang
+ORACLE_SQL["mode_source_per_lang"] = """
+SELECT lang, source AS top_source, CAST(cnt AS BIGINT) AS n_docs FROM (
+  SELECT lang, source, count(*) AS cnt,
+    row_number() OVER (
+      PARTITION BY lang ORDER BY count(*) DESC, source) AS rk
+  FROM documents GROUP BY lang, source)
+WHERE rk = 1
+""".strip()
+
 QUERIES["top_docs_per_lang"] = q_top_docs_per_lang
 ORACLE_SQL["top_docs_per_lang"] = """
 SELECT lang, doc_id, n_chars, rnk FROM (

@@ -173,6 +173,25 @@ def q_window_tumbling(sf_dir: str):
     return tumbling_aggregate(events_to_turns(ev), cfg=CFG)
 
 
+def q_asof_join_strict(sf_dir: str):
+    """Strict-inequality as-of variant (snap.ts < turn.ts — an exactly
+    co-timestamped snapshot must NOT match): the leakage-adjacent rule
+    a backtest pipeline needs, driver-verified against DuckDB's strict
+    ASOF JOIN."""
+    ev = _events(sf_dir)
+    cfg_strict = FeatureConfig(asof_allow_exact=False)
+    feats = compute_features(
+        events_to_turns(ev),
+        events_to_snapshots(ev),
+        cfg=cfg_strict,
+        pcfg=PCFG,
+        assign_turn_idx=True,
+    )
+    return feats.select_columns(
+        ["conv_id", "turn_idx", "ts", "snap_val_asof", "snap_tag_asof", "snap_age_s"]
+    )
+
+
 def q_flagship_salted(sf_dir: str):
     """The flagship feature set computed through the SKEW-SALTED path
     (salt_threshold below the median conversation size, so most
@@ -228,9 +247,16 @@ def q_flagship_salted(sf_dir: str):
     return feats.select_columns(FLAGSHIP_COLS)
 
 
+SQL_PREAMBLE_STRICT = SQL_PREAMBLE.replace(
+    "ON f.conv_id = s.conv_id AND f.ts >= s.ts",
+    "ON f.conv_id = s.conv_id AND f.ts > s.ts",
+)
+assert SQL_PREAMBLE_STRICT != SQL_PREAMBLE
+
 QUERIES = {
     "transcripts_ingest": q_transcripts_ingest,
     "flagship_salted": q_flagship_salted,
+    "asof_join_strict": q_asof_join_strict,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "window_sliding": q_window_sliding,
@@ -261,6 +287,11 @@ ORACLE_SQL = {
     ),
     "asof_join": (
         SQL_PREAMBLE
+        + " SELECT conv_id, turn_idx, ts, snap_val_asof, snap_tag_asof,"
+        " snap_age_s FROM asofj"
+    ),
+    "asof_join_strict": (
+        SQL_PREAMBLE_STRICT
         + " SELECT conv_id, turn_idx, ts, snap_val_asof, snap_tag_asof,"
         " snap_age_s FROM asofj"
     ),

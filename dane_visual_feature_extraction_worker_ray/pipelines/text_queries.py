@@ -118,11 +118,52 @@ FROM scored
 ORACLE_SQL["lang_id"] = _lang_id_sql()
 
 
+def _topk_per_lang_partial(tbl, k):
+    """Vectorized per-batch top-k rows per language by (n_chars DESC,
+    doc_id ASC): factorize lang, one lexsort, keep the first k of each
+    lang run. Mergeable — top-k of a union == top-k of per-part top-ks."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+    nc = tbl.column("n_chars").cast(pa.int64()).to_numpy()
+    ids = tbl.column("doc_id").cast(pa.int64()).to_numpy()
+    codes, uniq = pd.factorize(tbl.column("lang").to_pandas(), sort=False)
+    order = np.lexsort((ids, -nc, codes))
+    c_sorted = codes[order]
+    new = np.ones(len(order), dtype=bool)
+    new[1:] = c_sorted[1:] != c_sorted[:-1]
+    # rank within each lang run = position - position of run start
+    run_start = np.maximum.accumulate(np.where(new, np.arange(len(order)), 0))
+    keep = (np.arange(len(order)) - run_start) < k
+    pick = order[keep]
+    return pa.table(
+        {
+            "lang": pa.array(uniq[codes[pick]], pa.string()),
+            "doc_id": pa.array(ids[pick], pa.int64()),
+            "n_chars": pa.array(nc[pick], pa.int64()),
+        }
+    )
+
+
 def q_top_docs_per_lang(sf_dir: str, k: int = 3):
     """Grouped window-rank: top-k documents per language by n_chars
-    (deterministic tie-break on doc_id) — row_number() OVER (PARTITION
-    BY lang ORDER BY ...) expressed as a hash_grouped_map (one
-    co-located group per call, rank computed with a lexsort)."""
+    (deterministic tie-break on doc_id).
+
+    Skew-safe shape (round-3 fix): a lang-keyed shuffle of the full
+    corpus would put an entire language stratum in one reduce task
+    (~corpus/5 at target scale). Instead: per-batch top-k PARTIALS
+    (<= k rows per lang per batch) ride the exchange — the reduce side
+    sees O(k x n_blocks) rows per language, independent of corpus size.
+    Same partial->final pattern as ``q_conv_peak_latency``."""
     import numpy as np
     import pyarrow as pa
 
@@ -132,6 +173,11 @@ def q_top_docs_per_lang(sf_dir: str, k: int = 3):
     docs = read_parquet_tuned(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "n_chars"],
+    )
+    partials = docs.map_batches(
+        lambda t: _topk_per_lang_partial(t, k),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     out_schema = pa.schema(
         [
@@ -157,32 +203,99 @@ def q_top_docs_per_lang(sf_dir: str, k: int = 3):
         )
 
     return hash_grouped_map(
-        docs, ["lang"], _top, num_partitions=8, empty_schema=out_schema
+        partials, ["lang"], _top, num_partitions=8, empty_schema=out_schema
     )
 
 
-def q_stratified_sample(sf_dir: str, every_n: int = 4):
+def stratified_sample_ranked(
+    docs,
+    every_n: int = 4,
+    bucket_width: int = 1 << 16,
+    num_partitions: int = 8,
+):
     """Stratified systematic sample: every Nth document per language in
-    doc_id order — the per-stratum subsetting pattern for balanced
-    training mixes (deterministic, SQL-checkable; same grouped-rank
-    machinery as top_docs_per_lang)."""
+    global doc_id order, WITHOUT a lang-keyed full-corpus shuffle.
+
+    Skew-safe two-pass global rank (round-3 fix — a shuffle keyed on
+    the ~5-value ``lang`` column puts a whole stratum in one reduce
+    task):
+
+    1. count pass: mergeable per-batch ``(lang, bkt, n)`` partials where
+       ``bkt = doc_id // bucket_width`` — the partial table is
+       O(n_langs x n_buckets), collected driver-side and turned into
+       exclusive prefix offsets per (lang, bkt);
+    2. emit pass: exchange keyed on the COMPOSITE ``(lang, bkt)`` — each
+       co-located group holds at most ``bucket_width`` rows of one
+       stratum, never the whole language; global rank of a row =
+       prefix_offset[lang, bkt] + local rank by doc_id; keep rows with
+       ``rank % every_n == 0``.
+
+    Reduce-task input stays bounded by bucket_width x (groups/partition)
+    regardless of corpus size; the driver holds only the count table.
+    """
     import numpy as np
     import pyarrow as pa
+    import ray
 
-    from ..sources.parquet import read_parquet_tuned
     from ..stages.exchange import hash_grouped_map
+    from ..stages.groupagg import group_aggregate_table
 
-    docs = read_parquet_tuned(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang"],
+    def _with_bkt(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").cast(pa.int64()).to_numpy()
+        return tbl.append_column(
+            "bkt", pa.array(ids // bucket_width, pa.int64())
+        )
+
+    # pass 1: mergeable (lang, bkt, n) count partials -> tiny driver table
+    def _count_partial(tbl: pa.Table) -> pa.Table:
+        t = _with_bkt(tbl).append_column(
+            "n", pa.array(np.ones(tbl.num_rows, np.int64))
+        )
+        return group_aggregate_table(t, ["lang", "bkt"], [("n", "sum")])
+
+    partial_refs = docs.map_batches(
+        _count_partial, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs()
+    counts = group_aggregate_table(
+        pa.concat_tables([ray.get(r) for r in partial_refs]),
+        ["lang", "bkt"],
+        [("n", "sum")],
     )
+    # exclusive prefix sum of counts per lang in bkt order
+    langs = counts.column("lang").to_numpy(zero_copy_only=False)
+    bkts = counts.column("bkt").to_numpy()
+    ns = counts.column("n").cast(pa.int64()).to_numpy()
+    order = np.lexsort((bkts, langs))
+    lang_s, bkt_s, n_s = langs[order], bkts[order], ns[order]
+    csum = np.cumsum(n_s) - n_s  # exclusive
+    new_lang = np.ones(len(order), dtype=bool)
+    new_lang[1:] = lang_s[1:] != lang_s[:-1]
+    lang_base = np.maximum.accumulate(
+        np.where(new_lang, csum, 0)
+    )  # cumsum at each lang's first bucket
+    offsets = {
+        (str(l), int(b)): int(c - lb)
+        for l, b, c, lb in zip(lang_s, bkt_s, csum, lang_base)
+    }
+    off_ref = ray.put(offsets)
+
     out_schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64())])
 
-    def _strat(g: pa.Table) -> pa.Table:
-        ids = g.column("doc_id").to_numpy()
-        order = np.argsort(ids)
-        keep_rows = order[::every_n]
-        t = g.take(pa.array(np.sort(keep_rows)))
+    def _emit(g: pa.Table, _cache={}) -> pa.Table:
+        # ray.get once per reduce task (the closure — with its fresh
+        # _cache — is pickled per task; groups within a task share it)
+        off = _cache.get("off")
+        if off is None:
+            off = _cache["off"] = ray.get(off_ref)
+        ids = g.column("doc_id").cast(pa.int64()).to_numpy()
+        lang = g.column("lang")[0].as_py()
+        bkt = int(g.column("bkt")[0].as_py())
+        base = off[(lang, bkt)]
+        order_l = np.argsort(ids, kind="stable")
+        ranks = np.empty(len(ids), dtype=np.int64)
+        ranks[order_l] = base + np.arange(len(ids), dtype=np.int64)
+        keep = ranks % every_n == 0
+        t = g.filter(pa.array(keep))
         return pa.table(
             {
                 "lang": t.column("lang"),
@@ -191,8 +304,22 @@ def q_stratified_sample(sf_dir: str, every_n: int = 4):
         )
 
     return hash_grouped_map(
-        docs, ["lang"], _strat, num_partitions=8, empty_schema=out_schema
+        docs.map_batches(_with_bkt, batch_format="pyarrow", batch_size=None),
+        ["lang", "bkt"],
+        _emit,
+        num_partitions=num_partitions,
+        empty_schema=out_schema,
     )
+
+
+def q_stratified_sample(sf_dir: str, every_n: int = 4):
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    )
+    return stratified_sample_ranked(docs, every_n=every_n)
 
 
 QUERIES["stratified_sample"] = q_stratified_sample

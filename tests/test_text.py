@@ -152,3 +152,90 @@ def test_winnowing_matches_naive_reference():
         for d, g in got_df.groupby("doc_id")
     }
     assert got == naive()
+
+
+def test_topk_per_lang_partial_bound_and_parity():
+    """De-skewed top-k per lang: the per-batch partial emits <= k rows
+    per language (so the lang-keyed exchange never carries a full
+    stratum), and the merged result equals the brute-force rank."""
+    import pandas as pd
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.text_queries import (
+        _topk_per_lang_partial,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "lang": pa.array(rng.choice(["en", "de", "fr"], size=n)),
+            "n_chars": pa.array(rng.integers(0, 50, size=n), pa.int64()),
+        }
+    )
+    k = 3
+    part = _topk_per_lang_partial(tbl, k)
+    cnt = part.to_pandas().groupby("lang").size()
+    assert (cnt <= k).all()
+    # merging partials of two halves == top-k of the whole
+    halves = pa.concat_tables(
+        [
+            _topk_per_lang_partial(tbl.slice(0, n // 2), k),
+            _topk_per_lang_partial(tbl.slice(n // 2), k),
+        ]
+    )
+    merged = _topk_per_lang_partial(halves, k).to_pandas()
+    df = tbl.to_pandas()
+    exp = (
+        df.sort_values(["lang", "n_chars", "doc_id"],
+                       ascending=[True, False, True])
+        .groupby("lang").head(k)[["lang", "doc_id", "n_chars"]]
+    )
+    got = merged.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    exp = exp.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["lang", "doc_id", "n_chars"]], exp
+    )
+
+
+def test_stratified_sample_ranked_cross_bucket():
+    """Two-pass global-rank stratified sample: with a tiny bucket_width
+    (so every stratum spans many buckets) the every-Nth-by-global-rank
+    output must equal the single-process oracle — proving the prefix
+    offsets stitch ranks exactly across bucket boundaries while no
+    co-located group ever holds more than bucket_width rows."""
+    import pandas as pd
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.text_queries import (
+        stratified_sample_ranked,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    # non-contiguous doc_ids so buckets have ragged occupancy
+    ids = np.sort(rng.choice(np.arange(0, 10_000), size=n, replace=False))
+    langs = rng.choice(["en", "de", "fr", "es"], size=n)
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "lang": pa.array(langs)}
+    )
+    every_n, w = 4, 8
+    got = (
+        stratified_sample_ranked(
+            rd.from_arrow(tbl), every_n=every_n, bucket_width=w,
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas().sort_values("doc_id")
+    df["rn"] = df.groupby("lang").cumcount()
+    exp = (
+        df[df["rn"] % every_n == 0][["lang", "doc_id"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # structural bound: no (lang, bkt) group can exceed bucket_width
+    per_group = df.assign(bkt=df["doc_id"] // w).groupby(["lang", "bkt"]).size()
+    assert per_group.max() <= w

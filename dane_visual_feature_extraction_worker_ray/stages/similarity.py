@@ -20,6 +20,10 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+# rows gathered to the driver by the last knn_ivf coarse-quantizer pass
+# (bounded by (n_lists + train_sample) x n_blocks); tests assert on it
+LAST_IVF_GATHER_ROWS: int = 0
+
 
 
 def _matrix(tbl: pa.Table, col: str) -> np.ndarray:
@@ -111,14 +115,19 @@ def knn_ivf(
 
     ``kmeans_iters > 0`` refines the centroids with spherical-k-means
     Lloyd steps over a deterministic hash-based sample of at most
-    ``train_sample`` rows (driver-side numpy over a bounded sample —
-    the legitimate small side) — better recall per probed list.
+    ``train_sample`` rows. The gather is bounded BEFORE the driver
+    collect (round-3 fix): each batch keeps only its ``n_lists``
+    smallest-id rows (centroid seed) plus its ``train_sample``
+    smallest-HASH rows (training candidates), so the driver merge holds
+    at most ``(n_lists + train_sample) x n_blocks`` rows — never a
+    corpus-proportional fraction — and then truncates to the global
+    ``train_sample`` smallest hashes (a deterministic uniform sample,
+    since the multiplicative hash is uniform over ids).
     """
     q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
 
-    # deterministic centroid pick: n_lists smallest ids, streamed;
-    # with kmeans also a bounded hash-based training sample
-    want_sample = n_lists if kmeans_iters == 0 else max(n_lists, train_sample)
+    def _id_hash(ids: np.ndarray) -> np.ndarray:
+        return ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
 
     def _cand(tbl: pa.Table) -> pa.Table:
         ids = tbl.column(id_col).to_numpy()
@@ -127,10 +136,13 @@ def knn_ivf(
             keep[np.argpartition(ids, n_lists)[:n_lists]] = True
         else:
             keep[:] = True
-        if kmeans_iters > 0:
-            # deterministic ~train_sample-sized sample by id hash
-            h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            keep |= (h % np.uint64(997)).astype(np.int64) < 97
+        if kmeans_iters > 0 and len(ids) > 0:
+            # per-batch cap: the train_sample smallest hash values only
+            h = _id_hash(ids)
+            if len(ids) > train_sample:
+                keep[np.argpartition(h, train_sample)[:train_sample]] = True
+            else:
+                keep[:] = True
         return tbl.filter(pa.array(keep)).select([id_col, vec_col])
 
     cand = pa.concat_tables(
@@ -140,16 +152,22 @@ def knn_ivf(
             ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
         )
     )
+    global LAST_IVF_GATHER_ROWS
+    LAST_IVF_GATHER_ROWS = cand.num_rows  # test/diagnostic hook
     cids = cand.column(id_col).to_numpy()
     order = np.argsort(cids)[:n_lists]
     centroids = _normalize(
         _matrix(cand.take(pa.array(order)), vec_col).astype(np.float64)
     )
     if kmeans_iters > 0 and cand.num_rows > n_lists:
-        train = _normalize(_matrix(cand, vec_col).astype(np.float64))
-        if len(train) > train_sample:
-            t_order = np.argsort(cids)[:train_sample]
-            train = train[t_order]
+        # train on the GLOBAL train_sample smallest hashes (ties broken
+        # by id) — the hash-ordered sample the per-batch cap preserves:
+        # a row in the global smallest-K is in its batch's smallest-K.
+        h = _id_hash(cids)
+        t_order = np.lexsort((cids, h))[:train_sample]
+        train = _normalize(
+            _matrix(cand.take(pa.array(t_order)), vec_col).astype(np.float64)
+        )
         for _ in range(kmeans_iters):
             assign = np.argmax(train @ centroids.T, axis=1)
             for c in range(len(centroids)):

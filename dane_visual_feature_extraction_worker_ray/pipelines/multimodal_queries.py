@@ -15,7 +15,25 @@ def q_media_features(sf_dir: str):
     synthetic media corpus (sf_dir unused — the driver tables carry no
     binary columns; scale tier is fixed and seeded)."""
     media = rd.from_arrow(synthesize_media_table(n_assets=8, frames_per_asset=12))
-    return extract_media_features(media, concurrency=2)
+    return extract_media_features(media, concurrency=2, num_partitions=8)
+
+
+def q_media_features_real(sf_dir: str):
+    """The ``decoder="real"`` contract exercised end-to-end in the
+    driver gate (not just pytest): the pluggable decode_fn — here the
+    deterministic ``mock_decode_fn`` standing in for
+    torchvision.io.read_image / librosa (reference integration point
+    ``data_handling.py:86-109``) — rides the full exchange + actor-pool
+    path and must produce one feature row per (asset, ts)."""
+    from ..stages.multimodal import mock_decode_fn
+
+    media = rd.from_arrow(
+        synthesize_media_table(n_assets=8, frames_per_asset=12)
+    )
+    return extract_media_features(
+        media, decoder="real", decode_fn=mock_decode_fn,
+        concurrency=2, num_partitions=8,
+    )
 
 
 def q_media_frame_sample(sf_dir: str):
@@ -29,11 +47,12 @@ def q_media_frame_sample(sf_dir: str):
         synthesize_media_table(n_assets=8, frames_per_asset=12)
     )
     sampled = sample_frames(media, every_n=2, num_partitions=8)
-    return extract_media_features(sampled, concurrency=2)
+    return extract_media_features(sampled, concurrency=2, num_partitions=8)
 
 
 QUERIES = {
     "media_features": q_media_features,
+    "media_features_real": q_media_features_real,
     "media_frame_sample": q_media_frame_sample,
 }
 ORACLE_SQL: dict[str, str] = {}

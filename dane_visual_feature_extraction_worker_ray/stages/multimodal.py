@@ -261,19 +261,52 @@ class MediaFeatureExtractor:
 def extract_media_features(
     media_ds,
     decoder: str = "stub",
-    concurrency: int | tuple[int, int] = 2,
+    concurrency: int | tuple[int, int] = 4,
     decode_fn=None,
+    num_partitions: int = 32,
+    num_cpus: float = 1,
+    num_gpus: float | None = None,
+    ray_remote_args: dict | None = None,
 ):
-    """Group by asset (both modalities of a timestamp co-locate in one
-    group) and run the extractor as an actor pool — weights built once
-    per actor in ``__init__``, groups scored in ``__call__``.
+    """Co-locate each asset's rows (both modalities of a timestamp in
+    one block) and run the extractor as an actor pool — weights built
+    once per actor in ``__init__``, batches scored in ``__call__``.
 
-    Binary payloads are large: scale out with ``concurrency``, keep
-    groups/batches small (object-store friendly)."""
-    return media_ds.groupby("asset_id").map_groups(
+    Round-3 shape: co-location rides the engine's hash exchange on
+    ``asset_id`` (identity kernel — no sort-based Dataset shuffle), and
+    the pool AUTOSCALES ``(1, N)``: a fixed pool of N actors deadlocks
+    a session with exactly N CPUs (the pool holds every slot and the
+    upstream read starves). ``batch_size=None`` keeps one co-located
+    partition per call, so the modality pivot in ``__call__`` always
+    sees complete (asset, ts) keys.
+
+    GPU placement (reference: per-worker ``cuda:0`` pick,
+    ``nn_models.py:287``, ``feature_extraction.py:19-23``): pass
+    ``num_gpus=``/``ray_remote_args=`` to pin each actor to a device
+    share; Ray then schedules the pool onto GPU nodes.
+
+    Binary payloads are large: scale out with ``num_partitions`` and
+    ``concurrency``, keep partitions small (object-store friendly)."""
+    from .exchange import hash_exchange
+
+    colocated = hash_exchange(
+        media_ds,
+        "asset_id",
+        num_partitions,
+        lambda p, t: t,  # identity: exchange only co-locates
+        empty_schema=media_schema(),
+    )
+    if isinstance(concurrency, int):
+        concurrency = (1, concurrency)
+    kwargs = dict(ray_remote_args or {})
+    if num_gpus is not None:
+        kwargs["num_gpus"] = num_gpus
+    return colocated.map_batches(
         MediaFeatureExtractor,
         fn_constructor_kwargs={"decoder": decoder, "decode_fn": decode_fn},
         batch_format="pyarrow",
+        batch_size=None,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=num_cpus,
+        **kwargs,
     )

@@ -110,14 +110,27 @@ def score_features(
     cfg: FeatureConfig | None = None,
     concurrency: int | tuple[int, int] = 4,
     batch_size: int = 8192,
+    num_cpus: float = 1,
+    num_gpus: float | None = None,
+    ray_remote_args: dict | None = None,
 ):
-    """Attach ``feature_vec`` via an actor pool (weights loaded once/actor)."""
+    """Attach ``feature_vec`` via an actor pool (weights loaded once/actor).
+
+    ``num_gpus``/``ray_remote_args`` thread per-actor device resources
+    through to ``map_batches`` — the engine analog of the reference's
+    per-worker ``cuda:0`` device pick (``nn_models.py:287``,
+    ``feature_extraction.py:19-23``); a GPU deployment passes e.g.
+    ``num_gpus=1`` (or a fraction to pack actors per device)."""
     cfg = cfg or FeatureConfig()
+    kwargs = dict(ray_remote_args or {})
+    if num_gpus is not None:
+        kwargs["num_gpus"] = num_gpus
     return features_ds.map_batches(
         FeatureScorer,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=num_cpus,
+        **kwargs,
     )

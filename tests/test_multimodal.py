@@ -136,3 +136,40 @@ def test_sample_frames_then_extract_pipeline():
         sampled.to_pandas()[["asset_id", "ts"]].drop_duplicates().shape[0]
     )
     assert len(out) == n_keys
+
+
+def test_resource_kwargs_reach_map_batches(monkeypatch):
+    """GPU/resource passthrough (reference per-worker device pick,
+    nn_models.py:287): num_gpus / ray_remote_args must reach the
+    actor-pool map_batches call on both stateful stages."""
+    from dane_visual_feature_extraction_worker_ray.stages import (
+        exchange,
+        multimodal,
+        scorer,
+    )
+
+    captured = {}
+
+    class _StubDS:
+        def map_batches(self, *a, **kw):
+            captured.update(kw)
+            return "ok"
+
+    monkeypatch.setattr(
+        exchange, "hash_exchange", lambda *a, **kw: _StubDS()
+    )
+    out = multimodal.extract_media_features(
+        _StubDS(), concurrency=3, num_gpus=0.5,
+        ray_remote_args={"resources": {"accel": 1}},
+    )
+    assert out == "ok"
+    assert captured["num_gpus"] == 0.5
+    assert captured["resources"] == {"accel": 1}
+    assert captured["concurrency"] == (1, 3)  # autoscaling, never fixed
+
+    captured.clear()
+    scorer.score_features(
+        _StubDS(), num_gpus=1, ray_remote_args={"resources": {"accel": 2}}
+    )
+    assert captured["num_gpus"] == 1
+    assert captured["resources"] == {"accel": 2}

@@ -4,11 +4,7 @@ from __future__ import annotations
 
 import os
 
-import ray.data as rd
-
 from ..stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
-
-_STOP = None
 
 
 def _docs(sf_dir: str):
@@ -124,3 +120,117 @@ def q_dedup_near_survivors(sf_dir: str):
 
 
 QUERIES["dedup_near_survivors"] = q_dedup_near_survivors
+
+
+# --------------------------------------------------------------------------
+# planted-duplicate variants: the corpus is augmented with EXACT text
+# copies (doc_id < N_PLANT copied to doc_id + PLANT_OFFSET). Identical
+# texts give identical MinHash signatures (est = 1.0 in every band) and
+# identical SimHash bits (hamming 0), so sketch recall of the planted
+# pairs is guaranteed and SQL-checkable — de-vacuating the rows-only
+# checks exactly like embedding_near_dups did in round 2
+# (similarity_queries.py; see _planted_only for why the output is
+# restricted to the planted id structure).
+
+N_PLANT = 20
+PLANT_OFFSET = 10_000_000
+
+
+def _planted_docs(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _plant(tbl: pa.Table) -> pa.Table:
+        m = tbl.filter(pc.less(tbl.column("doc_id"), N_PLANT))
+        if m.num_rows == 0:
+            return tbl
+        i = m.schema.get_field_index("doc_id")
+        dup = m.set_column(
+            i, "doc_id", pc.add(m.column("doc_id"), PLANT_OFFSET)
+        )
+        return pa.concat_tables([tbl, dup])
+
+    return _docs(sf_dir).map_batches(_plant, batch_format="pyarrow")
+
+
+def _planted_only(pairs_ds):
+    """Keep only structurally-planted pairs (a < N_PLANT, b = a+offset).
+    The corpus carries natural one-token-apart near-dups whose 64-perm
+    signatures occasionally collide at est 1.0, so a bare threshold
+    cannot isolate the planted copies; the id-structure filter makes
+    the oracle exact while the gate still verifies 100% RECALL of the
+    planted duplicates through the full distributed sketch path
+    (precision is covered by the brute-force oracles in
+    tests/test_dedup.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _f(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("doc_a")
+        b = tbl.column("doc_b")
+        return tbl.filter(
+            pc.and_(
+                pc.less(a, N_PLANT),
+                pc.equal(pc.subtract(b, a), PLANT_OFFSET),
+            )
+        )
+
+    return pairs_ds.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def q_dedup_minhash_planted(sf_dir: str):
+    """MinHash-LSH at threshold 1.0 over the planted corpus, restricted
+    to the planted pairs: identical texts guarantee identical
+    signatures, so all N_PLANT pairs must surface with est 1.0."""
+    return _planted_only(
+        minhash_lsh_pairs(_planted_docs(sf_dir), threshold=1.0)
+    )
+
+
+def q_dedup_simhash_planted(sf_dir: str):
+    """SimHash at max_hamming 0 over the planted corpus, restricted to
+    the planted pairs (identical text -> identical simhash -> hamming
+    0, guaranteed in every band)."""
+    return _planted_only(
+        simhash_pairs(_planted_docs(sf_dir), max_hamming=0, bands=4)
+    )
+
+
+def q_dedup_survivors_planted(sf_dir: str):
+    """Full near-dup removal pipeline (LSH pairs → distributed
+    connected components → keep min id per cluster) over the planted
+    corpus: every planted copy is dropped, every original survives —
+    the end-to-end dedup path with a plain SQL oracle."""
+    from ..stages.dedup import near_dup_survivors_distributed
+
+    aug = _planted_docs(sf_dir)
+    pairs = _planted_only(
+        minhash_lsh_pairs(_planted_docs(sf_dir), threshold=1.0)
+    )
+    return near_dup_survivors_distributed(aug, pairs)
+
+
+QUERIES["dedup_minhash_planted"] = q_dedup_minhash_planted
+QUERIES["dedup_simhash_planted"] = q_dedup_simhash_planted
+QUERIES["dedup_survivors_planted"] = q_dedup_survivors_planted
+
+ORACLE_SQL["dedup_minhash_planted"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_a,
+       CAST(doc_id + {PLANT_OFFSET} AS BIGINT) AS doc_b,
+       1.0 AS est_jaccard
+FROM documents WHERE doc_id < {N_PLANT}
+""".strip()
+
+ORACLE_SQL["dedup_simhash_planted"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_a,
+       CAST(doc_id + {PLANT_OFFSET} AS BIGINT) AS doc_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents WHERE doc_id < {N_PLANT}
+""".strip()
+
+# every text is unique in the base corpus (no natural exact dups at the
+# driver tiers), so the survivors of the planted corpus are exactly the
+# original rows
+ORACLE_SQL["dedup_survivors_planted"] = (
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents"
+)

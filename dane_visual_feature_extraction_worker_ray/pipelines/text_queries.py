@@ -423,3 +423,50 @@ QUERIES["sample_documents"] = q_sample_documents
 ORACLE_SQL["sample_documents"] = (
     "SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0"
 )
+
+
+def q_fingerprint_counts(sf_dir: str):
+    """Winnowing fingerprints with window=1 degenerate to the distinct
+    token-4-gram set, so the per-doc fingerprint COUNT has a plain SQL
+    oracle (count of distinct 4-grams; whole-text fallback = 1 for docs
+    under 4 tokens) — de-vacuating the shingle/dedup machinery of the
+    rows-only doc_fingerprints check. The windowed-min path (window>1)
+    keeps its brute-force pytest oracle in tests/test_text.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    fps = doc_fingerprints(_docs(sf_dir), k=4, window=1)
+
+    def _count(tbl: pa.Table) -> pa.Table:
+        t = tbl.append_column(
+            "n_fingerprints", pa.array(np.ones(tbl.num_rows, np.int64))
+        )
+        return group_aggregate_table(
+            t.select(["doc_id", "n_fingerprints"]),
+            ["doc_id"],
+            [("n_fingerprints", "sum")],
+        )
+
+    return hash_grouped_aggregate(
+        fps.map_batches(_count, batch_format="pyarrow", batch_size=None),
+        ["doc_id"],
+        [("n_fingerprints", "sum")],
+    )
+
+
+QUERIES["fingerprint_counts"] = q_fingerprint_counts
+ORACLE_SQL["fingerprint_counts"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(CASE WHEN len(tk) < 4 THEN 1
+       ELSE len(list_distinct(list_transform(range(1, len(tk) - 2),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])))
+  END AS BIGINT) AS n_fingerprints
+FROM toks
+""".strip()

@@ -155,6 +155,35 @@ def _minhash_signatures(
     return sig
 
 
+def minhash_signature_ds(
+    docs_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_perm: int = 64,
+):
+    """Per-doc MinHash signature table ``(doc_id, sig:
+    fixed_size_list<uint64, num_perm>)`` — computed once, reused by the
+    banding pass and the estimate pass."""
+
+    def _sigs(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(text_col).to_pandas()
+        ids = tbl.column(id_col).to_numpy()
+        n = len(texts)
+        row, sh = _word_shingles(texts, shingle_k)
+        sig = _minhash_signatures(row, sh, n, num_perm)
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.ravel()), num_perm
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(_sigs, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     docs_ds,
     text_col: str = "text",
@@ -164,24 +193,49 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 16384,
+    max_pairs_per_bucket: int = 1 << 22,
+    broadcast_warn_bytes: int = 1 << 30,
 ):
-    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+    """Near-duplicate pairs (id_a < id_b, est jaccard >= threshold).
 
-    Stage 1 (map_batches): signatures per doc → explode to
-    (band_id, band_hash, doc_id, sig...) rows.
-    Stage 2 (groupby band bucket): candidate pairs within a bucket via
-    blocked vectorized signature-matrix comparison, dedup pairs
-    globally. Buckets larger than ``max_bucket`` rows (degenerate
-    content, ~n²/2 candidates) are skipped WITH a logged count.
+    Round-3 shape — band keys only ride the shuffle (~26x less exchange
+    traffic than shipping the full 64-perm signature into all 16 band
+    rows, ~8.5 KiB/doc -> ~320 B/doc):
+
+    1. signature pass (map_batches): per-doc MinHash matrix, kept as a
+       materialized side table (NOT shuffled);
+    2. banding pass: explode to ``(band_id, band_hash, doc_id)`` rows
+       — 20 bytes each — and hash-group on the band key; each bucket
+       emits CANDIDATE id pairs only (no signatures, no estimates).
+       Buckets larger than ``max_bucket`` (degenerate content, ~n²/2
+       candidates) are skipped WITH a logged count — for minhash the
+       same pair collides in other (smaller) bands whenever any other
+       band hash matches;
+    3. estimate pass: the signatures of candidate ENDPOINT docs only
+       (LSH output — orders of magnitude smaller than the corpus) are
+       broadcast once via ``ray.put`` and the per-pair estimate
+       (matching-permutation fraction) is attached in a streaming
+       ``map_batches`` over the deduped pairs, then thresholded.
+
+    The estimate is a pure function of the two signatures, so the
+    output is identical to computing it inside each bucket.
     """
+    import ray
+
+    from .exchange import hash_grouped_map
+    from .groupagg import hash_grouped_aggregate
+
     rows_per_band = num_perm // bands
+    sigs = minhash_signature_ds(
+        docs_ds, text_col, id_col, shingle_k, num_perm
+    ).materialize()
 
     def _bands(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_col).to_pandas()
+        n = tbl.num_rows
         ids = tbl.column(id_col).to_numpy()
-        n = len(texts)
-        row, sh = _word_shingles(texts, shingle_k)
-        sig = _minhash_signatures(row, sh, n, num_perm)
+        sig = np.vstack(
+            tbl.column("sig").to_numpy(zero_copy_only=False)
+        ) if n else np.empty((0, num_perm), np.uint64)
         band_hashes = np.empty((n, bands), np.uint64)
         for b in range(bands):
             chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
@@ -189,21 +243,65 @@ def minhash_lsh_pairs(
             for j in range(1, rows_per_band):
                 acc = rehash64(acc ^ chunk[:, j], seed=5000 + j)
             band_hashes[:, b] = acc
-        out = pa.table(
+        return pa.table(
             {
                 "band_id": pa.array(
                     np.repeat(np.arange(bands, dtype=np.int32), n)
                 ),
                 "band_hash": pa.array(band_hashes.T.ravel()),
                 id_col: pa.array(np.tile(ids, bands)),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.tile(sig, (bands, 1)).ravel()), num_perm
-                ),
             }
         )
-        return out
 
-    exploded = docs_ds.map_batches(_bands, batch_format="pyarrow")
+    exploded = sigs.map_batches(_bands, batch_format="pyarrow")
+
+    cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def _cand_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column(id_col).to_numpy())
+        n = len(ids)
+        if n < 2:
+            return cand_schema.empty_table()
+        if n > max_bucket or n * (n - 1) // 2 > max_pairs_per_bucket:
+            # no silent caps: without signatures in the bucket the pairs
+            # cannot be pre-filtered, so a degenerate bucket's quadratic
+            # emission is skipped (logged) instead of flooding the
+            # pair stream; other bands may still surface its pairs
+            logger.warning(
+                "minhash_lsh: skipping bucket of %d rows (max_bucket=%d,"
+                " max_pairs=%d; ~%d candidate pairs); other bands may "
+                "still surface them",
+                n, max_bucket, max_pairs_per_bucket, n * (n - 1) // 2,
+            )
+            return cand_schema.empty_table()
+        iu, ju = np.triu_indices(n, k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[iu].astype(np.int64)),
+                "doc_b": pa.array(ids[ju].astype(np.int64)),
+            }
+        )
+
+    cand = hash_grouped_map(
+        exploded, ["band_id", "band_hash"], _cand_pairs,
+        empty_schema=cand_schema,
+    )
+    # dedupe pairs that collided in several bands (tiny grouped count)
+    cand = hash_grouped_aggregate(
+        cand.map_batches(
+            lambda t: t.append_column(
+                "n", pa.array(np.ones(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["doc_a", "doc_b"],
+        [("n", "sum")],
+    ).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
 
     empty_pairs = pa.table(
         {
@@ -213,128 +311,84 @@ def minhash_lsh_pairs(
         }
     )
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy()
-        n = len(ids)
-        if n < 2:
-            return empty_pairs
-        if n > max_bucket:
-            # no silent caps: ~n^2/2 candidate pairs skipped here; for
-            # minhash the SAME pair collides in other (smaller) bands
-            # whenever any other band hash matches, so recall degrades
-            # only for pairs whose every matching band is degenerate
-            logger.warning(
-                "minhash_lsh: skipping bucket of %d rows (> max_bucket=%d,"
-                " ~%d candidate pairs); other bands may still surface them",
-                n, max_bucket, n * (n - 1) // 2,
-            )
-            return empty_pairs
-        sig = np.vstack(group.column("sig").to_numpy(zero_copy_only=False))
-        o = np.argsort(ids, kind="stable")
-        gid = ids[o]
-        sig = sig[o]
-        a_list, b_list, j_list = [], [], []
-        # blocked signature-matrix comparison: for a row block, count
-        # per-permutation matches against ALL rows at once (C kernels)
-        blk = 512
-        for s in range(0, n, blk):
-            e = min(s + blk, n)
-            eq = np.zeros((e - s, n), np.int16)
-            for p in range(num_perm):
-                eq += sig[s:e, p][:, None] == sig[None, :, p]
-            est = eq.astype(np.float64) / num_perm
-            # upper triangle (global col > global row) + distinct ids
-            rows_g = np.arange(s, e)[:, None]
-            cols_g = np.arange(n)[None, :]
-            mask = (
-                (cols_g > rows_g)
-                & (est >= threshold)
-                & (gid[None, :] != gid[s:e, None])
-            )
-            r_i, c_i = np.nonzero(mask)
-            if len(r_i):
-                a_list.append(gid[r_i + s])
-                b_list.append(gid[c_i])
-                j_list.append(est[r_i, c_i])
-        if not a_list:
-            return empty_pairs
+    # candidate endpoint ids → broadcast their signatures (bounded by
+    # the LSH candidate count, not the corpus)
+    import ray.data as rd
+
+    ends = [
+        np.concatenate(
+            [
+                b.column("doc_a").to_numpy(),
+                b.column("doc_b").to_numpy(),
+            ]
+        )
+        for b in cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    cand_ids = (
+        np.unique(np.concatenate(ends)) if ends else np.array([], np.int64)
+    )
+    if len(cand_ids) == 0:
+        return rd.from_arrow(empty_pairs)
+    cand_ids_ref = ray.put(cand_ids)
+
+    def _cand_sigs(tbl: pa.Table) -> pa.Table:
+        w = ray.get(cand_ids_ref)
+        ids = tbl.column(id_col).to_numpy()
+        pos = np.searchsorted(w, ids).clip(0, len(w) - 1)
+        return tbl.filter(pa.array(w[pos] == ids))
+
+    picked = pa.concat_tables(
+        list(
+            sigs.map_batches(
+                _cand_sigs, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    )
+    sig_mat = (
+        np.vstack(picked.column("sig").to_numpy(zero_copy_only=False))
+        if picked.num_rows
+        else np.empty((0, num_perm), np.uint64)
+    )
+    sid = picked.column(id_col).to_numpy()
+    o = np.argsort(sid)
+    sid, sig_mat = sid[o], sig_mat[o]
+    if sig_mat.nbytes > broadcast_warn_bytes:
+        logger.warning(
+            "minhash_lsh: candidate-signature broadcast is %.1f GiB "
+            "(%d docs) — candidate set is not small; raise threshold "
+            "or verify with jaccard_verify_distributed instead",
+            sig_mat.nbytes / (1 << 30), len(sid),
+        )
+    sig_ref = ray.put((sid, sig_mat))
+
+    def _estimate(tbl: pa.Table) -> pa.Table:
+        ids_s, mat = ray.get(sig_ref)
+        a = tbl.column("doc_a").to_numpy()
+        b = tbl.column("doc_b").to_numpy()
+        pa_i = np.searchsorted(ids_s, a)
+        pb_i = np.searchsorted(ids_s, b)
+        est = (mat[pa_i] == mat[pb_i]).mean(axis=1)
+        keep = est >= threshold
         return pa.table(
             {
-                "doc_a": pa.array(np.concatenate(a_list).astype(np.int64)),
-                "doc_b": pa.array(np.concatenate(b_list).astype(np.int64)),
-                "est_jaccard": pa.array(np.concatenate(j_list)),
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "est_jaccard": pa.array(est[keep]),
             }
         )
 
-    from .exchange import hash_grouped_map
-
-    pairs = hash_grouped_map(
-        exploded, ["band_id", "band_hash"], _pairs,
-        empty_schema=empty_pairs.schema,
-    )
-
-    # a pair can surface from several bands → keep one (max estimate)
-    from .groupagg import hash_grouped_aggregate
-
-    return hash_grouped_aggregate(
-        pairs, ["doc_a", "doc_b"], [("est_jaccard", "max")]
+    return cand.map_batches(
+        _estimate, batch_format="pyarrow", batch_size=None
     )
 
 
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard between given candidate pairs
-
-
-def jaccard_verify(
-    docs_ds,
-    pairs: list[tuple[int, int]],
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_k: int = 3,
-):
-    """Exact word-k-gram Jaccard for explicit candidate pairs.
-
-    The doc set touched by pairs is assumed small (candidates, not the
-    corpus): shingle sets are gathered via a filtered map_batches, the
-    pair scoring is a driver-side vectorized set intersection.
-    """
-    import pyarrow.compute as pc
-
-    wanted = sorted({i for p in pairs for i in p})
-    wset = np.array(wanted, dtype=np.int64)
-
-    def _shingles(tbl: pa.Table) -> pa.Table:
-        m = pc.is_in(tbl.column(id_col), value_set=pa.array(wset))
-        t = tbl.filter(m)
-        texts = t.column(text_col).to_pandas()
-        ids = t.column(id_col).to_numpy()
-        row, sh = _word_shingles(texts, shingle_k)
-        return pa.table(
-            {
-                id_col: pa.array(ids[row] if len(row) else np.array([], np.int64)),
-                "shingle": pa.array(sh),
-            }
-        )
-
-    tbl = pa.concat_tables(
-        [
-            b
-            for b in docs_ds.map_batches(
-                _shingles, batch_format="pyarrow"
-            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-        ]
-    )
-    df = tbl.to_pandas().drop_duplicates()
-    sets = {k: set(v) for k, v in df.groupby(id_col)["shingle"]}
-    out = []
-    for a, b in pairs:
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        out.append(
-            {"doc_a": a, "doc_b": b, "jaccard": inter / union if union else 0.0}
-        )
-    return pd.DataFrame(out)
+#
+# (A driver-side variant that gathered candidate shingle sets onto the
+# driver lived here through round 2; it was scale-unsafe as a public
+# API and is superseded by jaccard_verify_distributed — its brute-force
+# twin survives only as a test oracle in tests/test_dedup.py.)
 
 
 def _pair_struct(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -608,48 +662,112 @@ def simhash_pairs(
         }
     )
 
+    # depth up to which recursive sub-banding preserves the pigeonhole
+    # guarantee: after `d` agreed bands are consumed, a pair within
+    # max_hamming still has >= bands - d - max_hamming agreeing unused
+    # bands — >= 1 while d <= bands - max_hamming - 1
+    guaranteed_depth = bands - max_hamming - 1
+
     def _pairs(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy()
         n = len(ids)
         if n < 2:
             return empty_pairs
-        if n > max_bucket:
-            # no silent caps: report exactly what is skipped (for
-            # simhash there is NO other-band guarantee for these pairs)
-            logger.warning(
-                "simhash_pairs: skipping bucket of %d rows (> "
-                "max_bucket=%d, ~%d candidate pairs lost)",
-                n, max_bucket, n * (n - 1) // 2,
-            )
-            return empty_pairs
         h = group.column("simhash").to_numpy()
         o = np.argsort(ids, kind="stable")
         ids, h = ids[o], h[o]
+        band0 = int(group.column("band_id")[0].as_py())
         a_l, b_l, d_l = [], [], []
-        # blocked vectorized hamming: XOR matrix + 16-bit popcount LUT
-        blk = 1024
-        for s in range(0, n, blk):
-            e = min(s + blk, n)
-            d = _popcount64(h[s:e, None] ^ h[None, :])
-            rows_g = np.arange(s, e)[:, None]
-            cols_g = np.arange(n)[None, :]
-            mask = (
-                (cols_g > rows_g)
-                & (d <= max_hamming)
-                & (ids[None, :] != ids[s:e, None])
-            )
-            r_i, c_i = np.nonzero(mask)
-            if len(r_i):
-                a_l.append(ids[r_i + s])
-                b_l.append(ids[c_i])
-                d_l.append(d[r_i, c_i])
+
+        def _brute(idx: np.ndarray) -> None:
+            # blocked vectorized hamming: XOR matrix + popcount LUT
+            gid, hh = ids[idx], h[idx]
+            m = len(idx)
+            blk = 1024
+            for s in range(0, m, blk):
+                e = min(s + blk, m)
+                d = _popcount64(hh[s:e, None] ^ hh[None, :])
+                rows_g = np.arange(s, e)[:, None]
+                cols_g = np.arange(m)[None, :]
+                mask = (
+                    (cols_g > rows_g)
+                    & (d <= max_hamming)
+                    & (gid[None, :] != gid[s:e, None])
+                )
+                r_i, c_i = np.nonzero(mask)
+                if len(r_i):
+                    a_l.append(gid[r_i + s])
+                    b_l.append(gid[c_i])
+                    d_l.append(d[r_i, c_i])
+
+        def _refine(idx: np.ndarray, unused: list[int], depth: int) -> None:
+            """Recursively sub-band an oversized bucket by each unused
+            band instead of skipping it (round-3 fix — with narrow band
+            keys, e.g. bands=16 -> 4-bit keys, EVERY bucket of a large
+            corpus used to trip max_bucket and all pairs were dropped).
+            A pair within max_hamming agrees on >= bands - max_hamming
+            bands, so while depth <= guaranteed_depth it fully agrees
+            on at least one unused band and survives that branch;
+            duplicates across branches are deduped below."""
+            m = len(idx)
+            if m < 2:
+                return
+            if m <= max_bucket:
+                _brute(idx)
+                return
+            split_any = False
+            if unused:
+                if depth == guaranteed_depth + 1:
+                    logger.warning(
+                        "simhash_pairs: sub-banding past depth %d — "
+                        "recall no longer pigeonhole-guaranteed for "
+                        "this branch (bucket of %d rows)",
+                        guaranteed_depth, m,
+                    )
+                for j in unused:
+                    keys = (h[idx] >> np.uint64(j * width)) & np.uint64(
+                        (1 << width) - 1
+                    )
+                    order = np.argsort(keys, kind="stable")
+                    ks = keys[order]
+                    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+                    ends = np.r_[starts[1:], m]
+                    sub_unused = [x for x in unused if x != j]
+                    for s0, e0 in zip(starts, ends):
+                        if e0 - s0 == m:
+                            continue  # band j does not split this set
+                        split_any = True
+                        _refine(idx[order[s0:e0]], sub_unused, depth + 1)
+            if not split_any:
+                # no unused band splits the set: all rows share one
+                # simhash prefix pattern — a genuine quadratic flood
+                logger.warning(
+                    "simhash_pairs: skipping unsplittable bucket of %d "
+                    "rows (> max_bucket=%d, ~%d candidate pairs lost)",
+                    m, max_bucket, m * (m - 1) // 2,
+                )
+
+        _refine(
+            np.arange(n),
+            [j for j in range(bands) if j != band0],
+            1,
+        )
         if not a_l:
             return empty_pairs
+        a = np.concatenate(a_l).astype(np.int64)
+        b = np.concatenate(b_l).astype(np.int64)
+        d = np.concatenate(d_l).astype(np.int64)
+        # dedupe pairs surfaced by several branches (keep min hamming)
+        keys = _pair_struct(a, b)
+        order = np.lexsort((d, keys["b"], keys["a"]))
+        keys, d = keys[order], d[order]
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
         return pa.table(
             {
-                "doc_a": pa.array(np.concatenate(a_l).astype(np.int64)),
-                "doc_b": pa.array(np.concatenate(b_l).astype(np.int64)),
-                "hamming": pa.array(np.concatenate(d_l).astype(np.int64)),
+                "doc_a": pa.array(keys["a"][first]),
+                "doc_b": pa.array(keys["b"][first]),
+                "hamming": pa.array(d[first]),
             }
         )
 

@@ -12,10 +12,56 @@ import ray.data as rd
 from dane_visual_feature_extraction_worker_ray.stages.dedup import (
     _word_shingles,
     exact_dedup,
-    jaccard_verify,
     minhash_lsh_pairs,
     simhash_pairs,
 )
+
+
+def jaccard_verify(docs_ds, pairs, text_col="text", id_col="doc_id",
+                   shingle_k=3):
+    """TEST ORACLE ONLY (demoted from stages/dedup.py in round 3): exact
+    word-k-gram Jaccard with candidate shingle sets gathered onto the
+    driver — scale-unsafe by construction; production uses
+    jaccard_verify_distributed."""
+    import pyarrow.compute as pc
+
+    wset = np.array(sorted({i for p in pairs for i in p}), dtype=np.int64)
+
+    def _shingles(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.is_in(tbl.column(id_col), value_set=pa.array(wset)))
+        texts = t.column(text_col).to_pandas()
+        ids = t.column(id_col).to_numpy()
+        row, sh = _word_shingles(texts, shingle_k)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    ids[row] if len(row) else np.array([], np.int64)
+                ),
+                "shingle": pa.array(sh),
+            }
+        )
+
+    tbl = pa.concat_tables(
+        list(
+            docs_ds.map_batches(
+                _shingles, batch_format="pyarrow"
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    )
+    df = tbl.to_pandas().drop_duplicates()
+    sets = {k: set(v) for k, v in df.groupby(id_col)["shingle"]}
+    out = []
+    for a, b in pairs:
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        union = len(sa | sb)
+        out.append(
+            {
+                "doc_a": a,
+                "doc_b": b,
+                "jaccard": len(sa & sb) / union if union else 0.0,
+            }
+        )
+    return pd.DataFrame(out)
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat watches "
@@ -237,3 +283,53 @@ def test_near_dup_survivors():
             for a, b in zip(pairs["doc_a"], pairs["doc_b"])
             if a == d or b == d
         )
+
+
+def test_simhash_oversized_bucket_recursion_full_recall():
+    """Round-3 fix: with narrow band keys (bands=16 -> 4-bit keys) a
+    modest corpus floods every bucket past max_bucket; oversized
+    buckets must be recursively sub-banded — not skipped — so recall
+    vs the brute-force hamming oracle stays exact while the recursion
+    depth is within the pigeonhole guarantee."""
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        _popcount64,
+        simhash_signatures,
+    )
+
+    rng = np.random.default_rng(3)
+    words = [f"tok{i}" for i in range(400)]
+    texts = [
+        " ".join(rng.choice(words, size=30)) for _ in range(120)
+    ]
+    # planted near-identical pair: one word changed
+    texts[1] = texts[0].replace("tok", "kot", 1)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    max_h, bands = 8, 16
+    got = simhash_pairs(
+        rd.from_arrow(tbl), max_hamming=max_h, bands=bands, max_bucket=6
+    ).to_pandas()
+    # brute-force oracle over the signatures
+    sig = (
+        simhash_signatures(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    h = sig["simhash"].to_numpy().astype(np.uint64)
+    d = _popcount64(h[:, None] ^ h[None, :])
+    iu, ju = np.triu_indices(len(h), k=1)
+    exp = {
+        (int(a), int(b)): int(dd)
+        for a, b, dd in zip(iu[iu != ju], ju[iu != ju], d[iu, ju])
+        if dd <= max_h
+    }
+    got_pairs = {
+        (int(r["doc_a"]), int(r["doc_b"])): int(r["hamming"])
+        for _, r in got.iterrows()
+    }
+    assert got_pairs == exp
+    assert len(exp) >= 1  # the planted pair is in range

@@ -4,8 +4,6 @@ from __future__ import annotations
 
 import os
 
-import ray.data as rd
-
 from ..stages.text import (
     _LANG_PROFILES,
     _STOPWORDS,

@@ -26,30 +26,21 @@ def group_aggregate_table(
     agg_spec: list[tuple[str, str]],
     out_names: list[str] | None = None,
 ) -> pa.Table:
-    """``table.group_by(keys).aggregate(agg_spec)`` with typed output
-    on EMPTY input: pyarrow's group_by on a 0-row table returns a
-    0-COLUMN table, which poisons downstream schemas (Ray's "RefBundle
-    with a different schema" warning / union failures). sum/min/max
-    preserve the input column type, so the empty schema is derivable.
-    """
+    """``table.group_by(keys).aggregate(agg_spec)`` — safe on EMPTY
+    input as long as the input is TYPED (0 rows but real columns): this
+    pyarrow version's C++ kernel then yields the correctly-promoted
+    0-row schema (``sum(int*) -> int64``, ``sum(uint*) -> uint64``,
+    ``sum(float32) -> float64``, ``count* -> int64``), identical to the
+    non-empty case, so empty and non-empty partitions always concat.
+    The guard that matters is upstream: never feed a 0-COLUMN table
+    (Ray's map operators emit those for skipped empty blocks — the
+    exchange prunes them before this runs)."""
     out_names = out_names or (keys + [c for c, _ in agg_spec])
-    if table.num_rows == 0:
-        # sum/min/max preserve the input column type; count families
-        # always yield int64
-        key_fields = [
-            pa.field(n, table.schema.field(k).type)
-            for n, k in zip(out_names, keys)
-        ]
-        agg_fields = [
-            pa.field(
-                n,
-                pa.int64()
-                if agg.startswith("count")
-                else table.schema.field(c).type,
-            )
-            for n, (c, agg) in zip(out_names[len(keys):], agg_spec)
-        ]
-        return pa.schema(key_fields + agg_fields).empty_table()
+    if table.num_columns == 0:
+        raise ValueError(
+            "group_aggregate_table: 0-column input (a schema-less empty "
+            "block leaked past the exchange's empty-partition pruning)"
+        )
     g = table.group_by(keys).aggregate(agg_spec)
     return g.rename_columns(out_names)
 

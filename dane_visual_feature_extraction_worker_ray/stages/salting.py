@@ -512,12 +512,34 @@ def compute_features_auto(
             "salt", pa.array(salts.astype(np.int64))
         )
 
+    # ONE full input scan (round-3 fix — the normal and mega paths used
+    # to each re-read + re-align the whole input): align once,
+    # materialize, and derive both sides with cheap filters over the
+    # object-store blocks (zero-copy Arrow reads, no parquet re-decode).
+    # The blocks would land in the object store at the exchange boundary
+    # anyway, so this adds no new memory pressure — it only removes the
+    # duplicate scans. _align_turns/_align_snaps are idempotent, so the
+    # pre-aligned normal subset passes through compute_features' own
+    # alignment unchanged.
+    turns_all = turns_ds.map_batches(
+        lambda t: _align_turns(t, False),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    snaps_all = (
+        snapshots_ds.map_batches(
+            _align_snaps, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        if snapshots_ds is not None
+        else None
+    )
+
     # normal path
     normal_feats = compute_features(
-        turns_ds.map_batches(_normal_only, batch_format="pyarrow"),
+        turns_all.map_batches(_normal_only, batch_format="pyarrow"),
         (
-            snapshots_ds.map_batches(_normal_only, batch_format="pyarrow")
-            if snapshots_ds is not None
+            snaps_all.map_batches(_normal_only, batch_format="pyarrow")
+            if snaps_all is not None
             else None
         ),
         cfg,
@@ -525,13 +547,11 @@ def compute_features_auto(
     )
 
     # mega path
-    turns_aligned = turns_ds.map_batches(
-        lambda t: _align_turns(t, False), batch_format="pyarrow"
-    ).map_batches(_mega_turns, batch_format="pyarrow")
-    if snapshots_ds is not None:
-        snaps_aligned = snapshots_ds.map_batches(
-            _align_snaps, batch_format="pyarrow"
-        ).map_batches(_mega_snaps_replicated, batch_format="pyarrow")
+    turns_aligned = turns_all.map_batches(_mega_turns, batch_format="pyarrow")
+    if snaps_all is not None:
+        snaps_aligned = snaps_all.map_batches(
+            _mega_snaps_replicated, batch_format="pyarrow"
+        )
         mega_all = turns_aligned.union(snaps_aligned)
     else:
         mega_all = turns_aligned
@@ -541,7 +561,7 @@ def compute_features_auto(
     # both phases run on the explicit hash exchange keyed on
     # (conv_id, salt) — no sort shuffle, typed empty partitions; the
     # aligned mega subset is materialized once (bounded by the skewed
-    # tail) so phases A and B don't each re-scan the full input
+    # tail) so phases A and B don't each re-filter the full input
     turns_aligned = turns_aligned.materialize()
     summaries = hash_grouped_map(
         turns_aligned,

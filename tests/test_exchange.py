@@ -180,3 +180,41 @@ def test_grouped_aggregate_multikey_matches_pandas():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_group_aggregate_table_empty_schema_promotion():
+    """Empty-input schema must match the non-empty promoted schema
+    exactly (sum(int32)->int64, sum(float32)->float64, sum(uint16)->
+    uint64) so empty and non-empty partitions concat downstream."""
+    import pyarrow as pa
+
+    from dane_visual_feature_extraction_worker_ray.stages.groupagg import (
+        group_aggregate_table,
+    )
+
+    full = pa.table(
+        {
+            "k": ["a"],
+            "i": pa.array([1], pa.int32()),
+            "f": pa.array([1.0], pa.float32()),
+            "u": pa.array([1], pa.uint16()),
+        }
+    )
+    spec = [("i", "sum"), ("f", "sum"), ("u", "sum"), ("i", "min")]
+    names = ["k", "si", "sf", "su", "mi"]
+    s_full = group_aggregate_table(full, ["k"], spec, names).schema
+    s_empty = group_aggregate_table(
+        full.slice(0, 0), ["k"], spec, names
+    ).schema
+    assert s_full == s_empty
+    assert s_empty.field("si").type == pa.int64()
+    assert s_empty.field("sf").type == pa.float64()
+    assert s_empty.field("su").type == pa.uint64()
+    assert s_empty.field("mi").type == pa.int32()
+    # concat must succeed
+    pa.concat_tables(
+        [
+            group_aggregate_table(full, ["k"], spec, names),
+            group_aggregate_table(full.slice(0, 0), ["k"], spec, names),
+        ]
+    )

@@ -81,3 +81,74 @@ class PartitionConfig:
 class PipelineConfig:
     features: FeatureConfig = field(default_factory=FeatureConfig)
     partitioning: PartitionConfig = field(default_factory=PartitionConfig)
+
+
+# ---------------------------------------------------------------------------
+# layered file loading (reference analog: yacs base config overlaid by
+# ~/.DANE/config.yml + the assertion validator, base_util.py:10-131)
+
+_SECTIONS = {"features": FeatureConfig, "partitioning": PartitionConfig}
+
+
+def _merge_layers(layers: list[dict]) -> dict[str, dict]:
+    merged: dict[str, dict] = {k: {} for k in _SECTIONS}
+    for i, layer in enumerate(layers):
+        if not isinstance(layer, dict):
+            raise ValueError(f"config layer {i} is not a mapping")
+        unknown = set(layer) - set(_SECTIONS)
+        if unknown:
+            raise ValueError(
+                f"unknown config section(s) {sorted(unknown)}; "
+                f"expected {sorted(_SECTIONS)}"
+            )
+        for section, vals in layer.items():
+            if vals is None:
+                continue
+            if not isinstance(vals, dict):
+                raise ValueError(f"section '{section}' is not a mapping")
+            cls = _SECTIONS[section]
+            bad = set(vals) - set(cls.__dataclass_fields__)
+            if bad:
+                raise ValueError(
+                    f"unknown key(s) {sorted(bad)} in section "
+                    f"'{section}'; valid: "
+                    f"{sorted(cls.__dataclass_fields__)}"
+                )
+            merged[section].update(vals)  # later layer wins per key
+    return merged
+
+
+def load_config(*sources, **overrides) -> PipelineConfig:
+    """Layered config: each source is a YAML file path or a dict, merged
+    left→right (later layers win per key); ``overrides`` are applied
+    last as ``section__key=value`` kwargs (e.g. ``features__row_window=7``).
+    Unknown sections/keys fail fast at the driver, and the frozen
+    dataclasses re-validate values on construction — the engine analog
+    of the reference's layered yacs config + 100-line validator
+    (``base_util.py:10-16,21-131``). The result is shipped to workers
+    by value; nothing re-reads files per task."""
+    layers: list[dict] = []
+    for src in sources:
+        if isinstance(src, dict):
+            layers.append(src)
+        else:
+            import yaml
+
+            with open(src) as f:
+                layers.append(yaml.safe_load(f) or {})
+    ov: dict[str, dict] = {}
+    for k, v in overrides.items():
+        section, _, key = k.partition("__")
+        if not key:
+            raise ValueError(
+                f"override '{k}' must be section__key (e.g. "
+                "features__row_window)"
+            )
+        ov.setdefault(section, {})[key] = v
+    if ov:
+        layers.append(ov)
+    merged = _merge_layers(layers)
+    return PipelineConfig(
+        features=FeatureConfig(**merged["features"]),
+        partitioning=PartitionConfig(**merged["partitioning"]),
+    )

@@ -914,8 +914,13 @@ def connected_components_labels(
                 batch_size=None,
             )
         )
+        # defer empty-partition pruning: msgs feed straight into the
+        # phase-2 exchange (empty-safe), so phase-1 reduce outputs
+        # stream into phase-2 splits without a driver barrier — the two
+        # exchanges of every round overlap instead of serializing
         msgs = hash_exchange(
-            in1, "key", num_partitions, _phase1, empty_schema=msg_schema
+            in1, "key", num_partitions, _phase1, empty_schema=msg_schema,
+            prune_empty_sync=False,
         )
         in2 = msgs.map_batches(
             lambda t: t.append_column(

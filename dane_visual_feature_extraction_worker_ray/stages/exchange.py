@@ -138,6 +138,7 @@ def hash_exchange(
     num_partitions: int,
     kernel,
     empty_schema: pa.Schema | None = None,
+    prune_empty_sync: bool = True,
 ):
     """Co-locate rows by ``hash64(key) % num_partitions`` (``key`` may
     be one column or a composite list) and apply
@@ -147,7 +148,21 @@ def hash_exchange(
     The upstream ``ds`` executes (streamed into the object store) at
     the exchange boundary — the same materialization point any
     all-to-all op has.
+
+    ``prune_empty_sync=True`` (default) ``ray.get``-syncs the tiny
+    per-partition row counts so empty partitions never reach Ray Data
+    (this Ray version's map operators skip the UDF on 0-row blocks and
+    emit 0-COLUMN blocks downstream — "RefBundle with a different
+    schema" warnings). The sync makes the exchange a full driver-side
+    barrier at dataset-construction time; for CHAINED exchanges whose
+    consumer is itself empty-safe (another hash_exchange, a union —
+    e.g. the per-round label propagation in connected components), pass
+    ``False`` to keep reduce outputs streaming into the next stage's
+    splits without waiting for the slowest partition. Requires
+    ``empty_schema`` so the un-pruned empties are at least typed.
     """
+    if not prune_empty_sync and empty_schema is None:
+        raise ValueError("prune_empty_sync=False requires empty_schema")
     blocks = ds.to_arrow_refs()
     if not blocks:
         return rd.from_arrow(
@@ -168,6 +183,8 @@ def hash_exchange(
         )
         for p in range(num_partitions)
     ]
+    if not prune_empty_sync:
+        return rd.from_arrow_refs([t for t, _ in pairs])
     # Drop empty partition outputs BEFORE handing refs to Ray Data:
     # this Ray version's map operators skip the UDF on 0-row blocks
     # and emit 0-COLUMN blocks, poisoning downstream schemas ("RefBundle

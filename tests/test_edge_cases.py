@@ -91,3 +91,38 @@ def test_config_validation():
         PartitionConfig(num_buckets=0)
     with pytest.raises(ValueError):
         PartitionConfig(salt_threshold=10, salt_chunk=100)
+
+
+def test_layered_config_round_trip(tmp_path):
+    """YAML base → overlay → kwarg overrides, later layers win; unknown
+    sections/keys fail fast; values re-validated by the dataclasses."""
+    from dane_visual_feature_extraction_worker_ray.config import (
+        load_config,
+    )
+
+    base = tmp_path / "base.yml"
+    base.write_text(
+        "features:\n  row_window: 3\n  feature_dim: 8\n"
+        "partitioning:\n  num_buckets: 16\n"
+    )
+    overlay = tmp_path / "site.yml"
+    overlay.write_text("features:\n  row_window: 7\n")
+
+    cfg = load_config(base, overlay, partitioning__num_buckets=32)
+    assert cfg.features.row_window == 7  # overlay beat base
+    assert cfg.features.feature_dim == 8  # base survives
+    assert cfg.partitioning.num_buckets == 32  # kwarg beat file
+    assert cfg.partitioning.salt_chunk == 100_000  # untouched default
+
+    # defaults only
+    d = load_config()
+    assert d.features.row_window == 5
+
+    with pytest.raises(ValueError, match="unknown config section"):
+        load_config({"nope": {}})
+    with pytest.raises(ValueError, match="unknown key"):
+        load_config({"features": {"row_windw": 5}})
+    with pytest.raises(ValueError, match="section__key"):
+        load_config(row_window=5)
+    with pytest.raises(ValueError):  # dataclass validation still runs
+        load_config({"features": {"row_window": 0}})

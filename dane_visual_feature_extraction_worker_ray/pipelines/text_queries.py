@@ -423,6 +423,260 @@ ORACLE_SQL["sample_documents"] = (
 )
 
 
+def q_top_tokens(sf_dir: str, k: int = 20):
+    """Heavy hitters: the k globally most frequent whitespace tokens
+    (tie-break token asc). Mergeable per-batch token counts → token-hash
+    exchange (exact totals, each token wholly in one partition) →
+    per-partition top-k partials → tiny driver merge. No stage ever
+    holds more than its partition's token vocabulary."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..stages.groupagg import hash_grouped_aggregate
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("text").to_pandas().fillna("")
+        ex = s.str.split().explode().dropna()
+        vc = ex.value_counts()  # C groupby
+        return pa.table(
+            {
+                "tok": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    counts = hash_grouped_aggregate(
+        _docs(sf_dir).map_batches(
+            _partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["tok"],
+        [("n", "sum")],
+        num_buckets=16,
+    )
+
+    def _topk(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n").cast(pa.int64()).to_numpy()
+        tok = tbl.column("tok").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n))[:k]
+        return pa.table(
+            {
+                "tok": pa.array(tok[order], pa.string()),
+                "n": pa.array(n[order]),
+            }
+        )
+
+    partials = [
+        ray.get(r)
+        for r in counts.map_batches(
+            _topk, batch_format="pyarrow", batch_size=None
+        ).to_arrow_refs()
+    ]
+    merged = pa.concat_tables([t for t in partials if t.num_rows])
+    return _topk(merged)  # k x n_partitions rows -> final k on the driver
+
+
+QUERIES["top_tokens"] = q_top_tokens
+ORACLE_SQL["top_tokens"] = r"""
+SELECT tok, n FROM (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n,
+    row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> '')) AS tok
+    FROM documents)
+  GROUP BY tok)
+WHERE rk <= 20
+""".strip()
+
+
+def q_distinct_tokens_per_source(sf_dir: str):
+    """Grouped exact distinct count: vocabulary size per source.
+    Two-level aggregation — per-batch DISTINCT (source, token) pairs →
+    pair-keyed exchange dedupe → mergeable (source, 1) partials →
+    tiny source-keyed sum. The shuffle carries distinct pairs only,
+    never raw text rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def _pairs(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("text").to_pandas().fillna("")
+        src = tbl.column("source").to_pandas()
+        ex = s.str.split().explode().dropna()
+        df = pd.DataFrame(
+            {"source": src.reindex(ex.index).to_numpy(), "tok": ex.to_numpy()}
+        ).drop_duplicates()
+        t = pa.table(
+            {
+                "source": pa.array(df["source"].to_numpy(dtype=object)),
+                "tok": pa.array(df["tok"].to_numpy(dtype=object)),
+                "one": pa.array(np.ones(len(df), np.int64)),
+            }
+        )
+        return t
+
+    dedup = hash_grouped_aggregate(
+        docs.map_batches(_pairs, batch_format="pyarrow", batch_size=None),
+        ["source", "tok"],
+        [("one", "min")],
+        num_buckets=16,
+    )
+
+    def _per_source(tbl: pa.Table) -> pa.Table:
+        return group_aggregate_table(
+            tbl.select(["source", "one"]),
+            ["source"],
+            [("one", "sum")],
+            ["source", "n_tokens"],
+        )
+
+    return hash_grouped_aggregate(
+        dedup.map_batches(
+            _per_source, batch_format="pyarrow", batch_size=None
+        ),
+        ["source"],
+        [("n_tokens", "sum")],
+        num_buckets=8,
+    )
+
+
+QUERIES["distinct_tokens_per_source"] = q_distinct_tokens_per_source
+ORACLE_SQL["distinct_tokens_per_source"] = r"""
+SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens
+FROM (
+  SELECT source,
+    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents)
+GROUP BY source
+""".strip()
+
+
+TFIDF_TERMS = ["spark", "merge", "column"]  # fixed query-term set
+
+
+def q_tfidf_scores(sf_dir: str):
+    """Inverse-document-frequency weighted term scoring against a fixed
+    query-term set — the lexical-retrieval primitive next to the
+    embedding kNN. Two passes: (1) mergeable per-batch document
+    frequencies (docs containing each term) → 3 scalars broadcast;
+    (2) streaming per-doc term counts, score = Σ tf_t / df_t with a
+    FIXED term order and one IEEE division per term so the float
+    matches the identically-shaped SQL expression bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..stages.groupagg import group_aggregate_table
+
+    docs = _docs(sf_dir)
+
+    def _tf(texts) -> np.ndarray:
+        """(n_docs, n_terms) whitespace-token term counts, vectorized."""
+        ex = texts.fillna("").str.split().explode()
+        mask = ex.notna()
+        row = ex.index.to_numpy()[mask].astype(np.int64)
+        toks = ex[mask]
+        out = np.zeros((len(texts), len(TFIDF_TERMS)), np.int64)
+        for j, term in enumerate(TFIDF_TERMS):
+            hits = (toks == term).to_numpy()
+            out[:, j] = np.bincount(
+                row, weights=hits.astype(np.float64), minlength=len(texts)
+            ).astype(np.int64)
+        return out
+
+    def _df_partial(tbl: pa.Table) -> pa.Table:
+        tf = _tf(tbl.column("text").to_pandas())
+        cols = {"_k": pa.array(np.zeros(1, np.int64))}
+        for j, term in enumerate(TFIDF_TERMS):
+            cols[f"df_{term}"] = pa.array(
+                [int((tf[:, j] > 0).sum())], pa.int64()
+            )
+        return pa.table(cols)
+
+    df_parts = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in docs.map_batches(
+                _df_partial, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        ]
+    )
+    df_tot = group_aggregate_table(
+        df_parts, ["_k"], [(f"df_{t}", "sum") for t in TFIDF_TERMS]
+    )
+    dfs = np.array(
+        [int(df_tot.column(f"df_{t}")[0].as_py()) for t in TFIDF_TERMS],
+        np.int64,
+    )
+    dfs_ref = ray.put(dfs)
+
+    def _score(tbl: pa.Table) -> pa.Table:
+        d = ray.get(dfs_ref).astype(np.float64)
+        tf = _tf(tbl.column("text").to_pandas())
+        # fixed-order sum of single divisions — identical expression
+        # shape to the SQL oracle, so doubles match bit-for-bit
+        score = np.zeros(tbl.num_rows, np.float64)
+        for j in range(len(TFIDF_TERMS)):
+            score = score + (
+                tf[:, j].astype(np.float64) / d[j] if d[j] else 0.0
+            )
+        cols = {"doc_id": tbl.column("doc_id")}
+        for j, term in enumerate(TFIDF_TERMS):
+            cols[f"tf_{term}"] = pa.array(tf[:, j])
+        cols["score"] = pa.array(score)
+        return pa.table(cols)
+
+    return docs.map_batches(_score, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["tfidf_scores"] = q_tfidf_scores
+
+
+def _tfidf_sql() -> str:
+    tf_exprs = ",\n  ".join(
+        "CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf_{t}".format(
+            t=t
+        )
+        for t in TFIDF_TERMS
+    )
+    df_ctes = ",\n".join(
+        "df_{t} AS (SELECT count(*) AS d FROM toks "
+        "WHERE list_contains(tk, '{t}'))".format(t=t)
+        for t in TFIDF_TERMS
+    )
+    score = " + ".join(
+        "CAST(tf_{t} AS DOUBLE) / (SELECT d FROM df_{t})".format(t=t)
+        for t in TFIDF_TERMS
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+{df_ctes},
+tf AS (
+  SELECT doc_id,
+  {tf_exprs}
+  FROM toks
+)
+SELECT doc_id, {', '.join('tf_' + t for t in TFIDF_TERMS)},
+  {score} AS score
+FROM tf
+""".strip()
+
+
+ORACLE_SQL["tfidf_scores"] = _tfidf_sql()
+
+
 def q_fingerprint_counts(sf_dir: str):
     """Winnowing fingerprints with window=1 degenerate to the distinct
     token-4-gram set, so the per-doc fingerprint COUNT has a plain SQL

@@ -257,17 +257,25 @@ def near_dup_pairs_cosine(
     """Pairs (a < b) with cosine >= threshold, via hyperplane LSH.
 
     ``n_tables`` independent sets of ``n_planes`` random hyperplanes;
-    a pair collides in a table iff all sign bits agree. Exact cosine is
-    verified inside each bucket; duplicates across tables are merged by
-    a final (tiny) groupby. Recall grows with n_tables; guaranteed hits
-    for very high thresholds.
+    a pair collides in a table iff all sign bits agree. Recall grows
+    with n_tables; guaranteed hits for very high thresholds.
 
-    Scale trade-off (deliberate): normalized vectors ride the shuffle
-    ×``n_tables`` as float32 so each bucket can verify cosine exactly
-    (1e-6 contract; float16 would halve the bytes but break it). At
-    extreme scale prefer fewer/wider tables or a two-pass design that
-    re-reads vectors for surviving candidates only.
+    Round-3 shape (two-pass, mirrors minhash_lsh_pairs): buckets carry
+    ``(table_id, bucket_key, vec_id)`` only — 20 bytes/row instead of
+    the round-2 design's x``n_tables`` float32 vector replication
+    (dim x 4 B extra per exploded row; 8 tables x 32-dim = ~1 KiB/vec
+    -> ~160 B/vec, and the saving grows with dim). Buckets emit
+    candidate id pairs; the exact cosine is verified in a second
+    streaming pass against a broadcast of the candidate-endpoint
+    vectors (bounded by the LSH candidate count, not the corpus).
     """
+    import logging
+
+    import ray
+
+    from .exchange import hash_grouped_map
+    from .groupagg import hash_grouped_aggregate
+
     def _buckets(tbl: pa.Table) -> pa.Table:
         m = _normalize(_matrix(tbl, vec_col).astype(np.float64))
         d = m.shape[1]
@@ -276,7 +284,6 @@ def near_dup_pairs_cosine(
         ids = tbl.column(id_col).to_numpy()
         n = len(ids)
         tb, key, oid = [], [], []
-        vecs = []
         for t in range(n_tables):
             bits = (m @ pl[t].T) > 0  # (n, n_planes)
             k = np.zeros(n, dtype=np.uint64)
@@ -285,20 +292,60 @@ def near_dup_pairs_cosine(
             tb.append(np.full(n, t, dtype=np.int32))
             key.append(k)
             oid.append(ids)
-            vecs.append(m)
-        mflat = np.vstack(vecs).astype(np.float32)
         return pa.table(
             {
                 "table_id": pa.array(np.concatenate(tb)),
                 "bucket_key": pa.array(np.concatenate(key)),
                 id_col: pa.array(np.concatenate(oid)),
-                "nvec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(mflat.ravel()), mflat.shape[1]
-                ),
             }
         )
 
     exploded = emb_ds.map_batches(_buckets, batch_format="pyarrow")
+
+    cand_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+
+    def _cand_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column(id_col).to_numpy())
+        n = len(ids)
+        if n < 2:
+            return cand_schema.empty_table()
+        if n > 4000:
+            # no silent caps: report the skipped bucket
+            logging.getLogger(__name__).warning(
+                "near_dup_pairs_cosine: skipping bucket of %d rows "
+                "(> 4000, ~%d candidate pairs); other tables may still "
+                "surface them",
+                n, n * (n - 1) // 2,
+            )
+            return cand_schema.empty_table()
+        iu, ju = np.triu_indices(n, k=1)
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[iu].astype(np.int64)),
+                "vec_b": pa.array(ids[ju].astype(np.int64)),
+            }
+        )
+
+    cand = hash_grouped_map(
+        exploded, ["table_id", "bucket_key"], _cand_pairs,
+        empty_schema=cand_schema,
+    )
+    # dedupe pairs that collided in several tables
+    cand = hash_grouped_aggregate(
+        cand.map_batches(
+            lambda t: t.append_column(
+                "n", pa.array(np.ones(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["vec_a", "vec_b"],
+        [("n", "sum")],
+    ).map_batches(
+        lambda t: t.select(["vec_a", "vec_b"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
 
     empty = pa.table(
         {
@@ -307,44 +354,71 @@ def near_dup_pairs_cosine(
             "cosine": pa.array([], pa.float64()),
         }
     )
+    import ray.data as rd
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy()
-        if len(ids) < 2:
-            return empty
-        if len(ids) > 4000:
-            # no silent caps: report the skipped bucket
-            import logging
+    ends = [
+        np.concatenate(
+            [b.column("vec_a").to_numpy(), b.column("vec_b").to_numpy()]
+        )
+        for b in cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    cand_ids = (
+        np.unique(np.concatenate(ends)) if ends else np.array([], np.int64)
+    )
+    if len(cand_ids) == 0:
+        return rd.from_arrow(empty)
+    cand_ids_ref = ray.put(cand_ids)
 
-            logging.getLogger(__name__).warning(
-                "near_dup_pairs_cosine: skipping bucket of %d rows "
-                "(> 4000, ~%d candidate pairs); other tables may still "
-                "surface them",
-                len(ids), len(ids) * (len(ids) - 1) // 2,
-            )
-            return empty
-        m = _matrix(group, "nvec").astype(np.float64)
-        o = np.argsort(ids, kind="stable")
-        ids, m = ids[o], m[o]
-        sim = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = (sim[iu, ju] >= threshold) & (ids[iu] != ids[ju])
+    def _cand_vecs(tbl: pa.Table) -> pa.Table:
+        w = ray.get(cand_ids_ref)
+        ids = tbl.column(id_col).to_numpy()
+        pos = np.searchsorted(w, ids).clip(0, len(w) - 1)
+        t = tbl.filter(pa.array(w[pos] == ids))
+        m = _normalize(_matrix(t, vec_col).astype(np.float64)).astype(
+            np.float64
+        )
         return pa.table(
             {
-                "vec_a": pa.array(ids[iu[mask]].astype(np.int64)),
-                "vec_b": pa.array(ids[ju[mask]].astype(np.int64)),
-                "cosine": pa.array(sim[iu, ju][mask].astype(np.float64)),
+                id_col: t.column(id_col).cast(pa.int64()),
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.ravel()), m.shape[1]
+                ),
             }
         )
 
-    from .exchange import hash_grouped_map
-
-    pairs = hash_grouped_map(
-        exploded, ["table_id", "bucket_key"], _pairs,
-        empty_schema=empty.schema,
+    picked = pa.concat_tables(
+        list(
+            emb_ds.map_batches(
+                _cand_vecs, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
     )
-    from .groupagg import hash_grouped_aggregate
+    vid = picked.column(id_col).to_numpy()
+    vmat = (
+        _matrix(picked, "nvec")
+        if picked.num_rows
+        else np.empty((0, 1), np.float64)
+    )
+    o = np.argsort(vid)
+    vid, vmat = vid[o], vmat[o]
+    vec_ref = ray.put((vid, vmat))
 
-    return hash_grouped_aggregate(
-        pairs, ["vec_a", "vec_b"], [("cosine", "max")]
+    def _verify(tbl: pa.Table) -> pa.Table:
+        ids_s, mat = ray.get(vec_ref)
+        a = tbl.column("vec_a").to_numpy()
+        b = tbl.column("vec_b").to_numpy()
+        pa_i = np.searchsorted(ids_s, a)
+        pb_i = np.searchsorted(ids_s, b)
+        cos = np.einsum("ij,ij->i", mat[pa_i], mat[pb_i])
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep]),
+                "vec_b": pa.array(b[keep]),
+                "cosine": pa.array(cos[keep]),
+            }
+        )
+
+    return cand.map_batches(
+        _verify, batch_format="pyarrow", batch_size=None
     )

@@ -53,6 +53,20 @@ def q_knn_ivf_topk(sf_dir: str):
     return df[["vec_id", "score"]].reset_index(drop=True)
 
 
+def q_knn_ivf_kmeans_topk(sf_dir: str):
+    """IVF with the spherical-k-means-refined coarse quantizer (the
+    round-3 bounded-gather path) run at FULL probe — exact for ANY
+    trained centroid set, so the brute-force SQL oracle applies and the
+    driver gate exercises training + assignment end-to-end; pruned-probe
+    recall of the trained quantizer is measured in
+    tests/test_similarity.py."""
+    df = knn_ivf(
+        _emb(sf_dir), _query_vec(sf_dir), k=K, n_lists=32, n_probe=32,
+        kmeans_iters=2, train_sample=512, round_decimals=4,
+    )
+    return df[["vec_id", "score"]].reset_index(drop=True)
+
+
 N_PLANTED = 20
 PLANT_OFFSET = 1_000_000
 
@@ -92,6 +106,7 @@ def q_embedding_near_dups(sf_dir: str):
 QUERIES = {
     "knn_topk": q_knn_topk,
     "knn_ivf_topk": q_knn_ivf_topk,
+    "knn_ivf_kmeans_topk": q_knn_ivf_kmeans_topk,
     "embedding_near_dups": q_embedding_near_dups,
 }
 
@@ -106,6 +121,7 @@ LIMIT {K}
 
 ORACLE_SQL = {
     "knn_ivf_topk": _SQL_KNN,
+    "knn_ivf_kmeans_topk": _SQL_KNN,
     "knn_topk": f"""
 SELECT vec_id,
   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -1,0 +1,175 @@
+"""Distributed hash equi-join (large × large, many-to-many).
+
+Ray Data in this version has no native hash join (``Dataset.join`` is
+unavailable; ``groupby``-based co-grouping rides the sort shuffle the
+engine abandoned — see stages/exchange.py). This operator expresses the
+join as ONE side-tagged hash exchange on the key:
+
+1. both sides are aligned onto a combined schema (own columns + typed
+   nulls for the other side + an int8 ``side`` flag) and unioned — the
+   same pattern as the connected-components label/message unions;
+2. one :func:`hash_exchange` on the key co-locates every key's rows
+   from both sides;
+3. the partition kernel sorts the right side once (C++ ``sort_indices``
+   via numpy argsort on the key), then for every left row finds its
+   match RUN with two ``searchsorted`` calls and expands many-to-many
+   matches with ``np.repeat`` — no Python per-row loops.
+
+``how="inner"`` drops unmatched left rows; ``how="left"`` keeps them
+with typed nulls in the right columns. Both sides stream into the
+exchange; nothing is broadcast, so neither side needs to be small
+(broadcast lookups for genuinely small sides live in
+pipelines/relational_queries.py).
+
+Reference analog: the reference's only joins are the keyed modality
+merge and the interval lookup (``/root/reference/data_handling.py:
+30-33,121-129``); the engine generalizes to arbitrary equi-keys since
+training-data pipelines constantly enrich one table with another.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_JK = "__jk"
+_SIDE = "__side"
+
+
+def _null_array(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, typ)
+
+
+def hash_equi_join(
+    left_ds,
+    right_ds,
+    left_on: str,
+    right_on: str,
+    right_columns: list[str],
+    how: str = "inner",
+    num_partitions: int = 32,
+    right_suffix: str = "_r",
+):
+    """Join ``left_ds`` with ``right_ds`` on ``left_on == right_on``.
+
+    Output columns: every left column (original names) followed by
+    ``right_columns`` (renamed with ``right_suffix`` on collision).
+    Key columns must be integer or string (hashable by the exchange and
+    ordering-comparable inside the kernel). Rows with NULL keys never
+    match (SQL semantics); under ``how="left"`` they surface with null
+    right columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
+    def _arrow_schema(ds) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", s)  # Ray Schema wrapper → Arrow
+        if isinstance(base, pa.Schema):
+            return base
+        # pandas-block dataset: pull one row as Arrow for exact types
+        import ray
+
+        refs = ds.limit(1).to_arrow_refs()
+        return ray.get(refs[0]).schema
+
+    left_schema = _arrow_schema(left_ds)
+    right_schema = _arrow_schema(right_ds)
+    l_names = list(left_schema.names)
+    l_types = {n: left_schema.field(n).type for n in l_names}
+    out_right = {
+        c: (c + right_suffix if c in l_names else c) for c in right_columns
+    }
+    r_types = {c: right_schema.field(c).type for c in right_columns}
+    key_type = left_schema.field(left_on).type
+
+    def _align_left(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        cols = {_JK: tbl.column(left_on).cast(key_type)}
+        for c in l_names:
+            cols[c] = tbl.column(c)
+        for c, oc in out_right.items():
+            cols[oc] = _null_array(n, r_types[c])
+        cols[_SIDE] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
+
+    def _align_right(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        cols = {_JK: tbl.column(right_on).cast(key_type)}
+        for c in l_names:
+            cols[c] = _null_array(n, l_types[c])
+        for c, oc in out_right.items():
+            cols[oc] = tbl.column(c)
+        cols[_SIDE] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    unioned = left_ds.map_batches(
+        _align_left, batch_format="pyarrow", batch_size=None
+    ).union(
+        right_ds.map_batches(
+            _align_right, batch_format="pyarrow", batch_size=None
+        )
+    )
+
+    out_fields = [pa.field(c, l_types[c]) for c in l_names] + [
+        pa.field(oc, r_types[c]) for c, oc in out_right.items()
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        side = tbl.column(_SIDE).to_numpy(zero_copy_only=False)
+        keys = tbl.column(_JK)
+        key_np = keys.to_numpy(zero_copy_only=False)
+        key_valid = keys.is_valid().to_numpy(zero_copy_only=False)
+        is_left = side == 0
+        li = np.flatnonzero(is_left)
+        ri = np.flatnonzero(~is_left & key_valid)  # null right keys never match
+        rk = key_np[ri]
+        order = np.argsort(rk, kind="stable")
+        ri, rk = ri[order], rk[order]
+        lk = key_np[li]
+        l_ok = key_valid[li]
+        # match runs per left row (many-to-many via repeat expansion);
+        # search only VALID left keys — a None among object-dtype keys
+        # breaks comparisons inside searchsorted
+        lo = np.zeros(len(lk), np.int64)
+        hi = np.zeros(len(lk), np.int64)
+        if l_ok.any() and len(rk):
+            lo[l_ok] = np.searchsorted(rk, lk[l_ok], side="left")
+            hi[l_ok] = np.searchsorted(rk, lk[l_ok], side="right")
+        cnt = np.where(l_ok, hi - lo, 0)
+        matched = cnt > 0
+        # expanded indices: for left row j with cnt[j] matches, right
+        # rows ri[lo[j]..hi[j]]
+        rep_left = np.repeat(li[matched], cnt[matched])
+        offs = np.repeat(lo[matched], cnt[matched])
+        # within-run offsets 0..cnt-1 without Python loops
+        cm = cnt[matched]
+        within = np.arange(cm.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(cm) - cm, cm
+        )
+        rep_right = ri[offs + within]
+        pieces = {}
+        l_take = pa.array(rep_left, pa.int64())
+        r_take = pa.array(rep_right, pa.int64())
+        for c in l_names:
+            pieces[c] = tbl.column(c).take(l_take)
+        for c, oc in out_right.items():
+            pieces[oc] = tbl.column(oc).take(r_take)
+        out = pa.table(pieces).cast(out_schema)
+        if how == "left":
+            un_take = pa.array(li[~matched], pa.int64())
+            if len(un_take):
+                un = {}
+                for c in l_names:
+                    un[c] = tbl.column(c).take(un_take)
+                for c, oc in out_right.items():
+                    un[oc] = _null_array(len(un_take), r_types[c])
+                out = pa.concat_tables([out, pa.table(un).cast(out_schema)])
+        return out
+
+    from .exchange import hash_exchange
+
+    return hash_exchange(
+        unioned, _JK, num_partitions, _kernel, empty_schema=out_schema
+    )

@@ -1,0 +1,102 @@
+"""Distributed hash equi-join vs pandas merge oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dane_visual_feature_extraction_worker_ray.stages.join import (
+    hash_equi_join,
+)
+
+
+def _oracle(ldf, rdf, left_on, right_on, right_cols, how):
+    r = rdf[[right_on] + right_cols].rename(
+        columns={right_on: left_on}
+    )
+    out = ldf.merge(r, on=left_on, how=how)
+    return out
+
+
+def test_inner_join_many_to_many():
+    rng = np.random.default_rng(5)
+    ldf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, size=300),
+            "lval": np.arange(300, dtype=np.int64),
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "rk": rng.integers(0, 40, size=200),
+            "rval": np.arange(200, dtype=np.int64) * 10,
+        }
+    )
+    got = (
+        hash_equi_join(
+            rd.from_pandas(ldf).repartition(5),
+            rd.from_pandas(rdf).repartition(3),
+            left_on="k",
+            right_on="rk",
+            right_columns=["rval"],
+            how="inner",
+            num_partitions=7,
+        )
+        .to_pandas()
+        .sort_values(["k", "lval", "rval"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        ldf.merge(rdf.rename(columns={"rk": "k"}), on="k", how="inner")
+        .sort_values(["k", "lval", "rval"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"rval": "int64"}), exp[["k", "lval", "rval"]]
+    )
+
+
+def test_left_join_nulls_and_string_keys():
+    ldf = pd.DataFrame(
+        {"k": ["a", "b", "c", "d", None], "lval": [1, 2, 3, 4, 5]}
+    )
+    rdf = pd.DataFrame({"rk": ["b", "b", "d"], "rval": [10, 11, 12]})
+    got = (
+        hash_equi_join(
+            rd.from_pandas(ldf).repartition(2),
+            rd.from_pandas(rdf),
+            left_on="k",
+            right_on="rk",
+            right_columns=["rval"],
+            how="left",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["lval", "rval"])
+        .reset_index(drop=True)
+    )
+    # null key never matches but survives the left join
+    assert len(got) == 6  # a, b x2, c, d, None
+    assert got.loc[got["k"].isna(), "rval"].isna().all()
+    assert sorted(
+        got.loc[got["k"] == "b", "rval"].astype(int)
+    ) == [10, 11]
+    assert got.loc[got["k"] == "a", "rval"].isna().all()
+    assert int(got.loc[got["k"] == "d", "rval"].iloc[0]) == 12
+
+
+def test_name_collision_suffix():
+    ldf = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
+    rdf = pd.DataFrame({"k2": [1, 2], "v": [10, 20]})
+    got = hash_equi_join(
+        rd.from_pandas(ldf),
+        rd.from_pandas(rdf),
+        left_on="k",
+        right_on="k2",
+        right_columns=["v"],
+        num_partitions=2,
+    ).to_pandas()
+    assert set(got.columns) == {"k", "v", "v_r"}
+    assert sorted(got["v_r"].astype(int)) == [10, 20]

@@ -46,10 +46,40 @@ def bucket_of(h: np.ndarray, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+# engine-stable sentinel hash for NULL integer keys (any odd constant
+# works; it only has to be the same in every block and every run)
+_NULL_KEY_HASH = np.uint64(0x1F0E4DA9E4779D37)
+
+
+def _column_hash(col) -> np.ndarray:
+    """Stable per-value hash of one Arrow column.
+
+    Integer columns are hashed WITHOUT a pandas float round-trip: an
+    int64 column WITH nulls converts to a float64 series under
+    ``to_pandas()``, and ``hash_pandas_object`` hashes float64 values
+    differently from the same values as int64 — so the same key would
+    land in different partitions depending on whether its block happens
+    to contain a null (breaks join/groupby co-location for nullable
+    keys). Nulls are filled with 0 for the exact-int hash, then
+    overwritten with a fixed sentinel hash.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if pa.types.is_integer(col.type) and col.null_count:
+        filled = pc.fill_null(col, 0).to_pandas()  # exact ints, no nulls
+        h = hash64(filled)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        return np.where(valid, h, _NULL_KEY_HASH)
+    return hash64(col.to_pandas())
+
+
 def hash64_columns(tbl, keys: list[str]) -> np.ndarray:
     """Stable combined uint64 hash of one or more Arrow table columns
-    (the composite shuffle key used by the exchange and groupagg)."""
-    h = hash64(tbl.column(keys[0]).to_pandas())
+    (the composite shuffle key used by the exchange and groupagg).
+    Value-stable under nulls: a key hashes the same whether or not its
+    block contains nulls (see :func:`_column_hash`)."""
+    h = _column_hash(tbl.column(keys[0]))
     for i, k in enumerate(keys[1:], start=1):
-        h = rehash64(h ^ hash64(tbl.column(k).to_pandas()), seed=i)
+        h = rehash64(h ^ _column_hash(tbl.column(k)), seed=i)
     return h

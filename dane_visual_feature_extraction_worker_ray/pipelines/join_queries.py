@@ -46,17 +46,9 @@ def q_docs_embeddings_left_join(sf_dir: str):
     """Left join against the label-0 subset of embeddings: unmatched
     documents surface with a typed-null label (SQL LEFT JOIN
     semantics), exercising the null-fill path of the join kernel."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    emb0 = _emb(sf_dir).map_batches(
-        lambda t: t.filter(pc.equal(t.column("label"), 0)),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
     return hash_equi_join(
         _docs(sf_dir),
-        emb0,
+        _emb_label0(sf_dir),
         left_on="doc_id",
         right_on="vec_id",
         right_columns=["label"],
@@ -65,9 +57,54 @@ def q_docs_embeddings_left_join(sf_dir: str):
     )
 
 
+def _emb_label0(sf_dir: str):
+    """Label-0 subset — guarantees unmatched documents at every sf tier
+    (at small tiers every doc has an embedding row, which would make an
+    anti join against the full table vacuously empty — and a 0-row Ray
+    dataset drops its schema under to_pandas)."""
+    import pyarrow.compute as pc
+
+    return _emb(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t.column("label"), 0)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def q_docs_without_embeddings(sf_dir: str):
+    """Distributed ANTI join (SQL NOT EXISTS): documents lacking a
+    label-0 embedding row — both sides stream, no broadcast (contrast
+    with the broadcast anti-lookup in
+    relational_queries.customers_without_orders, which needs a small
+    right side)."""
+    return hash_equi_join(
+        _docs(sf_dir),
+        _emb_label0(sf_dir),
+        left_on="doc_id",
+        right_on="vec_id",
+        how="anti",
+        num_partitions=16,
+    )
+
+
+def q_docs_with_embeddings_semi(sf_dir: str):
+    """Distributed SEMI join (SQL EXISTS): each document with at least
+    one embedding row, emitted once regardless of match multiplicity."""
+    return hash_equi_join(
+        _docs(sf_dir),
+        _emb(sf_dir),
+        left_on="doc_id",
+        right_on="vec_id",
+        how="semi",
+        num_partitions=16,
+    )
+
+
 QUERIES = {
     "docs_embeddings_join": q_docs_embeddings_join,
     "docs_embeddings_left_join": q_docs_embeddings_left_join,
+    "docs_without_embeddings": q_docs_without_embeddings,
+    "docs_with_embeddings_semi": q_docs_with_embeddings_semi,
 }
 
 ORACLE_SQL = {
@@ -80,5 +117,16 @@ SELECT d.doc_id, d.lang, d.n_chars, e.label
 FROM documents d
 LEFT JOIN (SELECT * FROM embeddings WHERE label = 0) e
   ON d.doc_id = e.vec_id
+""".strip(),
+    "docs_without_embeddings": """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                  WHERE e.vec_id = d.doc_id AND e.label = 0)
+""".strip(),
+    "docs_with_embeddings_semi": """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
 """.strip(),
 }

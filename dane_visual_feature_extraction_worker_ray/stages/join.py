@@ -16,9 +16,12 @@ join as ONE side-tagged hash exchange on the key:
    matches with ``np.repeat`` — no Python per-row loops.
 
 ``how="inner"`` drops unmatched left rows; ``how="left"`` keeps them
-with typed nulls in the right columns. Both sides stream into the
-exchange; nothing is broadcast, so neither side needs to be small
-(broadcast lookups for genuinely small sides live in
+with typed nulls in the right columns; ``how="semi"`` / ``how="anti"``
+emit each left row at most once — with / without a match — and no
+right columns (SQL EXISTS / NOT EXISTS; null-key rows never match, so
+they appear only under ``anti``). Both sides stream into the exchange;
+nothing is broadcast, so neither side needs to be small (broadcast
+lookups for genuinely small sides live in
 pipelines/relational_queries.py).
 
 Reference analog: the reference's only joins are the keyed modality
@@ -45,7 +48,7 @@ def hash_equi_join(
     right_ds,
     left_on: str,
     right_on: str,
-    right_columns: list[str],
+    right_columns: list[str] | None = None,
     how: str = "inner",
     num_partitions: int = 32,
     right_suffix: str = "_r",
@@ -59,8 +62,16 @@ def hash_equi_join(
     match (SQL semantics); under ``how="left"`` they surface with null
     right columns.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner'/'left'/'semi'/'anti', got {how!r}"
+        )
+    if how in ("semi", "anti"):
+        if right_columns:
+            raise ValueError(f"how={how!r} joins emit no right columns")
+        right_columns = []
+    elif right_columns is None:
+        raise ValueError("right_columns is required for inner/left joins")
 
     def _arrow_schema(ds) -> pa.Schema:
         s = ds.schema()
@@ -139,6 +150,13 @@ def hash_equi_join(
             hi[l_ok] = np.searchsorted(rk, lk[l_ok], side="right")
         cnt = np.where(l_ok, hi - lo, 0)
         matched = cnt > 0
+        if how in ("semi", "anti"):
+            take = pa.array(
+                li[matched] if how == "semi" else li[~matched], pa.int64()
+            )
+            return pa.table(
+                {c: tbl.column(c).take(take) for c in l_names}
+            ).cast(out_schema)
         # expanded indices: for left row j with cnt[j] matches, right
         # rows ri[lo[j]..hi[j]]
         rep_left = np.repeat(li[matched], cnt[matched])

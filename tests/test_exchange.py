@@ -218,3 +218,24 @@ def test_group_aggregate_table_empty_schema_promotion():
             group_aggregate_table(full.slice(0, 0), ["k"], spec, names),
         ]
     )
+
+
+def test_key_hash_stable_under_nulls():
+    """A key value must hash identically whether or not its block
+    happens to contain nulls (int-with-null columns convert to float64
+    under to_pandas, which used to hash the same value differently and
+    broke join/groupby co-location for nullable keys)."""
+    import pyarrow as pa
+
+    from dane_visual_feature_extraction_worker_ray.functions.hashing import (
+        hash64_columns,
+    )
+
+    clean = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    dirty = pa.table({"k": pa.array([1, 2, None], pa.int64())})
+    h_clean = hash64_columns(clean, ["k"])
+    h_dirty = hash64_columns(dirty, ["k"])
+    assert (h_clean[:2] == h_dirty[:2]).all()
+    # both nulls hash to the same (sentinel) value, distinct runs agree
+    dirty2 = pa.table({"k": pa.array([None, 5], pa.int64())})
+    assert hash64_columns(dirty2, ["k"])[0] == h_dirty[2]

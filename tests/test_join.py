@@ -100,3 +100,36 @@ def test_name_collision_suffix():
     ).to_pandas()
     assert set(got.columns) == {"k", "v", "v_r"}
     assert sorted(got["v_r"].astype(int)) == [10, 20]
+
+
+def test_semi_anti_join():
+    ldf = pd.DataFrame(
+        {"k": [1, 1, 2, 3, None], "lval": [10, 11, 20, 30, 40]}
+    ).astype({"k": "Int64"})
+    rdf = pd.DataFrame({"rk": [1, 1, 3], "rval": [0, 0, 0]})
+    semi = (
+        hash_equi_join(
+            rd.from_pandas(ldf), rd.from_pandas(rdf),
+            left_on="k", right_on="rk", how="semi", num_partitions=3,
+        )
+        .to_pandas().sort_values("lval").reset_index(drop=True)
+    )
+    # each matching left ROW once, even with 2 right matches
+    assert list(semi["lval"]) == [10, 11, 30]
+    anti = (
+        hash_equi_join(
+            rd.from_pandas(ldf), rd.from_pandas(rdf),
+            left_on="k", right_on="rk", how="anti", num_partitions=3,
+        )
+        .to_pandas().sort_values("lval").reset_index(drop=True)
+    )
+    # null-key row never matches -> surfaces in anti (NOT EXISTS)
+    assert list(anti["lval"]) == [20, 40]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no right columns"):
+        hash_equi_join(
+            rd.from_pandas(ldf), rd.from_pandas(rdf),
+            left_on="k", right_on="rk", right_columns=["rval"], how="semi",
+        )

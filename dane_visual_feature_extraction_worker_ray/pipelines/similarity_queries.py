@@ -103,11 +103,58 @@ def q_embedding_near_dups(sf_dir: str):
     return pairs.map_batches(_round, batch_format="pyarrow")
 
 
+def q_embedding_minmax_per_label(sf_dir: str):
+    """Element-wise vector aggregate: per-label min/max envelope of the
+    embedding column (the feature-range/normalization statistic a
+    training pipeline computes before scaling). Per-batch partials are
+    one row per (label, dim) — elementwise np.minimum/maximum via a
+    label-sorted reduceat — then a tiny grouped min/max combine.
+    min/max of floats are order-independent, so the result is exact
+    and SQL-checkable (unlike a float mean)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.groupagg import hash_grouped_aggregate
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        lab = tbl.column("label").cast(pa.int64()).to_numpy()
+        emb = np.vstack(
+            tbl.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float32)
+        o = np.argsort(lab, kind="stable")
+        lab, emb = lab[o], emb[o]
+        starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        mins = np.minimum.reduceat(emb, starts, axis=0)
+        maxs = np.maximum.reduceat(emb, starts, axis=0)
+        n_lab, dim = mins.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(lab[starts], dim)),
+                "idx": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), n_lab)
+                ),
+                "vmin": pa.array(mins.ravel().astype(np.float64)),
+                "vmax": pa.array(maxs.ravel().astype(np.float64)),
+            }
+        )
+
+    partials = _emb(sf_dir).map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    )
+    return hash_grouped_aggregate(
+        partials,
+        ["label", "idx"],
+        [("vmin", "min"), ("vmax", "max")],
+        num_buckets=8,
+    )
+
+
 QUERIES = {
     "knn_topk": q_knn_topk,
     "knn_ivf_topk": q_knn_ivf_topk,
     "knn_ivf_kmeans_topk": q_knn_ivf_kmeans_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_minmax_per_label": q_embedding_minmax_per_label,
 }
 
 _SQL_KNN = f"""
@@ -129,6 +176,19 @@ SELECT vec_id,
 FROM embeddings
 ORDER BY score DESC, vec_id
 LIMIT {K}
+""".strip(),
+    # float32 -> float64 casts are exact and min/max are
+    # order-independent, so this is bit-exact on both sides
+    "embedding_minmax_per_label": """
+SELECT CAST(label AS BIGINT) AS label, idx,
+  min(CAST(val AS DOUBLE)) AS vmin,
+  max(CAST(val AS DOUBLE)) AS vmax
+FROM (
+  SELECT label,
+    unnest(embedding) AS val,
+    generate_subscripts(embedding, 1) AS idx
+  FROM embeddings)
+GROUP BY label, idx
 """.strip(),
     # full brute-force oracle: the only pairs >= 0.9 are the planted
     # exact duplicates (max natural cosine ~0.6 — verified), which the

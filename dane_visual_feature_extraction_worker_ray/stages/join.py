@@ -24,6 +24,15 @@ nothing is broadcast, so neither side needs to be small (broadcast
 lookups for genuinely small sides live in
 pipelines/relational_queries.py).
 
+Byte trade (documented): the combined schema pads each side with typed
+nulls for the other side's columns, so the exchange ships
+~(left_width + right_width) per row — null columns cost a validity
+bitmap plus an uncompressed values buffer in IPC. For very wide tables
+prefer projecting to the join key + needed columns first (the gate
+queries do); a split-exchange design that ships each side bare would
+save the padding at the cost of a second exchange and partition-index
+alignment.
+
 Reference analog: the reference's only joins are the keyed modality
 merge and the interval lookup (``/root/reference/data_handling.py:
 30-33,121-129``); the engine generalizes to arbitrary equi-keys since

@@ -260,3 +260,62 @@ def test_salted_stitching_property(conv, salt_chunk):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(salted, plain)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.integers(0, 8), st.none()), min_size=0, max_size=30
+    ),
+    st.lists(st.integers(0, 8), min_size=0, max_size=20),
+    st.sampled_from(["inner", "left", "semi", "anti"]),
+)
+def test_hash_join_property(lkeys, rkeys, how):
+    """Randomized join vs the pandas merge oracle: duplicate keys both
+    sides, null left keys, every join mode, multi-partition exchange."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.join import (
+        hash_equi_join,
+    )
+
+    ldf = pd.DataFrame(
+        {"k": pd.array(lkeys, dtype="Int64"),
+         "lv": np.arange(len(lkeys), dtype=np.int64)}
+    )
+    rdf = pd.DataFrame(
+        {"rk": np.array(rkeys, dtype=np.int64),
+         "rv": np.arange(len(rkeys), dtype=np.int64) * 7}
+    )
+    lds = rd.from_arrow(pa.Table.from_pandas(ldf, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(rdf, preserve_index=False))
+    kwargs = (
+        {} if how in ("semi", "anti") else {"right_columns": ["rv"]}
+    )
+    got = hash_equi_join(
+        lds, rds, left_on="k", right_on="rk", how=how,
+        num_partitions=4, **kwargs,
+    ).to_pandas()
+
+    rren = rdf.rename(columns={"rk": "k"})
+    if how in ("inner", "left"):
+        exp = ldf.merge(rren, on="k", how=how)[["k", "lv", "rv"]]
+        cols = ["k", "lv", "rv"]
+    elif how == "semi":
+        exp = ldf[ldf["k"].isin(rren["k"].unique())][["k", "lv"]]
+        cols = ["k", "lv"]
+    else:  # anti: unmatched incl. null keys
+        exp = ldf[~ldf["k"].isin(rren["k"].unique()) | ldf["k"].isna()][
+            ["k", "lv"]
+        ]
+        cols = ["k", "lv"]
+    if len(got) == 0 and len(exp) == 0:
+        return  # empty Ray datasets drop schema under to_pandas
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp.sort_values(cols).reset_index(drop=True)
+    # normalize nullable dtypes for comparison
+    for c in cols:
+        got[c] = pd.array(got[c], dtype="Float64")
+        exp[c] = pd.array(exp[c], dtype="Float64")
+    pd.testing.assert_frame_equal(got, exp)

@@ -285,6 +285,7 @@ def minhash_lsh_pairs(
     cand = hash_grouped_map(
         exploded, ["band_id", "band_hash"], _cand_pairs,
         empty_schema=cand_schema,
+        min_group_size=2,
     )
     # dedupe pairs that collided in several bands (tiny grouped count)
     cand = hash_grouped_aggregate(
@@ -776,6 +777,7 @@ def simhash_pairs(
     pairs = hash_grouped_map(
         exploded, ["band_id", "band_key"], _pairs,
         empty_schema=empty_pairs.schema,
+        min_group_size=2,
     )
     from .groupagg import hash_grouped_aggregate
 

@@ -203,6 +203,7 @@ def hash_grouped_map(
     fn,
     num_partitions: int = 32,
     empty_schema: pa.Schema | None = None,
+    min_group_size: int = 1,
 ):
     """``groupby(keys).map_groups(fn)`` on the explicit hash exchange.
 
@@ -224,6 +225,12 @@ def hash_grouped_map(
     value is pickled, and pickling an Arrow slice ships the ENTIRE
     parent partition buffer (see ``_ipc_bytes``). Every in-repo kernel
     complies.
+
+    ``min_group_size``: groups smaller than this are dropped BEFORE the
+    per-group Python dispatch (vectorized on the run lengths). Pass 2
+    for pair-emitting kernels (LSH buckets) — most buckets are
+    singletons that the kernel would immediately discard, and skipping
+    them removes one Python call per group.
     """
     import pyarrow.compute as pc
 
@@ -252,6 +259,9 @@ def hash_grouped_map(
             new[1:] |= col[1:] != col[:-1]
         starts = np.flatnonzero(new)
         ends = np.r_[starts[1:], n]
+        if min_group_size > 1:
+            keep = (ends - starts) >= min_group_size
+            starts, ends = starts[keep], ends[keep]
         outs = []
         for s, e in zip(starts, ends):
             o = fn(t.slice(s, e - s))

@@ -329,6 +329,7 @@ def near_dup_pairs_cosine(
     cand = hash_grouped_map(
         exploded, ["table_id", "bucket_key"], _cand_pairs,
         empty_schema=cand_schema,
+        min_group_size=2,
     )
     # dedupe pairs that collided in several tables
     cand = hash_grouped_aggregate(

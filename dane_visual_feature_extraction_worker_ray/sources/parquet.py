@@ -32,8 +32,20 @@ def read_parquet_tuned(
     try:
         n_rows = pq.read_metadata(path).num_rows
     except Exception:
-        return rd.read_parquet(path, columns=columns, **kwargs)
-    blocks = max(1, min(max_blocks, (n_rows + rows_per_block - 1) // rows_per_block))
-    return rd.read_parquet(
-        path, columns=columns, override_num_blocks=blocks, **kwargs
+        ds = rd.read_parquet(path, columns=columns, **kwargs)
+    else:
+        blocks = max(
+            1, min(max_blocks, (n_rows + rows_per_block - 1) // rows_per_block)
+        )
+        ds = rd.read_parquet(
+            path, columns=columns, override_num_blocks=blocks, **kwargs
+        )
+    # strip schema metadata (pandas-written files carry a JSON blob that
+    # defeats Ray's schema-identity dedup — "Failed to hash the schemas"
+    # warnings — and would ride every exchange fragment); fuses with the
+    # read, metadata-only per block
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        batch_size=None,
     )

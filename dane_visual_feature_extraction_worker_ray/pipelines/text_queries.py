@@ -134,7 +134,13 @@ def _topk_per_lang_partial(tbl, k):
         )
     nc = tbl.column("n_chars").cast(pa.int64()).to_numpy()
     ids = tbl.column("doc_id").cast(pa.int64()).to_numpy()
-    codes, uniq = pd.factorize(tbl.column("lang").to_pandas(), sort=False)
+    # use_na_sentinel=False: a NULL lang gets its own code (and its own
+    # stratum, matching SQL's PARTITION BY) — the default -1 sentinel
+    # would wrap to uniq[-1] and misattribute null-lang rows to the
+    # last real language
+    codes, uniq = pd.factorize(
+        tbl.column("lang").to_pandas(), sort=False, use_na_sentinel=False
+    )
     order = np.lexsort((ids, -nc, codes))
     c_sorted = codes[order]
     new = np.ones(len(order), dtype=bool)
@@ -145,7 +151,10 @@ def _topk_per_lang_partial(tbl, k):
     pick = order[keep]
     return pa.table(
         {
-            "lang": pa.array(uniq[codes[pick]], pa.string()),
+            # from_pandas: NaN (null lang) -> arrow null, not a string
+            "lang": pa.Array.from_pandas(
+                pd.Series(uniq[codes[pick]]), type=pa.string()
+            ),
             "doc_id": pa.array(ids[pick], pa.int64()),
             "n_chars": pa.array(nc[pick], pa.int64()),
         }
@@ -472,8 +481,10 @@ def q_top_tokens(sf_dir: str, k: int = 20):
             _topk, batch_format="pyarrow", batch_size=None
         ).to_arrow_refs()
     ]
-    merged = pa.concat_tables([t for t in partials if t.num_rows])
-    return _topk(merged)  # k x n_partitions rows -> final k on the driver
+    live = [t for t in partials if t.num_rows]
+    if not live:  # all-empty token stream: typed empty result
+        return pa.schema([("tok", pa.string()), ("n", pa.int64())]).empty_table()
+    return _topk(pa.concat_tables(live))  # k x parts rows -> final k
 
 
 QUERIES["top_tokens"] = q_top_tokens

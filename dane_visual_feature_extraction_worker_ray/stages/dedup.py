@@ -605,6 +605,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket: int = 16384,
+    max_pairs_per_bucket: int = 1 << 22,
     allow_partial_recall: bool = False,
 ):
     """Near-dup pairs by SimHash: band the 64 bits into ``bands``
@@ -663,26 +664,100 @@ def simhash_pairs(
         }
     )
 
-    # depth up to which recursive sub-banding preserves the pigeonhole
-    # guarantee: after `d` agreed bands are consumed, a pair within
-    # max_hamming still has >= bands - d - max_hamming agreeing unused
-    # bands — >= 1 while d <= bands - max_hamming - 1
-    guaranteed_depth = bands - max_hamming - 1
-
     def _pairs(group: pa.Table) -> pa.Table:
+        """Exact in-bucket pair search (round-3.1 rewrite).
+
+        1. Collapse to DISTINCT signatures (duplicate-heavy corpora —
+           the very workload that overflows buckets — shrink by orders
+           of magnitude; 10k copies of one text are 1 rep, not 10k
+           rows). Within-rep pairs are hamming-0 by construction.
+        2. Blocked brute force over the reps when they fit
+           ``max_bucket``; otherwise recursive sub-banding by each
+           SPLITTING unused band (constant bands are dropped without
+           consuming a branch — they cannot separate anything).
+        3. Exactness: a pair within ``max_hamming`` disagrees on at
+           most ``max_hamming`` bands, and every band it disagrees on
+           splits the set (its two sigs differ there). So if the set
+           has more than ``max_hamming`` splitting bands, the pair
+           AGREES on at least one of them and survives that branch;
+           when splitting bands are scarcer than that, the kernel
+           falls back to the exact O(m²) brute force over the reps
+           (logged — this is the degenerate-bucket cost, not a recall
+           loss). By induction recall inside a bucket is exact; the
+           only loss is the logged ``max_pairs_per_bucket`` output cap.
+        """
         ids = group.column(id_col).to_numpy()
         n = len(ids)
         if n < 2:
             return empty_pairs
         h = group.column("simhash").to_numpy()
-        o = np.argsort(ids, kind="stable")
-        ids, h = ids[o], h[o]
         band0 = int(group.column("band_id")[0].as_py())
+        # collapse to distinct sigs; member ids sorted within each rep
+        o = np.lexsort((ids, h))
+        h_s, ids_s = h[o], ids[o]
+        new = np.r_[True, h_s[1:] != h_s[:-1]]
+        rep_start = np.flatnonzero(new)
+        rep_end = np.r_[rep_start[1:], n]
+        rep_h = h_s[rep_start]
+        rep_cnt = rep_end - rep_start
         a_l, b_l, d_l = [], [], []
+        emitted = [0]
+
+        def _cap(want: int) -> int:
+            room = max_pairs_per_bucket - emitted[0]
+            if want > room:
+                logger.warning(
+                    "simhash_pairs: output cap — dropping %d of %d "
+                    "pairs in one bucket (max_pairs_per_bucket=%d)",
+                    want - max(0, room), want, max_pairs_per_bucket,
+                )
+            return min(want, max(0, room))
+
+        # within-rep pairs: identical signatures, hamming 0
+        for r in np.flatnonzero(rep_cnt >= 2):
+            mem = ids_s[rep_start[r]:rep_end[r]]
+            iu, ju = np.triu_indices(len(mem), k=1)
+            take = _cap(len(iu))
+            if take == 0:
+                continue
+            a_l.append(mem[iu[:take]])
+            b_l.append(mem[ju[:take]])
+            d_l.append(np.zeros(take, np.int64))
+            emitted[0] += take
+
+        def _emit_rep_pairs(ri: np.ndarray, rj: np.ndarray, d: np.ndarray):
+            """Expand rep-index pairs to all member-id cross pairs,
+            fully vectorized (repeat + product-index decomposition)."""
+            ci, cj = rep_cnt[ri], rep_cnt[rj]
+            tot = ci * cj
+            want = int(tot.sum())
+            room = _cap(want)
+            if room == 0:
+                return
+            if room < want:  # truncate whole rep-pairs from the tail
+                keep = np.searchsorted(np.cumsum(tot), room, side="left")
+                ri, rj, d, ci, cj, tot = (
+                    ri[:keep], rj[:keep], d[:keep], ci[:keep], cj[:keep],
+                    tot[:keep],
+                )
+                if len(tot) == 0:
+                    return
+            w = np.arange(int(tot.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(tot) - tot, tot
+            )
+            rep_i = np.repeat(ri, tot)
+            rep_j = np.repeat(rj, tot)
+            cj_rep = np.repeat(cj, tot)
+            ai = ids_s[rep_start[rep_i] + w // cj_rep]
+            bj = ids_s[rep_start[rep_j] + w % cj_rep]
+            a_l.append(np.minimum(ai, bj))
+            b_l.append(np.maximum(ai, bj))
+            d_l.append(np.repeat(d, tot))
+            emitted[0] += int(tot.sum())
 
         def _brute(idx: np.ndarray) -> None:
-            # blocked vectorized hamming: XOR matrix + popcount LUT
-            gid, hh = ids[idx], h[idx]
+            # blocked vectorized hamming over the reps: XOR + popcount
+            hh = rep_h[idx]
             m = len(idx)
             blk = 1024
             for s in range(0, m, blk):
@@ -690,68 +765,54 @@ def simhash_pairs(
                 d = _popcount64(hh[s:e, None] ^ hh[None, :])
                 rows_g = np.arange(s, e)[:, None]
                 cols_g = np.arange(m)[None, :]
-                mask = (
-                    (cols_g > rows_g)
-                    & (d <= max_hamming)
-                    & (gid[None, :] != gid[s:e, None])
-                )
+                mask = (cols_g > rows_g) & (d <= max_hamming)
                 r_i, c_i = np.nonzero(mask)
                 if len(r_i):
-                    a_l.append(gid[r_i + s])
-                    b_l.append(gid[c_i])
-                    d_l.append(d[r_i, c_i])
+                    _emit_rep_pairs(
+                        idx[r_i + s], idx[c_i], d[r_i, c_i].astype(np.int64)
+                    )
 
-        def _refine(idx: np.ndarray, unused: list[int], depth: int) -> None:
-            """Recursively sub-band an oversized bucket by each unused
-            band instead of skipping it (round-3 fix — with narrow band
-            keys, e.g. bands=16 -> 4-bit keys, EVERY bucket of a large
-            corpus used to trip max_bucket and all pairs were dropped).
-            A pair within max_hamming agrees on >= bands - max_hamming
-            bands, so while depth <= guaranteed_depth it fully agrees
-            on at least one unused band and survives that branch;
-            duplicates across branches are deduped below."""
+        def _refine(idx: np.ndarray, unused: list[int]) -> None:
             m = len(idx)
             if m < 2:
                 return
             if m <= max_bucket:
                 _brute(idx)
                 return
-            split_any = False
-            if unused:
-                if depth == guaranteed_depth + 1:
-                    logger.warning(
-                        "simhash_pairs: sub-banding past depth %d — "
-                        "recall no longer pigeonhole-guaranteed for "
-                        "this branch (bucket of %d rows)",
-                        guaranteed_depth, m,
-                    )
-                for j in unused:
-                    keys = (h[idx] >> np.uint64(j * width)) & np.uint64(
-                        (1 << width) - 1
-                    )
-                    order = np.argsort(keys, kind="stable")
-                    ks = keys[order]
-                    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-                    ends = np.r_[starts[1:], m]
-                    sub_unused = [x for x in unused if x != j]
-                    for s0, e0 in zip(starts, ends):
-                        if e0 - s0 == m:
-                            continue  # band j does not split this set
-                        split_any = True
-                        _refine(idx[order[s0:e0]], sub_unused, depth + 1)
-            if not split_any:
-                # no unused band splits the set: all rows share one
-                # simhash prefix pattern — a genuine quadratic flood
+            # keep only bands that actually SPLIT this set (a constant
+            # band separates nothing and consumes no branch)
+            u_split = []
+            mask64 = np.uint64((1 << width) - 1)
+            for j in unused:
+                keys = (rep_h[idx] >> np.uint64(j * width)) & mask64
+                if keys.min() != keys.max():
+                    u_split.append(j)
+            if len(u_split) <= max_hamming:
+                # a pair within max_hamming could disagree on EVERY
+                # splitting band — branching would lose it. Exact
+                # fallback: O(m^2) over the distinct sigs (expensive,
+                # logged — but correct; not a recall loss)
                 logger.warning(
-                    "simhash_pairs: skipping unsplittable bucket of %d "
-                    "rows (> max_bucket=%d, ~%d candidate pairs lost)",
-                    m, max_bucket, m * (m - 1) // 2,
+                    "simhash_pairs: degenerate bucket — %d distinct "
+                    "signatures vary in only %d unused bands; exact "
+                    "O(m^2) fallback (max_bucket=%d)",
+                    m, len(u_split), max_bucket,
                 )
+                _brute(idx)
+                return
+            for j in u_split:
+                keys = (rep_h[idx] >> np.uint64(j * width)) & mask64
+                order = np.argsort(keys, kind="stable")
+                ks = keys[order]
+                starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+                ends = np.r_[starts[1:], m]
+                sub_unused = [x for x in u_split if x != j]
+                for s0, e0 in zip(starts, ends):
+                    _refine(idx[order[s0:e0]], sub_unused)
 
         _refine(
-            np.arange(n),
+            np.arange(len(rep_h)),
             [j for j in range(bands) if j != band0],
-            1,
         )
         if not a_l:
             return empty_pairs

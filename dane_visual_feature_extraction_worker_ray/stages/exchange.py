@@ -67,6 +67,18 @@ def _split_block(block: pa.Table, key, num_partitions: int):
     # one Arrow thread per task: 32 tasks x 32-thread default pools
     # thrash the node (measured 55s -> 24s on the 8.5M-turn exchange)
     pa.set_cpu_count(1)
+    if not isinstance(block, pa.Table):
+        # Ray's map operators SKIP the UDF on 0-row blocks, so a 0-row
+        # PANDAS source block can reach to_arrow_refs un-converted.
+        # Coerce here; a wrongly-typed 0-row fragment is harmless (the
+        # reduce drops empty fragments, and the all-empty case uses the
+        # caller's empty_schema).
+        import pandas as pd
+
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        else:
+            block = pa.table(block)
     if num_partitions == 1:  # num_returns=1 → return value is NOT unpacked
         return _ipc_bytes(block)
     if block.num_rows == 0:

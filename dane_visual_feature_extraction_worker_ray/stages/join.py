@@ -91,7 +91,26 @@ def hash_equi_join(
         import ray
 
         refs = ds.limit(1).to_arrow_refs()
-        return ray.get(refs[0]).schema
+        for r in refs:
+            t = ray.get(r)
+            # 0-row pandas blocks arrow-convert with null-typed columns
+            # — only trust a sampled schema that carries a real row
+            if t.num_rows:
+                return t.schema
+        # empty dataset: derive from the pandas-block schema (object
+        # dtype → string; nullable extension ints → their arrow type)
+        fields = []
+        for name, typ in zip(base.names, base.types):
+            try:
+                at = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError, ValueError):
+                base_np = getattr(typ, "numpy_dtype", None)
+                if base_np is not None:
+                    at = pa.from_numpy_dtype(base_np)
+                else:
+                    at = pa.string()
+            fields.append(pa.field(name, at))
+        return pa.schema(fields)
 
     left_schema = _arrow_schema(left_ds)
     right_schema = _arrow_schema(right_ds)
@@ -137,10 +156,20 @@ def hash_equi_join(
     out_schema = pa.schema(out_fields)
 
     def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         side = tbl.column(_SIDE).to_numpy(zero_copy_only=False)
         keys = tbl.column(_JK)
-        key_np = keys.to_numpy(zero_copy_only=False)
         key_valid = keys.is_valid().to_numpy(zero_copy_only=False)
+        # integer keys with ANY null would round-trip through float64
+        # under to_numpy (NaN representation) and alias adjacent keys
+        # >= 2^53 — fill nulls with 0 for an exact-int array instead;
+        # the filled positions are masked out of both sides below, so
+        # a real key 0 cannot spuriously match them
+        if pa.types.is_integer(keys.type) and keys.null_count:
+            key_np = pc.fill_null(keys, 0).to_numpy(zero_copy_only=False)
+        else:
+            key_np = keys.to_numpy(zero_copy_only=False)
         is_left = side == 0
         li = np.flatnonzero(is_left)
         ri = np.flatnonzero(~is_left & key_valid)  # null right keys never match

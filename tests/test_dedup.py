@@ -333,3 +333,52 @@ def test_simhash_oversized_bucket_recursion_full_recall():
     }
     assert got_pairs == exp
     assert len(exp) >= 1  # the planted pair is in range
+
+
+def test_simhash_cross_cluster_pairs_in_oversized_bucket():
+    """Round-3.1 regression (code-review finding): two clusters of
+    identical texts A and B with small hamming(A, B) — the oversized
+    bucket's only splitting band is one the cross pairs DISAGREE on, so
+    the old recursion lost all |A| x |B| cross pairs. The distinct-sig
+    collapse + exact fallback must find every within- and cross-cluster
+    pair."""
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        _popcount64,
+        simhash_signatures,
+    )
+
+    words = ["alpha beta gamma delta epsilon zeta eta theta " * 3]
+    text_a = words[0]
+    text_b = words[0].replace("beta", "betb", 1)  # near-identical
+    texts = [text_a] * 10 + [text_b] * 10
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    sig = (
+        simhash_signatures(rd.from_arrow(tbl))
+        .to_pandas().sort_values("doc_id")
+    )
+    h = sig["simhash"].to_numpy().astype(np.uint64)
+    cross_d = int(_popcount64(np.array([h[0] ^ h[10]]))[0])
+    max_h = max(cross_d, 1)
+    assert max_h <= 15
+    got = simhash_pairs(
+        rd.from_arrow(tbl), max_hamming=max_h, bands=16, max_bucket=6
+    ).to_pandas()
+    found = set(zip(got["doc_a"], got["doc_b"]))
+    # all 45+45 within-cluster pairs (hamming 0)
+    for grp in (range(10), range(10, 20)):
+        for a in grp:
+            for b in grp:
+                if a < b:
+                    assert (a, b) in found, (a, b)
+    # all 100 cross pairs (the ones the old recursion silently lost)
+    for a in range(10):
+        for b in range(10, 20):
+            assert (a, b) in found, (a, b)
+    ham = got.set_index(["doc_a", "doc_b"])["hamming"]
+    assert ham.loc[(0, 1)] == 0
+    assert ham.loc[(0, 10)] == cross_d

@@ -133,3 +133,49 @@ def test_semi_anti_join():
             rd.from_pandas(ldf), rd.from_pandas(rdf),
             left_on="k", right_on="rk", right_columns=["rval"], how="semi",
         )
+
+
+def test_large_int_keys_with_null_no_float_alias():
+    """Round-3.1 regression (code-review finding): a null key in the
+    partition used to push int64 keys through float64 (to_numpy NaN
+    path), aliasing adjacent keys >= 2^53 — 2^62 must NOT match
+    2^62 + 1, and the real key must still match exactly."""
+    big = 1 << 62
+    ldf = pd.DataFrame(
+        {"k": pd.array([big, big + 2, None], dtype="Int64"),
+         "lv": [1, 2, 3]}
+    )
+    rdf = pd.DataFrame(
+        {"rk": np.array([big + 1, big + 2], dtype=np.int64),
+         "rv": [10, 20]}
+    )
+    got = hash_equi_join(
+        rd.from_pandas(ldf), rd.from_pandas(rdf),
+        left_on="k", right_on="rk", right_columns=["rv"],
+        how="inner", num_partitions=1,  # force co-residence with the null
+    ).to_pandas()
+    assert list(got["lv"]) == [2]  # only big+2 matches; big does NOT
+    assert list(got["rv"].astype(int)) == [20]
+    # left join: unmatched big and the null row survive with null rv
+    left = hash_equi_join(
+        rd.from_pandas(ldf), rd.from_pandas(rdf),
+        left_on="k", right_on="rk", right_columns=["rv"],
+        how="left", num_partitions=1,
+    ).to_pandas().sort_values("lv").reset_index(drop=True)
+    assert len(left) == 3
+    assert left.loc[left["lv"] == 1, "rv"].isna().all()
+    assert left.loc[left["lv"] == 3, "rv"].isna().all()
+
+
+def test_join_empty_pandas_side():
+    """An empty (pandas-block) side must yield a typed empty result,
+    not an IndexError at schema-derivation time."""
+    ldf = pd.DataFrame({"k": np.array([], dtype=np.int64),
+                        "lv": np.array([], dtype=np.int64)})
+    rdf = pd.DataFrame({"rk": [1], "rv": [10]})
+    out = hash_equi_join(
+        rd.from_pandas(ldf), rd.from_pandas(rdf),
+        left_on="k", right_on="rk", right_columns=["rv"], how="inner",
+        num_partitions=2,
+    )
+    assert out.count() == 0

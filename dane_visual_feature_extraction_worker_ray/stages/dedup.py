@@ -222,8 +222,8 @@ def minhash_lsh_pairs(
     """
     import ray
 
+    from .candidates import dedupe_pairs, gather_rows_by_ids, pair_endpoint_ids
     from .exchange import hash_grouped_map
-    from .groupagg import hash_grouped_aggregate
 
     rows_per_band = num_perm // bands
     sigs = minhash_signature_ds(
@@ -288,21 +288,7 @@ def minhash_lsh_pairs(
         min_group_size=2,
     )
     # dedupe pairs that collided in several bands (tiny grouped count)
-    cand = hash_grouped_aggregate(
-        cand.map_batches(
-            lambda t: t.append_column(
-                "n", pa.array(np.ones(t.num_rows, np.int64))
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["doc_a", "doc_b"],
-        [("n", "sum")],
-    ).map_batches(
-        lambda t: t.select(["doc_a", "doc_b"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).materialize()
+    cand = dedupe_pairs(cand, "doc_a", "doc_b")
 
     empty_pairs = pa.table(
         {
@@ -316,35 +302,10 @@ def minhash_lsh_pairs(
     # the LSH candidate count, not the corpus)
     import ray.data as rd
 
-    ends = [
-        np.concatenate(
-            [
-                b.column("doc_a").to_numpy(),
-                b.column("doc_b").to_numpy(),
-            ]
-        )
-        for b in cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    ]
-    cand_ids = (
-        np.unique(np.concatenate(ends)) if ends else np.array([], np.int64)
-    )
+    cand_ids = pair_endpoint_ids(cand, "doc_a", "doc_b")
     if len(cand_ids) == 0:
         return rd.from_arrow(empty_pairs)
-    cand_ids_ref = ray.put(cand_ids)
-
-    def _cand_sigs(tbl: pa.Table) -> pa.Table:
-        w = ray.get(cand_ids_ref)
-        ids = tbl.column(id_col).to_numpy()
-        pos = np.searchsorted(w, ids).clip(0, len(w) - 1)
-        return tbl.filter(pa.array(w[pos] == ids))
-
-    picked = pa.concat_tables(
-        list(
-            sigs.map_batches(
-                _cand_sigs, batch_format="pyarrow", batch_size=None
-            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-        )
-    )
+    picked = gather_rows_by_ids(sigs, id_col, cand_ids)
     sig_mat = (
         np.vstack(picked.column("sig").to_numpy(zero_copy_only=False))
         if picked.num_rows
@@ -423,6 +384,7 @@ def jaccard_verify_distributed(
     import pyarrow.compute as pc
     import ray
 
+    from .candidates import in_sorted
     from .exchange import hash_exchange
     from .groupagg import group_aggregate_table, hash_grouped_aggregate
 
@@ -517,9 +479,7 @@ def jaccard_verify_distributed(
         a = np.concatenate(a_l)
         b = np.concatenate(b_l)
         keys = _pair_struct(np.minimum(a, b), np.maximum(a, b))
-        pos = np.searchsorted(cand, keys).clip(0, len(cand) - 1)
-        hit = cand[pos] == keys
-        keys = keys[hit]
+        keys = keys[in_sorted(cand, keys)]
         if len(keys) == 0:
             return inter_schema.empty_table()
         t = pa.table(
@@ -1034,9 +994,10 @@ def near_dup_survivors_distributed(
     final drop-id set (nodes whose component label differs — bounded by
     the candidate-pair node count, not the corpus) is broadcast for the
     anti filter."""
+    import pyarrow.compute as pc
     import ray
 
-    import pyarrow.compute as pc
+    from .candidates import in_sorted
 
     labels = connected_components_labels(pairs_ds, num_partitions)
     drop_parts = labels.map_batches(
@@ -1061,11 +1022,8 @@ def near_dup_survivors_distributed(
 
     def _anti(tbl: pa.Table) -> pa.Table:
         ds_ = ray.get(drop_ref)
-        if len(ds_) == 0:
-            return tbl
-        ids = tbl.column(id_col).to_numpy()
-        pos = np.searchsorted(ds_, ids).clip(0, len(ds_) - 1)
-        return tbl.filter(pa.array(ds_[pos] != ids))
+        mask = in_sorted(ds_, tbl.column(id_col).to_numpy())
+        return tbl.filter(pa.array(~mask))
 
     return docs_ds.map_batches(_anti, batch_format="pyarrow", batch_size=None)
 
@@ -1091,6 +1049,8 @@ def near_dup_survivors(
     import pyarrow.compute as pc
     import ray
 
+    from .candidates import in_sorted
+
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -1109,10 +1069,7 @@ def near_dup_survivors(
 
     def _anti(tbl: pa.Table) -> pa.Table:
         ds_ = ray.get(drop_ref)
-        if len(ds_) == 0:
-            return tbl
-        ids = tbl.column(id_col).to_numpy()
-        pos = np.searchsorted(ds_, ids).clip(0, len(ds_) - 1)
-        return tbl.filter(pa.array(ds_[pos] != ids))
+        mask = in_sorted(ds_, tbl.column(id_col).to_numpy())
+        return tbl.filter(pa.array(~mask))
 
     return docs_ds.map_batches(_anti, batch_format="pyarrow", batch_size=None)

@@ -483,10 +483,11 @@ def compute_features_auto(
     chunk = pcfg.salt_chunk
 
     def _is_mega(tbl: pa.Table) -> np.ndarray:
+        from .candidates import in_sorted
+
         ids = ray.get(mega_ref)
         col = tbl.column("conv_id").to_pandas().to_numpy(dtype=object)
-        pos = np.searchsorted(ids, col).clip(0, len(ids) - 1)
-        return ids[pos] == col
+        return in_sorted(ids, col)
 
     def _normal_only(tbl: pa.Table) -> pa.Table:
         return tbl.filter(pa.array(~_is_mega(tbl)))

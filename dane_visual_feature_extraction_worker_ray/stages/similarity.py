@@ -253,6 +253,9 @@ def near_dup_pairs_cosine(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    max_bucket: int = 4000,
+    max_pairs_per_bucket: int = 1 << 22,
+    broadcast_warn_bytes: int = 1 << 30,
 ):
     """Pairs (a < b) with cosine >= threshold, via hyperplane LSH.
 
@@ -273,8 +276,8 @@ def near_dup_pairs_cosine(
 
     import ray
 
+    from .candidates import dedupe_pairs, gather_rows_by_ids, pair_endpoint_ids
     from .exchange import hash_grouped_map
-    from .groupagg import hash_grouped_aggregate
 
     def _buckets(tbl: pa.Table) -> pa.Table:
         m = _normalize(_matrix(tbl, vec_col).astype(np.float64))
@@ -309,13 +312,13 @@ def near_dup_pairs_cosine(
         n = len(ids)
         if n < 2:
             return cand_schema.empty_table()
-        if n > 4000:
+        if n > max_bucket or n * (n - 1) // 2 > max_pairs_per_bucket:
             # no silent caps: report the skipped bucket
             logging.getLogger(__name__).warning(
                 "near_dup_pairs_cosine: skipping bucket of %d rows "
-                "(> 4000, ~%d candidate pairs); other tables may still "
-                "surface them",
-                n, n * (n - 1) // 2,
+                "(max_bucket=%d, max_pairs=%d; ~%d candidate pairs); "
+                "other tables may still surface them",
+                n, max_bucket, max_pairs_per_bucket, n * (n - 1) // 2,
             )
             return cand_schema.empty_table()
         iu, ju = np.triu_indices(n, k=1)
@@ -332,21 +335,7 @@ def near_dup_pairs_cosine(
         min_group_size=2,
     )
     # dedupe pairs that collided in several tables
-    cand = hash_grouped_aggregate(
-        cand.map_batches(
-            lambda t: t.append_column(
-                "n", pa.array(np.ones(t.num_rows, np.int64))
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["vec_a", "vec_b"],
-        [("n", "sum")],
-    ).map_batches(
-        lambda t: t.select(["vec_a", "vec_b"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).materialize()
+    cand = dedupe_pairs(cand, "vec_a", "vec_b")
 
     empty = pa.table(
         {
@@ -357,51 +346,27 @@ def near_dup_pairs_cosine(
     )
     import ray.data as rd
 
-    ends = [
-        np.concatenate(
-            [b.column("vec_a").to_numpy(), b.column("vec_b").to_numpy()]
-        )
-        for b in cand.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    ]
-    cand_ids = (
-        np.unique(np.concatenate(ends)) if ends else np.array([], np.int64)
-    )
+    cand_ids = pair_endpoint_ids(cand, "vec_a", "vec_b")
     if len(cand_ids) == 0:
         return rd.from_arrow(empty)
-    cand_ids_ref = ray.put(cand_ids)
-
-    def _cand_vecs(tbl: pa.Table) -> pa.Table:
-        w = ray.get(cand_ids_ref)
-        ids = tbl.column(id_col).to_numpy()
-        pos = np.searchsorted(w, ids).clip(0, len(w) - 1)
-        t = tbl.filter(pa.array(w[pos] == ids))
-        m = _normalize(_matrix(t, vec_col).astype(np.float64)).astype(
-            np.float64
-        )
-        return pa.table(
-            {
-                id_col: t.column(id_col).cast(pa.int64()),
-                "nvec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(m.ravel()), m.shape[1]
-                ),
-            }
-        )
-
-    picked = pa.concat_tables(
-        list(
-            emb_ds.map_batches(
-                _cand_vecs, batch_format="pyarrow", batch_size=None
-            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-        )
+    picked = gather_rows_by_ids(
+        emb_ds, id_col, cand_ids, columns=[id_col, vec_col]
     )
     vid = picked.column(id_col).to_numpy()
     vmat = (
-        _matrix(picked, "nvec")
+        _normalize(_matrix(picked, vec_col).astype(np.float64))
         if picked.num_rows
         else np.empty((0, 1), np.float64)
     )
     o = np.argsort(vid)
     vid, vmat = vid[o], vmat[o]
+    if vmat.nbytes > broadcast_warn_bytes:
+        logging.getLogger(__name__).warning(
+            "near_dup_pairs_cosine: candidate-vector broadcast is "
+            "%.1f GiB (%d vecs) — candidate set is not small; raise "
+            "threshold or n_planes",
+            vmat.nbytes / (1 << 30), len(vid),
+        )
     vec_ref = ray.put((vid, vmat))
 
     def _verify(tbl: pa.Table) -> pa.Table:

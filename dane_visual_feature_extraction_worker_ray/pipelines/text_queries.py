@@ -733,3 +733,95 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   END AS BIGINT) AS n_fingerprints
 FROM toks
 """.strip()
+
+
+def q_quality_filter(sf_dir: str):
+    """Gopher/C4-style quality gate: word-repetition metrics + pass
+    verdict per doc (see stages/text.py:quality_filter)."""
+    from ..stages.text import quality_filter
+
+    return quality_filter(_docs(sf_dir))
+
+
+QUERIES["quality_filter"] = q_quality_filter
+ORACLE_SQL["quality_filter"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+  FROM documents
+), cnt AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+), agg AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_cnt
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_distinct,
+  CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+  CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac,
+  (n_words >= 20
+   AND CAST(n_words - n_distinct AS DOUBLE) / n_words <= 0.5
+   AND CAST(top_cnt AS DOUBLE) / n_words <= 0.12) AS passes
+FROM agg
+""".strip()
+
+
+# deterministic planted PII suffix (the corpus itself is clean word
+# soup — the same de-vacuation trick as the planted near-dup queries):
+# one URL, one email, one long digit run, appended to every 7th doc in
+# BOTH the Ray pipeline and the oracle.
+_PII_SUFFIX = (
+    " contact alice.smith@example.org or"
+    " https://data.example.com/path?x=1&y=2 ref 9876543210"
+)
+
+
+def q_pii_scrub(sf_dir: str):
+    """URL/email/long-number redaction over the planted-augmented
+    corpus; counts + scrubbed text per doc (stages/text.py:pii_scrub)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.text import pii_scrub
+
+    def _aug(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        s = tbl.column("text").to_pandas().fillna("")
+        aug = np.where(ids % 7 == 0, s + _PII_SUFFIX, s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "text": pa.array(aug, pa.string()),
+            }
+        )
+
+    return pii_scrub(
+        _docs(sf_dir).map_batches(_aug, batch_format="pyarrow")
+    )
+
+
+def _pii_sql() -> str:
+    from ..stages.text import SCRUB_PATTERNS
+
+    counts = []
+    clean = "t"
+    for name, pat, repl in SCRUB_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    text || CASE WHEN doc_id % 7 = 0 THEN '{_PII_SUFFIX}' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id, {", ".join(counts)}, {clean} AS clean_text FROM aug
+""".strip()
+
+
+QUERIES["pii_scrub"] = q_pii_scrub
+ORACLE_SQL["pii_scrub"] = _pii_sql()

@@ -150,6 +150,116 @@ def lang_id(docs_ds, concurrency: int = 4):
     )
 
 
+def quality_filter(
+    docs_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_dup_frac: float = 0.5,
+    max_top_frac: float = 0.12,
+):
+    """Gopher/C4-style heuristic quality filter over word statistics.
+
+    Per doc: total whitespace tokens, distinct tokens, duplicate-word
+    fraction ``(n_words - n_distinct) / n_words`` and top-word fraction
+    ``max_count / n_words`` (the classic repetition signals), plus a
+    ``passes`` verdict under the given thresholds. Ratios are one IEEE
+    division of exact ints with the same expression shape as the SQL
+    oracle. Docs with zero tokens are dropped (the oracle's unnest does
+    the same); fully vectorized — factorize + one np.unique over
+    (row, word-code) pairs, per-row aggregates via reduceat.
+
+    Reference analog: the reference validates inputs before the
+    expensive stage (``/root/reference/worker.py:108-133``); a training
+    pipeline gates documents before tokenization the same way.
+    """
+
+    def _metrics(tbl: pa.Table) -> pa.Table:
+        s = tbl.column(text_col).to_pandas().fillna("")
+        ids = tbl.column(id_col).to_numpy()
+        ex = s.str.split().explode()
+        mask = ex.notna()
+        row = ex.index.to_numpy()[mask].astype(np.int64)
+        out_schema = pa.schema(
+            [
+                (id_col, pa.int64()),
+                ("n_words", pa.int64()),
+                ("n_distinct", pa.int64()),
+                ("dup_word_frac", pa.float64()),
+                ("top_word_frac", pa.float64()),
+                ("passes", pa.bool_()),
+            ]
+        )
+        if len(row) == 0:
+            return out_schema.empty_table()
+        codes, _ = pd.factorize(ex[mask], sort=False)
+        ncodes = int(codes.max()) + 1
+        # (row, word) pair counts: one sort over combined int keys
+        key = row * np.int64(ncodes) + codes
+        uk, counts = np.unique(key, return_counts=True)
+        urow = uk // np.int64(ncodes)
+        starts = np.flatnonzero(np.r_[True, urow[1:] != urow[:-1]])
+        rows_present = urow[starts]
+        n_words = np.bincount(row, minlength=len(s))[rows_present]
+        n_distinct = np.diff(np.r_[starts, len(urow)])
+        top_cnt = np.maximum.reduceat(counts, starts)
+        dup_frac = (n_words - n_distinct).astype(np.float64) / n_words
+        top_frac = top_cnt.astype(np.float64) / n_words
+        passes = (
+            (n_words >= min_words)
+            & (dup_frac <= max_dup_frac)
+            & (top_frac <= max_top_frac)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[rows_present].astype(np.int64)),
+                "n_words": pa.array(n_words.astype(np.int64)),
+                "n_distinct": pa.array(n_distinct.astype(np.int64)),
+                "dup_word_frac": pa.array(dup_frac),
+                "top_word_frac": pa.array(top_frac),
+                "passes": pa.array(passes),
+            }
+        )
+
+    return docs_ds.map_batches(_metrics, batch_format="pyarrow")
+
+
+# PII/URL scrub patterns — RE2-compatible (no lookaround, ASCII
+# classes) so the SAME strings drive Python re and the DuckDB oracle.
+# Order matters: URLs first (an address inside a URL is part of the
+# URL), then emails, then long digit runs.
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^ \t\n\r]+", "[URL]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("num", r"[0-9]{7,}", "[NUM]"),
+]
+
+
+def pii_scrub(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Redact URLs, email addresses and long digit runs (the standard
+    pre-training scrub pass). Returns ``(doc_id, clean_text, n_url,
+    n_email, n_num)`` — counts measured on the INPUT text, replacements
+    applied in :data:`SCRUB_PATTERNS` order. Stateless vectorized
+    pandas-str kernels; patterns compiled once per task."""
+    import re
+
+    compiled = [(n, re.compile(p), r) for n, p, r in SCRUB_PATTERNS]
+
+    def _scrub(tbl: pa.Table) -> pa.Table:
+        s = tbl.column(text_col).to_pandas().fillna("")
+        cols = {id_col: tbl.column(id_col)}
+        clean = s
+        for name, pat, repl in compiled:
+            cols[f"n_{name}"] = pa.array(
+                s.str.count(pat).to_numpy(dtype=np.int64)
+            )
+            clean = clean.str.replace(pat, repl, regex=True)
+        cols["clean_text"] = pa.array(clean, pa.string())
+        return pa.table(cols)
+
+    return docs_ds.map_batches(_scrub, batch_format="pyarrow")
+
+
 def doc_fingerprints(
     docs_ds,
     text_col: str = "text",

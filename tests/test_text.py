@@ -239,3 +239,76 @@ def test_stratified_sample_ranked_cross_bucket():
     # structural bound: no (lang, bkt) group can exceed bucket_width
     per_group = df.assign(bkt=df["doc_id"] // w).groupby(["lang", "bkt"]).size()
     assert per_group.max() <= w
+
+
+def test_quality_filter_metrics_and_edges():
+    from dane_visual_feature_extraction_worker_ray.stages.text import (
+        quality_filter,
+    )
+
+    texts = [
+        "a b c d " * 10,          # 40 words, 4 distinct: dup 0.9, top 0.25
+        " ".join(f"w{i}" for i in range(30)),  # all distinct
+        "",                        # zero tokens -> dropped
+        "   ",                     # whitespace only -> dropped
+        "solo",                    # 1 word
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = (
+        quality_filter(rd.from_arrow(tbl))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert list(out.index) == [0, 1, 4]  # empty-token docs dropped
+    assert out.loc[0, "n_words"] == 40
+    assert out.loc[0, "n_distinct"] == 4
+    assert out.loc[0, "dup_word_frac"] == 36 / 40
+    assert out.loc[0, "top_word_frac"] == 10 / 40
+    assert not out.loc[0, "passes"]  # dup/top too high
+    assert out.loc[1, "n_words"] == 30
+    assert out.loc[1, "dup_word_frac"] == 0.0
+    assert bool(out.loc[1, "passes"])  # 30 >= 20, dup 0, top 1/30
+    assert out.loc[4, "n_words"] == 1
+    assert not out.loc[4, "passes"]  # below min_words
+
+
+def test_pii_scrub_patterns():
+    from dane_visual_feature_extraction_worker_ray.stages.text import (
+        pii_scrub,
+    )
+
+    texts = [
+        "mail me at a.b-c_d@ex-ample.co.uk today",
+        "see https://x.org/a?b=1&c=2 and http://y.io/z now",
+        "card 1234567 and short 123456 and id 999999999",
+        "url with mail https://h.io/u@v.com trailing",
+        "clean text no hits",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = (
+        pii_scrub(rd.from_arrow(tbl))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "mail me at [EMAIL] today"
+    assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_url"] == 0
+    assert out.loc[1, "clean_text"] == "see [URL] and [URL] now"
+    assert out.loc[1, "n_url"] == 2
+    assert out.loc[2, "clean_text"] == "card [NUM] and short 123456 and id [NUM]"
+    assert out.loc[2, "n_num"] == 2  # 6-digit run stays
+    # the URL swallows the embedded address (URL replaced first); the
+    # count pass sees the email-shaped substring on the raw text
+    assert out.loc[3, "clean_text"] == "url with mail [URL] trailing"
+    assert out.loc[3, "n_email"] == 1
+    assert out.loc[4, "clean_text"] == "clean text no hits"
+    assert (
+        out.loc[4, ["n_url", "n_email", "n_num"]].to_numpy() == 0
+    ).all()

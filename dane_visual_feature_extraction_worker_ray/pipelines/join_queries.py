@@ -130,3 +130,70 @@ FROM documents d
 WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
 """.strip(),
 }
+
+
+def q_error_window_events(sf_dir: str):
+    """Distributed interval (range) join: every event falling inside a
+    120-second window opened by each error event — the point-in-range
+    many-to-many join Ray Data lacks (stages/interval_join.py:
+    time-bucketed exchange, intervals replicated per overlapped
+    bucket, searchsorted run-expansion kernel)."""
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.interval_join import interval_join
+
+    win_us = 120_000_000  # 120 s, integer µs end to end
+
+    ev = read_parquet_tuned(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type"],
+    )
+
+    def _points(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "ts_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    def _wins(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        e = t.filter(pc.equal(t.column("event_type"), "error"))
+        start = e.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "win_id": e.column("event_id").cast(pa.int64()),
+                "start_us": start,
+                "end_us": pc.add(start, win_us),
+            }
+        )
+
+    points = ev.map_batches(_points, batch_format="pyarrow", batch_size=None)
+    wins = ev.map_batches(_wins, batch_format="pyarrow", batch_size=None)
+    # bucket_width == window length: each interval lands in <= 2 buckets
+    return interval_join(
+        points,
+        wins,
+        point_ts_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        point_cols=["event_id"],
+        interval_cols=["win_id"],
+        bucket_width=win_us,
+        num_partitions=16,
+    )
+
+
+QUERIES["error_window_events"] = q_error_window_events
+ORACLE_SQL["error_window_events"] = """
+WITH win AS (
+  SELECT CAST(event_id AS BIGINT) AS win_id, ts AS start_ts,
+         ts + INTERVAL 120 SECOND AS end_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT w.win_id, CAST(e.event_id AS BIGINT) AS event_id
+FROM win w JOIN events e ON e.ts >= w.start_ts AND e.ts < w.end_ts
+""".strip()

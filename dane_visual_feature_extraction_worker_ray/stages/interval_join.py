@@ -1,0 +1,189 @@
+"""Distributed interval (range) join: points × intervals.
+
+Ray Data has no native range join; a cross join + filter is O(n·m).
+This operator expresses ``point.ts ∈ [start, end)`` as ONE side-tagged
+hash exchange on a TIME BUCKET:
+
+1. pick ``bucket = ts // bucket_width``; every point lands in exactly
+   one bucket, every interval is replicated to each bucket it overlaps
+   (``start // W .. (end - 1) // W``);
+2. one :func:`~.exchange.hash_exchange` on the bucket co-locates each
+   bucket's points with every interval that could match them; because
+   a point lives in ONE bucket, each (point, interval) pair meets
+   exactly once — no output dedup pass;
+3. the partition kernel sorts points by ``ts`` once, then each interval
+   finds its match RUN with two ``searchsorted`` calls and expands via
+   ``np.repeat`` (same run-expansion as :mod:`.join`) —
+   O(m log n + output), no Python loops, no quadratic sweep.
+
+Scale contract: replication factor per interval is
+``len/bucket_width + 1`` — pick ``bucket_width`` near the TYPICAL
+interval length so replication stays ~2× while buckets stay small. A
+single bucket's reduce input is (points in the window) + (intervals
+overlapping it); a pathological bucket (hot time region) is the same
+skew class as a hot join key — the exchange's 4 GiB partition warning
+applies. Timestamps are integer microseconds end to end (the repo's
+float-free window-math policy); ``end`` is EXCLUSIVE.
+
+Reference analog: the shot-interval lookup assigns each keyframe
+timestamp to its containing shot interval
+(``/root/reference/data_handling.py:121-129``) — generalized here to
+arbitrary many-to-many point-in-range joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_BKT = "__bkt"
+_SIDE = "__side"
+
+
+def interval_join(
+    points_ds,
+    intervals_ds,
+    point_ts_col: str,
+    start_col: str,
+    end_col: str,
+    point_cols: list[str],
+    interval_cols: list[str],
+    bucket_width: int,
+    num_partitions: int = 32,
+):
+    """Emit one row per (interval, point) with ``start <= ts < end``.
+
+    All three timestamp columns must be int64 (µs). Output columns:
+    ``interval_cols`` then ``point_cols`` (names must not collide).
+    Intervals with ``end <= start`` (empty) match nothing.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    overlap = set(point_cols) & set(interval_cols)
+    if overlap:
+        raise ValueError(f"output name collision: {sorted(overlap)}")
+
+    from .join import arrow_schema_of
+
+    p_schema = arrow_schema_of(points_ds)
+    i_schema = arrow_schema_of(intervals_ds)
+    p_types = {c: p_schema.field(c).type for c in point_cols}
+    i_types = {c: i_schema.field(c).type for c in interval_cols}
+
+    def _tag_points(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column(point_ts_col).cast(pa.int64()).to_numpy()
+        n = tbl.num_rows
+        cols = {
+            _BKT: pa.array(ts // bucket_width, pa.int64()),
+            "__ts": pa.array(ts),
+            "__start": pa.nulls(n, pa.int64()),
+            "__end": pa.nulls(n, pa.int64()),
+        }
+        for c in point_cols:
+            cols[c] = tbl.column(c)
+        for c in interval_cols:
+            cols[c] = pa.nulls(n, i_types[c])
+        cols[_SIDE] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
+
+    def _tag_intervals(tbl: pa.Table) -> pa.Table:
+        st = tbl.column(start_col).cast(pa.int64()).to_numpy()
+        en = tbl.column(end_col).cast(pa.int64()).to_numpy()
+        live = en > st  # empty intervals match nothing
+        t = tbl.filter(pa.array(live))
+        st, en = st[live], en[live]
+        # replicate to every overlapped bucket (end exclusive)
+        b_lo = st // bucket_width
+        b_hi = (en - 1) // bucket_width
+        reps = (b_hi - b_lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(st), dtype=np.int64), reps)
+        within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        bkt = b_lo[idx] + within
+        r = t.take(pa.array(idx))
+        m = len(idx)
+        cols = {
+            _BKT: pa.array(bkt, pa.int64()),
+            "__ts": pa.nulls(m, pa.int64()),
+            "__start": pa.array(st[idx]),
+            "__end": pa.array(en[idx]),
+        }
+        for c in point_cols:
+            cols[c] = pa.nulls(m, p_types[c])
+        for c in interval_cols:
+            cols[c] = r.column(c)
+        cols[_SIDE] = pa.array(np.ones(m, np.int8))
+        return pa.table(cols)
+
+    unioned = points_ds.map_batches(
+        _tag_points, batch_format="pyarrow", batch_size=None
+    ).union(
+        intervals_ds.map_batches(
+            _tag_intervals, batch_format="pyarrow", batch_size=None
+        )
+    )
+
+    out_schema = pa.schema(
+        [pa.field(c, i_types[c]) for c in interval_cols]
+        + [pa.field(c, p_types[c]) for c in point_cols]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = tbl.column(_SIDE).to_numpy(zero_copy_only=False)
+        is_pt = side == 0
+        pi = np.flatnonzero(is_pt)
+        ii = np.flatnonzero(~is_pt)
+        if len(pi) == 0 or len(ii) == 0:
+            return out_schema.empty_table()
+
+        def _int_col(name: str, rows: np.ndarray) -> np.ndarray:
+            # the other side's rows are typed nulls; a plain to_numpy
+            # would round-trip int64 through float64 (NaN path) and
+            # alias values >= 2^53 — fill first, slice the null-free
+            # rows after (same fix as the equi-join kernel)
+            filled = pc.fill_null(tbl.column(name), 0)
+            return filled.to_numpy(zero_copy_only=False)[rows]
+
+        ts = _int_col("__ts", pi)
+        order = np.argsort(ts, kind="stable")
+        pi, ts = pi[order], ts[order]
+        st = _int_col("__start", ii)
+        en = _int_col("__end", ii)
+        bkt = tbl.column(_BKT).to_numpy()
+        # a pair is emitted only in the POINT's bucket: clamp each
+        # replicated interval's run to this partition's point set (the
+        # whole partition shares one bucket per group only when
+        # num_partitions >= buckets; with hash packing several buckets
+        # share a partition, so clamp per-row to the interval-row's
+        # replica bucket)
+        ib = bkt[ii]
+        lo_t = np.maximum(st, ib * bucket_width)
+        hi_t = np.minimum(en, (ib + 1) * bucket_width)
+        lo = np.searchsorted(ts, lo_t, side="left")
+        hi = np.searchsorted(ts, hi_t, side="left")  # end exclusive
+        cnt = np.maximum(hi - lo, 0)
+        has = cnt > 0
+        rep_i = np.repeat(ii[has], cnt[has])
+        offs = np.repeat(lo[has], cnt[has])
+        cm = cnt[has]
+        within = np.arange(cm.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(cm) - cm, cm
+        )
+        rep_p = pi[offs + within]
+        pieces = {}
+        i_take = pa.array(rep_i, pa.int64())
+        p_take = pa.array(rep_p, pa.int64())
+        for c in interval_cols:
+            pieces[c] = tbl.column(c).take(i_take)
+        for c in point_cols:
+            pieces[c] = tbl.column(c).take(p_take)
+        return pa.table(pieces).cast(out_schema)
+
+    from .exchange import hash_exchange
+
+    return hash_exchange(
+        unioned, _BKT, num_partitions, _kernel, empty_schema=out_schema
+    )

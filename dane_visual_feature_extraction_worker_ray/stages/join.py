@@ -52,6 +52,38 @@ def _null_array(n: int, typ: pa.DataType) -> pa.Array:
     return pa.nulls(n, typ)
 
 
+def arrow_schema_of(ds) -> pa.Schema:
+    """Exact Arrow schema of a Dataset, including pandas-block datasets
+    (sample one real row for exact types; empty pandas datasets derive
+    types from the pandas dtypes — object → string, nullable extension
+    ints → their numpy base)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", s)  # Ray Schema wrapper → Arrow
+    if isinstance(base, pa.Schema):
+        return base
+    import ray
+
+    refs = ds.limit(1).to_arrow_refs()
+    for r in refs:
+        t = ray.get(r)
+        # 0-row pandas blocks arrow-convert with null-typed columns
+        # — only trust a sampled schema that carries a real row
+        if t.num_rows:
+            return t.schema
+    fields = []
+    for name, typ in zip(base.names, base.types):
+        try:
+            at = pa.from_numpy_dtype(typ)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            base_np = getattr(typ, "numpy_dtype", None)
+            if base_np is not None:
+                at = pa.from_numpy_dtype(base_np)
+            else:
+                at = pa.string()
+        fields.append(pa.field(name, at))
+    return pa.schema(fields)
+
+
 def hash_equi_join(
     left_ds,
     right_ds,
@@ -82,38 +114,8 @@ def hash_equi_join(
     elif right_columns is None:
         raise ValueError("right_columns is required for inner/left joins")
 
-    def _arrow_schema(ds) -> pa.Schema:
-        s = ds.schema()
-        base = getattr(s, "base_schema", s)  # Ray Schema wrapper → Arrow
-        if isinstance(base, pa.Schema):
-            return base
-        # pandas-block dataset: pull one row as Arrow for exact types
-        import ray
-
-        refs = ds.limit(1).to_arrow_refs()
-        for r in refs:
-            t = ray.get(r)
-            # 0-row pandas blocks arrow-convert with null-typed columns
-            # — only trust a sampled schema that carries a real row
-            if t.num_rows:
-                return t.schema
-        # empty dataset: derive from the pandas-block schema (object
-        # dtype → string; nullable extension ints → their arrow type)
-        fields = []
-        for name, typ in zip(base.names, base.types):
-            try:
-                at = pa.from_numpy_dtype(typ)
-            except (pa.ArrowNotImplementedError, TypeError, ValueError):
-                base_np = getattr(typ, "numpy_dtype", None)
-                if base_np is not None:
-                    at = pa.from_numpy_dtype(base_np)
-                else:
-                    at = pa.string()
-            fields.append(pa.field(name, at))
-        return pa.schema(fields)
-
-    left_schema = _arrow_schema(left_ds)
-    right_schema = _arrow_schema(right_ds)
+    left_schema = arrow_schema_of(left_ds)
+    right_schema = arrow_schema_of(right_ds)
     l_names = list(left_schema.names)
     l_types = {n: left_schema.field(n).type for n in l_names}
     out_right = {

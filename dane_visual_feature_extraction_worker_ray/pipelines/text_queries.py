@@ -825,3 +825,58 @@ SELECT doc_id, {", ".join(counts)}, {clean} AS clean_text FROM aug
 
 QUERIES["pii_scrub"] = q_pii_scrub
 ORACLE_SQL["pii_scrub"] = _pii_sql()
+
+
+def q_doc_freq_score(sf_dir: str):
+    """Two-pass broadcast-model scoring: global token counts (pass 1,
+    distributed aggregation; the VOCABULARY — not the corpus — lands on
+    the driver) → mean corpus token frequency per doc (pass 2,
+    streaming against the ray.put model)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..stages.groupagg import hash_grouped_aggregate
+    from ..stages.text import doc_freq_score
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("text").to_pandas().fillna("")
+        ex = s.str.split().explode().dropna()
+        vc = ex.value_counts()
+        return pa.table(
+            {
+                "tok": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    docs = _docs(sf_dir)
+    counts = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["tok"],
+        [("n", "sum")],
+        num_buckets=16,
+    )
+    vocab = pa.concat_tables(
+        [ray.get(r) for r in counts.to_arrow_refs()]
+    ).combine_chunks()
+    return doc_freq_score(docs, vocab)
+
+
+QUERIES["doc_freq_score"] = q_doc_freq_score
+ORACLE_SQL["doc_freq_score"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+), per AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(v.c) AS BIGINT) AS freq_sum
+  FROM tok t JOIN vocab v USING (w) GROUP BY t.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, freq_sum,
+  CAST(freq_sum AS DOUBLE) / n_tokens AS freq_score
+FROM per
+""".strip()

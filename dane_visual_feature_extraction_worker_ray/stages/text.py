@@ -224,6 +224,76 @@ def quality_filter(
     return docs_ds.map_batches(_metrics, batch_format="pyarrow")
 
 
+def doc_freq_score(docs_ds, vocab_counts, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Score each doc by the mean corpus frequency of its tokens — the
+    unigram-LM shape of model-based quality scoring (two-pass: a count
+    pass builds the vocabulary, then the broadcast model scores the
+    streaming corpus). Integer sums + ONE final IEEE division keep it
+    bit-exact against the SQL oracle (a log-prob variant would sum
+    floats order-dependently and can only be rows-only checked).
+
+    ``vocab_counts``: an Arrow table ``(tok, n)`` — typically the
+    output of the global token-count aggregation. It is broadcast ONCE
+    via ``ray.put`` (sorted token array + int64 counts); at 100 TB the
+    vocabulary is millions of rows — megabytes, not corpus-scale.
+    Tokens outside the vocabulary count 0 (scoring one corpus against
+    another's model). Docs with zero tokens are dropped.
+
+    Reference analog: broadcast-model scoring is the same shape as the
+    per-worker checkpoint load + forward pass
+    (``/root/reference/feature_extraction.py:17-32``) with an exact
+    arithmetic model instead of a CNN."""
+    import ray
+
+    tok = vocab_counts.column("tok").to_numpy(zero_copy_only=False)
+    cnt = vocab_counts.column("n").cast(pa.int64()).to_numpy()
+    o = np.argsort(tok)
+    model_ref = ray.put((tok[o], cnt[o]))
+
+    def _score(tbl: pa.Table) -> pa.Table:
+        vtok, vcnt = ray.get(model_ref)
+        s = tbl.column(text_col).to_pandas().fillna("")
+        ids = tbl.column(id_col).to_numpy()
+        ex = s.str.split().explode()
+        mask = ex.notna()
+        row = ex.index.to_numpy()[mask].astype(np.int64)
+        out_schema = pa.schema(
+            [
+                (id_col, pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("freq_sum", pa.int64()),
+                ("freq_score", pa.float64()),
+            ]
+        )
+        if len(row) == 0:
+            return out_schema.empty_table()
+        words = ex[mask].to_numpy(dtype=object)
+        if len(vtok):
+            pos = np.searchsorted(vtok, words).clip(0, len(vtok) - 1)
+            w_cnt = np.where(vtok[pos] == words, vcnt[pos], 0)
+        else:
+            w_cnt = np.zeros(len(words), np.int64)
+        n_tok = np.bincount(row, minlength=len(s))
+        fsum = np.zeros(len(s), np.int64)
+        np.add.at(fsum, row, w_cnt)  # exact int sums (no float weights)
+        present = n_tok > 0
+        n_p = n_tok[present].astype(np.int64)
+        f_p = fsum[present]
+        return pa.table(
+            {
+                id_col: pa.array(ids[present].astype(np.int64)),
+                "n_tokens": pa.array(n_p),
+                "freq_sum": pa.array(f_p),
+                "freq_score": pa.array(
+                    f_p.astype(np.float64) / n_p.astype(np.float64)
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(_score, batch_format="pyarrow")
+
+
 # PII/URL scrub patterns — RE2-compatible (no lookaround, ASCII
 # classes) so the SAME strings drive Python re and the DuckDB oracle.
 # Order matters: URLs first (an address inside a URL is part of the

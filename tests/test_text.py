@@ -312,3 +312,30 @@ def test_pii_scrub_patterns():
     assert (
         out.loc[4, ["n_url", "n_email", "n_num"]].to_numpy() == 0
     ).all()
+
+
+def test_doc_freq_score_model_and_oov():
+    from dane_visual_feature_extraction_worker_ray.stages.text import (
+        doc_freq_score,
+    )
+
+    # vocab: a->5, b->2 (c is out-of-vocabulary)
+    vocab = pa.table(
+        {"tok": pa.array(["b", "a"]), "n": pa.array([2, 5], pa.int64())}
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a a b", "c c", ""]),
+        }
+    )
+    out = (
+        doc_freq_score(rd.from_arrow(tbl), vocab)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert list(out.index) == [0, 1]  # empty doc dropped
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "freq_sum"] == 12  # 5 + 5 + 2
+    assert out.loc[0, "freq_score"] == 12 / 3
+    assert out.loc[1, "freq_sum"] == 0  # OOV tokens count 0
+    assert out.loc[1, "freq_score"] == 0.0

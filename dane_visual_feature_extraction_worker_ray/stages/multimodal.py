@@ -296,8 +296,9 @@ def extract_media_features(
         lambda p, t: t,  # identity: exchange only co-locates
         empty_schema=media_schema(),
     )
-    if isinstance(concurrency, int):
-        concurrency = (1, concurrency)
+    from ..functions.runtime import autoscale_pool
+
+    concurrency = autoscale_pool(concurrency)
     kwargs = dict(ray_remote_args or {})
     if num_gpus is not None:
         kwargs["num_gpus"] = num_gpus

@@ -121,12 +121,11 @@ def score_features(
     per-worker ``cuda:0`` device pick (``nn_models.py:287``,
     ``feature_extraction.py:19-23``); a GPU deployment passes e.g.
     ``num_gpus=1`` (or a fraction to pack actors per device)."""
+    from ..functions.runtime import autoscale_pool
+
     cfg = cfg or FeatureConfig()
-    if isinstance(concurrency, int):
-        # autoscale from 1: a FIXED pool of N actors deadlocks a session
-        # with exactly N CPUs (the pool holds every slot and the
-        # upstream read starves) — same fix as extract_media_features
-        concurrency = (1, concurrency)
+    # pre-started pool with a deadlock-safe floor (see autoscale_pool)
+    concurrency = autoscale_pool(concurrency)
     kwargs = dict(ray_remote_args or {})
     if num_gpus is not None:
         kwargs["num_gpus"] = num_gpus

@@ -138,14 +138,14 @@ class LangId:
 
 
 def lang_id(docs_ds, concurrency: int = 4):
-    # autoscaling pool (min 1): a FIXED pool of `concurrency` actors
-    # deadlocks a session with exactly `concurrency` CPUs (the pool
-    # holds every slot and the upstream read task starves)
+    from ..functions.runtime import autoscale_pool
+
+    # pre-started pool with a deadlock-safe floor (see autoscale_pool)
     return docs_ds.map_batches(
         LangId,
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, concurrency),
+        concurrency=autoscale_pool(concurrency),
         num_cpus=1,
     )
 

@@ -165,7 +165,12 @@ def test_resource_kwargs_reach_map_batches(monkeypatch):
     assert out == "ok"
     assert captured["num_gpus"] == 0.5
     assert captured["resources"] == {"accel": 1}
-    assert captured["concurrency"] == (1, 3)  # autoscaling, never fixed
+    lo, hi = captured["concurrency"]
+    assert hi == 3 and lo < hi  # autoscaling tuple, never a fixed pool
+    # floor leaves >= 2 CPUs for the upstream read (deadlock guard)
+    import ray
+
+    assert lo <= max(1, int(ray.cluster_resources()["CPU"]) - 2)
 
     captured.clear()
     scorer.score_features(

@@ -444,16 +444,7 @@ def q_top_tokens(sf_dir: str, k: int = 20):
 
     from ..stages.groupagg import hash_grouped_aggregate
 
-    def _partial(tbl: pa.Table) -> pa.Table:
-        s = tbl.column("text").to_pandas().fillna("")
-        ex = s.str.split().explode().dropna()
-        vc = ex.value_counts()  # C groupby
-        return pa.table(
-            {
-                "tok": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
-                "n": pa.array(vc.to_numpy().astype(np.int64)),
-            }
-        )
+    from ..stages.text import token_count_partial as _partial
 
     counts = hash_grouped_aggregate(
         _docs(sf_dir).map_batches(
@@ -839,16 +830,7 @@ def q_doc_freq_score(sf_dir: str):
     from ..stages.groupagg import hash_grouped_aggregate
     from ..stages.text import doc_freq_score
 
-    def _partial(tbl: pa.Table) -> pa.Table:
-        s = tbl.column("text").to_pandas().fillna("")
-        ex = s.str.split().explode().dropna()
-        vc = ex.value_counts()
-        return pa.table(
-            {
-                "tok": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
-                "n": pa.array(vc.to_numpy().astype(np.int64)),
-            }
-        )
+    from ..stages.text import token_count_partial as _partial
 
     docs = _docs(sf_dir)
     counts = hash_grouped_aggregate(

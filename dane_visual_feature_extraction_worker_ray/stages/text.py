@@ -105,20 +105,24 @@ class LangId:
 
     def __init__(self):
         self.langs = sorted(_LANG_PROFILES)
+        # Arrow value sets: pc.is_in runs the profile lookup in C++
         self.profiles = {
-            lang: frozenset(words) for lang, words in _LANG_PROFILES.items()
+            lang: pa.array(sorted(set(words)), pa.string())
+            for lang, words in _LANG_PROFILES.items()
         }
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        s = tbl.column("text").to_pandas().fillna("")
-        ex = s.str.split().explode()
-        mask = ex.notna()
-        row = ex.index.to_numpy()[mask].astype(np.int64)
-        toks = ex[mask]
-        n = len(s)
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import ws_tokens
+
+        row, flat = ws_tokens(tbl.column("text"))
+        n = tbl.num_rows
         scores = np.zeros((n, len(self.langs)), dtype=np.float64)
         for j, lang in enumerate(self.langs):
-            hits = toks.isin(self.profiles[lang]).to_numpy()
+            hits = pc.is_in(
+                flat, value_set=self.profiles[lang]
+            ).to_numpy(zero_copy_only=False)
             scores[:, j] = np.bincount(
                 row, weights=hits.astype(np.float64), minlength=n
             )
@@ -175,11 +179,10 @@ def quality_filter(
     """
 
     def _metrics(tbl: pa.Table) -> pa.Table:
-        s = tbl.column(text_col).to_pandas().fillna("")
+        from ..functions.tokenize import ws_tokens
+
         ids = tbl.column(id_col).to_numpy()
-        ex = s.str.split().explode()
-        mask = ex.notna()
-        row = ex.index.to_numpy()[mask].astype(np.int64)
+        row, flat = ws_tokens(tbl.column(text_col))
         out_schema = pa.schema(
             [
                 (id_col, pa.int64()),
@@ -192,15 +195,16 @@ def quality_filter(
         )
         if len(row) == 0:
             return out_schema.empty_table()
-        codes, _ = pd.factorize(ex[mask], sort=False)
-        ncodes = int(codes.max()) + 1
+        enc = flat.dictionary_encode()  # C++ factorize
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ncodes = len(enc.dictionary)
         # (row, word) pair counts: one sort over combined int keys
         key = row * np.int64(ncodes) + codes
         uk, counts = np.unique(key, return_counts=True)
         urow = uk // np.int64(ncodes)
         starts = np.flatnonzero(np.r_[True, urow[1:] != urow[:-1]])
         rows_present = urow[starts]
-        n_words = np.bincount(row, minlength=len(s))[rows_present]
+        n_words = np.bincount(row, minlength=tbl.num_rows)[rows_present]
         n_distinct = np.diff(np.r_[starts, len(urow)])
         top_cnt = np.maximum.reduceat(counts, starts)
         dup_frac = (n_words - n_distinct).astype(np.float64) / n_words
@@ -222,6 +226,24 @@ def quality_filter(
         )
 
     return docs_ds.map_batches(_metrics, batch_format="pyarrow")
+
+
+def token_count_partial(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch ``(tok, n)`` whitespace-token counts — the mergeable
+    partial behind the heavy-hitter and vocabulary aggregations.
+    ``pc.value_counts`` runs the group-count in C++."""
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import ws_tokens
+
+    _, flat = ws_tokens(tbl.column(text_col))
+    vc = pc.value_counts(flat)
+    return pa.table(
+        {
+            "tok": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        }
+    )
 
 
 def doc_freq_score(docs_ds, vocab_counts, text_col: str = "text",
@@ -252,12 +274,11 @@ def doc_freq_score(docs_ds, vocab_counts, text_col: str = "text",
     model_ref = ray.put((tok[o], cnt[o]))
 
     def _score(tbl: pa.Table) -> pa.Table:
+        from ..functions.tokenize import ws_tokens
+
         vtok, vcnt = ray.get(model_ref)
-        s = tbl.column(text_col).to_pandas().fillna("")
         ids = tbl.column(id_col).to_numpy()
-        ex = s.str.split().explode()
-        mask = ex.notna()
-        row = ex.index.to_numpy()[mask].astype(np.int64)
+        row, flat = ws_tokens(tbl.column(text_col))
         out_schema = pa.schema(
             [
                 (id_col, pa.int64()),
@@ -268,14 +289,14 @@ def doc_freq_score(docs_ds, vocab_counts, text_col: str = "text",
         )
         if len(row) == 0:
             return out_schema.empty_table()
-        words = ex[mask].to_numpy(dtype=object)
+        words = flat.to_numpy(zero_copy_only=False)
         if len(vtok):
             pos = np.searchsorted(vtok, words).clip(0, len(vtok) - 1)
             w_cnt = np.where(vtok[pos] == words, vcnt[pos], 0)
         else:
             w_cnt = np.zeros(len(words), np.int64)
-        n_tok = np.bincount(row, minlength=len(s))
-        fsum = np.zeros(len(s), np.int64)
+        n_tok = np.bincount(row, minlength=tbl.num_rows)
+        fsum = np.zeros(tbl.num_rows, np.int64)
         np.add.at(fsum, row, w_cnt)  # exact int sums (no float weights)
         present = n_tok > 0
         n_p = n_tok[present].astype(np.int64)

@@ -78,6 +78,10 @@ def ensure_skew_corpus() -> tuple[str, str]:
 def run_bench(num_cpus: int, sf_dir: str) -> dict:
     import ray
 
+    # pre-run load: our own workers inflate loadavg once the suite
+    # starts, so only the STARTING value attributes external load
+    load_at_start = round(os.getloadavg()[0], 2)
+
     # NOTE: do not use runtime_env worker_process_setup_hook here — the
     # runtime-env agent hangs in sandboxed (no-network, no-dashboard)
     # sessions. Arrow thread pools are pinned inside the hot UDFs
@@ -187,6 +191,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
             "synthetic_turns_per_sec": round(
                 n_turns / timings["synthetic_flagship"], 1
             ),
+            "host_load_1m_at_start": load_at_start,
         }
         ray.shutdown()
         return result
@@ -258,6 +263,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "num_cpus": num_cpus,
         "synthetic_turns": n_turns,
         "synthetic_turns_per_sec": round(n_turns / flagship_s, 1),
+        # 1-min load average BEFORE the run: this shared-host VM sees
+        # external load spikes that inflate timings ~2x (BASELINE.md
+        # variance note) — recorded so a slow number can be attributed
+        "host_load_1m_at_start": load_at_start,
     }
     ray.shutdown()
     return result

@@ -781,3 +781,33 @@ FROM lineitem GROUP BY l_returnflag
 
 QUERIES["price_quantiles"] = q_price_quantiles
 ORACLE_SQL["price_quantiles"] = SQL_PRICE_QUANTILES
+
+
+def q_orders_price_rank(sf_dir: str):
+    """Distributed GLOBAL sort with rank: every order ranked by
+    (o_totalprice DESC, o_orderkey ASC) via sample-based range
+    partitioning on the explicit exchange (stages/sort.py). The rank
+    column turns global ORDER into content the hash compare verifies —
+    the driver's comparator is otherwise order-insensitive."""
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.sort import sort_by
+
+    orders = read_parquet_tuned(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    return sort_by(
+        orders,
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        num_partitions=16,
+        rank_col="rnk",
+    )
+
+
+QUERIES["orders_price_rank"] = q_orders_price_rank
+ORACLE_SQL["orders_price_rank"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice,
+  CAST(row_number() OVER (
+    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+FROM orders
+""".strip()

@@ -63,7 +63,8 @@ def _from_ipc(buf: bytes) -> pa.Table:
 
 
 @ray.remote
-def _split_block(block: pa.Table, key, num_partitions: int):
+def _split_block(block: pa.Table, key, num_partitions: int,
+                 partitioner=None):
     # one Arrow thread per task: 32 tasks x 32-thread default pools
     # thrash the node (measured 55s -> 24s on the 8.5M-turn exchange)
     pa.set_cpu_count(1)
@@ -84,9 +85,14 @@ def _split_block(block: pa.Table, key, num_partitions: int):
     if block.num_rows == 0:
         empty = _ipc_bytes(block.slice(0, 0))
         return tuple(empty for _ in range(num_partitions))
-    keys = [key] if isinstance(key, str) else list(key)
-    h = hash64_columns(block, keys)
-    b = bucket_of(h, num_partitions)
+    if partitioner is not None:
+        # range/custom partitioning (e.g. the global sort's bound
+        # assignment): partitioner(block) -> int array of partition ids
+        b = np.asarray(partitioner(block), dtype=np.int64)
+    else:
+        keys = [key] if isinstance(key, str) else list(key)
+        h = hash64_columns(block, keys)
+        b = bucket_of(h, num_partitions)
     idx = np.argsort(b, kind="stable")
     bs = b[idx]
     bounds = np.arange(num_partitions)
@@ -151,6 +157,7 @@ def hash_exchange(
     kernel,
     empty_schema: pa.Schema | None = None,
     prune_empty_sync: bool = True,
+    partitioner=None,
 ):
     """Co-locate rows by ``hash64(key) % num_partitions`` (``key`` may
     be one column or a composite list) and apply
@@ -184,7 +191,7 @@ def hash_exchange(
     frag_lists = [
         _split_block.options(
             num_returns=num_partitions, num_cpus=ncpu
-        ).remote(b, key, num_partitions)
+        ).remote(b, key, num_partitions, partitioner)
         for b in blocks
     ]
     if num_partitions == 1:  # num_returns=1 yields a bare ref, not a list

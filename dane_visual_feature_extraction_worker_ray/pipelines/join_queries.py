@@ -197,3 +197,25 @@ WITH win AS (
 SELECT w.win_id, CAST(e.event_id AS BIGINT) AS event_id
 FROM win w JOIN events e ON e.ts >= w.start_ts AND e.ts < w.end_ts
 """.strip()
+
+
+def q_docs_embeddings_join_hot(sf_dir: str):
+    """The inner join again, but with a handful of keys declared HOT —
+    their right rows broadcast and pre-joined map-side, riding the
+    exchange as spread passthrough rows (stages/join.py hot_keys).
+    Shares the plain join's oracle: skew handling must be invisible in
+    the output (the same proof pattern as flagship_salted)."""
+    return hash_equi_join(
+        _docs(sf_dir),
+        _emb(sf_dir),
+        left_on="doc_id",
+        right_on="vec_id",
+        right_columns=["label"],
+        how="inner",
+        num_partitions=16,
+        hot_keys=[0, 7, 13, 42],
+    )
+
+
+QUERIES["docs_embeddings_join_hot"] = q_docs_embeddings_join_hot
+ORACLE_SQL["docs_embeddings_join_hot"] = ORACLE_SQL["docs_embeddings_join"]

@@ -96,6 +96,18 @@ def interval_join(
         b_lo = st // bucket_width
         b_hi = (en - 1) // bucket_width
         reps = (b_hi - b_lo + 1).astype(np.int64)
+        if len(reps) and int(reps.max()) > 1024:
+            # no silent scale cliffs: an interval ~1000x the bucket
+            # width means bucket_width is mis-sized for this data —
+            # replication (and exchange bytes) grow linearly with it
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "interval_join: an interval spans %d buckets "
+                "(bucket_width=%d) — raise bucket_width toward the "
+                "typical interval length to curb replication",
+                int(reps.max()), bucket_width,
+            )
         idx = np.repeat(np.arange(len(st), dtype=np.int64), reps)
         within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
             np.cumsum(reps) - reps, reps

@@ -46,6 +46,8 @@ import pyarrow as pa
 
 _JK = "__jk"
 _SIDE = "__side"
+_PK = "__pk"  # partition key: hash of the join key, or a spread value
+# for pre-joined hot-key rows (see hot_keys)
 
 
 def _null_array(n: int, typ: pa.DataType) -> pa.Array:
@@ -93,6 +95,7 @@ def hash_equi_join(
     how: str = "inner",
     num_partitions: int = 32,
     right_suffix: str = "_r",
+    hot_keys: list | None = None,
 ):
     """Join ``left_ds`` with ``right_ds`` on ``left_on == right_on``.
 
@@ -102,6 +105,18 @@ def hash_equi_join(
     ordering-comparable inside the kernel). Rows with NULL keys never
     match (SQL semantics); under ``how="left"`` they surface with null
     right columns.
+
+    ``hot_keys`` (skew handling): keys whose row volume would overwhelm
+    their single hash partition. Their RIGHT rows are gathered once and
+    broadcast (``ray.put``); matching left rows are pre-joined
+    MAP-SIDE during alignment and ride the exchange as already-joined
+    passthrough rows on a spread partition key, so no reduce task ever
+    holds a hot key's full row set. Left stays single-scan; the right
+    side is scanned once extra for the gather. Assumes each hot key's
+    right rows fit a broadcast (the standard skew-join premise —
+    hot×hot pairs are output-quadratic under any strategy). Null keys
+    are never hot. The caller supplies the keys (e.g. from the salting
+    detector's counting pre-pass, stages/salting.py).
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(
@@ -124,25 +139,149 @@ def hash_equi_join(
     r_types = {c: right_schema.field(c).type for c in right_columns}
     key_type = left_schema.field(left_on).type
 
-    def _align_left(tbl: pa.Table) -> pa.Table:
-        n = tbl.num_rows
-        cols = {_JK: tbl.column(left_on).cast(key_type)}
-        for c in l_names:
-            cols[c] = tbl.column(c)
-        for c, oc in out_right.items():
-            cols[oc] = _null_array(n, r_types[c])
-        cols[_SIDE] = pa.array(np.zeros(n, np.int8))
+    from ..functions.hashing import hash64_columns
+
+    def _pk_of(keycol: pa.Array | pa.ChunkedArray) -> pa.Array:
+        h = hash64_columns(pa.table({_JK: keycol}), [_JK])
+        return pa.array(h.view(np.int64))
+
+    def _key_np(keycol, valid):
+        """Exact numpy view of a key column (int-with-null → fill+mask,
+        never the float64 round-trip)."""
+        import pyarrow.compute as pc
+
+        if pa.types.is_integer(keycol.type) and keycol.null_count:
+            return pc.fill_null(keycol, 0).to_numpy(zero_copy_only=False)
+        return keycol.to_numpy(zero_copy_only=False)
+
+    # hot-key broadcast: the hot keys' right rows, key-sorted
+    hot_ref = None
+    if hot_keys:
+        import ray
+
+        from .candidates import gather_rows_by_ids, in_sorted
+
+        hot_sorted = np.sort(np.asarray(hot_keys))
+        hot_right = gather_rows_by_ids(
+            right_ds, right_on, hot_sorted,
+            columns=[right_on] + list(right_columns),
+        )
+        hk = hot_right.column(right_on).cast(key_type)
+        hk_np = hk.to_numpy(zero_copy_only=False)
+        o = np.argsort(hk_np, kind="stable")
+        hot_ref = ray.put(
+            (hot_sorted, hk_np[o], hot_right.take(pa.array(o)))
+        )
+
+    def _aligned(cols_l: dict, cols_r: dict, jk, pk, side: int, n: int):
+        cols = {_JK: jk}
+        cols.update(cols_l)
+        cols.update(cols_r)
+        cols[_SIDE] = pa.array(np.full(n, side, np.int8))
+        cols[_PK] = pk
         return pa.table(cols)
 
+    def _align_left(tbl: pa.Table) -> pa.Table:
+        keycol = tbl.column(left_on).cast(key_type)
+        parts = []
+
+        def _plain(t: pa.Table) -> pa.Table:
+            kc = t.column(left_on).cast(key_type)
+            return _aligned(
+                {c: t.column(c) for c in l_names},
+                {oc: _null_array(t.num_rows, r_types[c])
+                 for c, oc in out_right.items()},
+                kc, _pk_of(kc), 0, t.num_rows,
+            )
+
+        if hot_ref is None:
+            return _plain(tbl)
+        import ray
+
+        hot_set, hk_sorted, hr_tbl = ray.get(hot_ref)
+        valid = keycol.is_valid().to_numpy(zero_copy_only=False)
+        kv = _key_np(keycol, valid)
+        hot_mask = valid & in_sorted(hot_set, kv)
+        cold = tbl.filter(pa.array(~hot_mask))
+        if cold.num_rows:
+            parts.append(_plain(cold))
+        hot_idx = np.flatnonzero(hot_mask)
+        if len(hot_idx):
+            # MAP-SIDE pre-join of the hot rows against the broadcast
+            ht = tbl.take(pa.array(hot_idx))
+            lk = kv[hot_idx]
+            lo = np.searchsorted(hk_sorted, lk, side="left")
+            hi = np.searchsorted(hk_sorted, lk, side="right")
+            cnt = hi - lo
+            matched = cnt > 0
+            if how == "semi":
+                keep = np.flatnonzero(matched)
+            elif how == "anti":
+                keep = np.flatnonzero(~matched)
+            else:
+                keep = None
+            if keep is not None:
+                t = ht.take(pa.array(keep))
+                jk = t.column(left_on).cast(key_type)
+                parts.append(_aligned(
+                    {c: t.column(c) for c in l_names}, {},
+                    jk,
+                    pa.array(np.arange(t.num_rows, dtype=np.int64)),
+                    2, t.num_rows,
+                ))
+            else:
+                cm = cnt[matched]
+                rep_l = np.repeat(np.flatnonzero(matched), cm)
+                offs = np.repeat(lo[matched], cm)
+                within = np.arange(cm.sum(), dtype=np.int64) - np.repeat(
+                    np.cumsum(cm) - cm, cm
+                )
+                rep_r = offs + within
+                lt = ht.take(pa.array(rep_l))
+                rt = hr_tbl.take(pa.array(rep_r))
+                n_out = len(rep_l)
+                joined = _aligned(
+                    {c: lt.column(c) for c in l_names},
+                    {oc: rt.column(c) for c, oc in out_right.items()},
+                    lt.column(left_on).cast(key_type),
+                    pa.array(np.arange(n_out, dtype=np.int64)),
+                    2, n_out,
+                )
+                if how == "left" and (~matched).any():
+                    ut = ht.take(pa.array(np.flatnonzero(~matched)))
+                    unmatched = _aligned(
+                        {c: ut.column(c) for c in l_names},
+                        {oc: _null_array(ut.num_rows, r_types[c])
+                         for c, oc in out_right.items()},
+                        ut.column(left_on).cast(key_type),
+                        pa.array(
+                            np.arange(ut.num_rows, dtype=np.int64) + n_out
+                        ),
+                        2, ut.num_rows,
+                    )
+                    joined = pa.concat_tables([joined, unmatched])
+                parts.append(joined)
+        if not parts:
+            return _plain(tbl.slice(0, 0))
+        return pa.concat_tables(parts)
+
     def _align_right(tbl: pa.Table) -> pa.Table:
+        if hot_ref is not None:
+            import ray
+
+            hot_set, _, _ = ray.get(hot_ref)
+            kc = tbl.column(right_on).cast(key_type)
+            valid = kc.is_valid().to_numpy(zero_copy_only=False)
+            kv = _key_np(kc, valid)
+            # hot right rows are handled entirely by the broadcast
+            tbl = tbl.filter(pa.array(~(valid & in_sorted(hot_set, kv))))
         n = tbl.num_rows
-        cols = {_JK: tbl.column(right_on).cast(key_type)}
-        for c in l_names:
-            cols[c] = _null_array(n, l_types[c])
-        for c, oc in out_right.items():
-            cols[oc] = tbl.column(c)
-        cols[_SIDE] = pa.array(np.ones(n, np.int8))
-        return pa.table(cols)
+        kc = tbl.column(right_on).cast(key_type)
+        return _aligned(
+            {c: _null_array(n, l_types[c]) for c in l_names},
+            {oc: tbl.column(c) for c, oc in out_right.items()},
+            kc, _pk_of(kc), 1, n,
+        )
 
     unioned = left_ds.map_batches(
         _align_left, batch_format="pyarrow", batch_size=None
@@ -172,9 +311,10 @@ def hash_equi_join(
             key_np = pc.fill_null(keys, 0).to_numpy(zero_copy_only=False)
         else:
             key_np = keys.to_numpy(zero_copy_only=False)
-        is_left = side == 0
-        li = np.flatnonzero(is_left)
-        ri = np.flatnonzero(~is_left & key_valid)  # null right keys never match
+        li = np.flatnonzero(side == 0)
+        # null right keys never match; side 2 = pre-joined passthrough
+        ri = np.flatnonzero((side == 1) & key_valid)
+        pre = np.flatnonzero(side == 2)
         rk = key_np[ri]
         order = np.argsort(rk, kind="stable")
         ri, rk = ri[order], rk[order]
@@ -190,13 +330,25 @@ def hash_equi_join(
             hi[l_ok] = np.searchsorted(rk, lk[l_ok], side="right")
         cnt = np.where(l_ok, hi - lo, 0)
         matched = cnt > 0
+
+        def _with_pre(out: pa.Table) -> pa.Table:
+            if not len(pre):
+                return out
+            take = pa.array(pre, pa.int64())
+            pre_out = pa.table(
+                {f.name: tbl.column(f.name).take(take) for f in out_schema}
+            ).cast(out_schema)
+            return pa.concat_tables([out, pre_out])
+
         if how in ("semi", "anti"):
             take = pa.array(
                 li[matched] if how == "semi" else li[~matched], pa.int64()
             )
-            return pa.table(
-                {c: tbl.column(c).take(take) for c in l_names}
-            ).cast(out_schema)
+            return _with_pre(
+                pa.table(
+                    {c: tbl.column(c).take(take) for c in l_names}
+                ).cast(out_schema)
+            )
         # expanded indices: for left row j with cnt[j] matches, right
         # rows ri[lo[j]..hi[j]]
         rep_left = np.repeat(li[matched], cnt[matched])
@@ -224,10 +376,10 @@ def hash_equi_join(
                 for c, oc in out_right.items():
                     un[oc] = _null_array(len(un_take), r_types[c])
                 out = pa.concat_tables([out, pa.table(un).cast(out_schema)])
-        return out
+        return _with_pre(out)
 
     from .exchange import hash_exchange
 
     return hash_exchange(
-        unioned, _JK, num_partitions, _kernel, empty_schema=out_schema
+        unioned, _PK, num_partitions, _kernel, empty_schema=out_schema
     )

@@ -179,3 +179,66 @@ def test_join_empty_pandas_side():
         num_partitions=2,
     )
     assert out.count() == 0
+
+
+def test_hot_keys_equal_plain_join_all_modes():
+    """Skew path: pre-joined hot rows (broadcast right + map-side
+    expansion + spread partition key) must produce EXACTLY the plain
+    exchange join's rows for every mode — including a hot key with no
+    right match and null keys in the stream."""
+    rng = np.random.default_rng(5)
+    n = 3000
+    ldf = pd.DataFrame(
+        {
+            # key 7 is hot (a third of all rows); 99 is hot but absent
+            # from the right side; a few nulls ride along
+            "k": pd.array(
+                [7] * 1000
+                + [99] * 50
+                + list(rng.integers(0, 40, n - 1052))
+                + [None, None],
+                dtype="Int64",
+            ),
+            "lv": np.arange(n, dtype=np.int64),
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "rk": np.array([7, 7, 3, 5, 11, 21], dtype=np.int64),
+            "rv": np.array([70, 71, 30, 50, 110, 210], dtype=np.int64),
+        }
+    )
+    for how in ("inner", "left", "semi", "anti"):
+        rc = ["rv"] if how in ("inner", "left") else None
+        plain = hash_equi_join(
+            rd.from_pandas(ldf), rd.from_pandas(rdf),
+            left_on="k", right_on="rk", right_columns=rc, how=how,
+            num_partitions=8,
+        ).to_pandas()
+        hot = hash_equi_join(
+            rd.from_pandas(ldf), rd.from_pandas(rdf),
+            left_on="k", right_on="rk", right_columns=rc, how=how,
+            num_partitions=8, hot_keys=[7, 99],
+        ).to_pandas()
+        cols = sorted(plain.columns)
+        a = plain[cols].sort_values(cols).reset_index(drop=True)
+        b = hot[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.astype(str), b.astype(str), check_dtype=False
+        ), how
+
+
+def test_hot_keys_string_join():
+    ldf = pd.DataFrame(
+        {"k": ["hot", "hot", "cold", "x", "hot"], "lv": [1, 2, 3, 4, 5]}
+    )
+    rdf = pd.DataFrame({"rk": ["hot", "cold"], "rv": [10, 20]})
+    out = hash_equi_join(
+        rd.from_pandas(ldf), rd.from_pandas(rdf),
+        left_on="k", right_on="rk", right_columns=["rv"], how="left",
+        num_partitions=4, hot_keys=["hot"],
+    ).to_pandas().sort_values(["lv"]).reset_index(drop=True)
+    assert out["rv"].tolist()[0:2] == [10, 10]
+    assert out.loc[out["lv"] == 3, "rv"].tolist() == [20]
+    assert out.loc[out["lv"] == 4, "rv"].isna().all()
+    assert out.loc[out["lv"] == 5, "rv"].tolist() == [10]

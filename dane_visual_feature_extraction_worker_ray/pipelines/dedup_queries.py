@@ -234,3 +234,93 @@ FROM documents WHERE doc_id < {N_PLANT}
 ORACLE_SQL["dedup_survivors_planted"] = (
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents"
 )
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+# planted contamination (the corpus is non-repeating word soup): a
+# fixed 10-word sentinel phrase is appended to the BENCHMARK docs
+# (doc_id % 53 == 0) and to some corpus docs (doc_id % 37 == 0) in
+# BOTH the Ray pipeline and the oracle — those corpus docs must flag.
+_DECON_K = 8
+_DECON_PHRASE = (
+    "held out benchmark evaluation phrase alpha beta gamma delta omega"
+)
+
+
+def q_decontaminate(sf_dir: str):
+    """Eval-set n-gram decontamination: flag every doc sharing a word
+    8-gram with the benchmark subset (stages/dedup.py:
+    contamination_flags — broadcast benchmark shingle hashes, one
+    streaming pass, distinct-hit counts per doc)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..stages.dedup import _word_shingles, contamination_flags
+
+    def _aug(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        s = tbl.column("text").to_pandas().fillna("")
+        planted = (ids % 37 == 0) | (ids % 53 == 0)
+        aug = np.where(planted, s + " " + _DECON_PHRASE, s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "text": pa.array(aug, pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir).map_batches(_aug, batch_format="pyarrow")
+    # benchmark = the doc_id % 53 subset; an eval set is small by
+    # definition, so its shingle set is built driver-side and broadcast
+    bench_tbl = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in docs.map_batches(
+                lambda t: t.filter(
+                    pa.array(t.column("doc_id").to_numpy() % 53 == 0)
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).to_arrow_refs()
+        ]
+    )
+    _, sh = _word_shingles(
+        bench_tbl.column("text").to_pandas(), _DECON_K
+    )
+    return contamination_flags(
+        docs, np.unique(sh), shingle_k=_DECON_K
+    )
+
+
+QUERIES["decontaminate"] = q_decontaminate
+_G8 = "||' '||".join(f"tk[i+{j}]" for j in range(_DECON_K))
+ORACLE_SQL["decontaminate"] = f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    text || CASE WHEN doc_id % 37 = 0 OR doc_id % 53 = 0
+                 THEN ' {_DECON_PHRASE}' ELSE '' END AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, t,
+    list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS tk
+  FROM aug
+), grams AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(tk) < {_DECON_K} THEN [t]
+           ELSE list_distinct(list_transform(
+             range(1, len(tk) - {_DECON_K - 2}), i -> {_G8}))
+           END) AS g
+  FROM tok
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 53 = 0
+), hits AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM grams d JOIN bench b ON d.g = b.g
+  GROUP BY d.doc_id
+)
+SELECT a.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+  COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM aug a LEFT JOIN hits h USING (doc_id)
+""".strip()

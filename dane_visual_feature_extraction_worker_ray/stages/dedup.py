@@ -1096,3 +1096,65 @@ def near_dup_survivors(
         return tbl.filter(pa.array(~mask))
 
     return docs_ds.map_batches(_anti, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def contamination_flags(
+    docs_ds,
+    bench_shingles_sorted: np.ndarray,
+    shingle_k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Flag documents sharing any word-``shingle_k``-gram with a
+    BENCHMARK set — the standard pre-training decontamination pass
+    (eval-set n-gram overlap). The benchmark's shingle hashes (sorted
+    uint64, from :func:`_word_shingles` — an eval set is small) are
+    broadcast once via ``ray.put``; the corpus streams through one
+    ``map_batches``, each batch counting its DISTINCT matching shingles
+    per doc via ``searchsorted`` membership. Every doc is emitted
+    (``n_hits = 0`` → ``contaminated = false``) so the output is a
+    complete verdict table, not a filtered one.
+
+    Short docs (< ``shingle_k`` words) fall back to their whole-text
+    hash, matching :func:`_word_shingles`; hash collisions across
+    64-bit shingle space are negligible at any realistic benchmark
+    size and deterministic for a given corpus.
+    """
+    import ray
+
+    from .candidates import in_sorted
+
+    bench_ref = ray.put(np.asarray(bench_shingles_sorted, dtype=np.uint64))
+
+    def _flag(tbl: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        texts = tbl.column(text_col).to_pandas()
+        ids = tbl.column(id_col).to_numpy()
+        row, sh = _word_shingles(texts, shingle_k)
+        n = tbl.num_rows
+        hits = np.zeros(n, np.int64)
+        if len(row):
+            m = in_sorted(bench, sh)
+            if m.any():
+                # distinct (doc, shingle) hits only
+                key_r, key_h = row[m], sh[m]
+                o = np.lexsort((key_h, key_r))
+                key_r, key_h = key_r[o], key_h[o]
+                first = np.r_[
+                    True,
+                    (key_r[1:] != key_r[:-1]) | (key_h[1:] != key_h[:-1]),
+                ]
+                np.add.at(hits, key_r[first], 1)
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64)),
+                "n_hits": pa.array(hits),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return docs_ds.map_batches(_flag, batch_format="pyarrow")

@@ -382,3 +382,48 @@ def test_simhash_cross_cluster_pairs_in_oversized_bucket():
     ham = got.set_index(["doc_a", "doc_b"])["hamming"]
     assert ham.loc[(0, 1)] == 0
     assert ham.loc[(0, 10)] == cross_d
+
+
+def test_contamination_flags_edges():
+    """Decontamination stage: distinct-hit counting, zero-hit docs
+    emitted, short-doc whole-text fallback, empty benchmark."""
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        _word_shingles,
+        contamination_flags,
+    )
+
+    bench_texts = pd.Series(["the quick brown fox jumps over the lazy dog"])
+    _, bsh = _word_shingles(bench_texts, 8)
+    bench = np.unique(bsh)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # contains both benchmark 8-grams (9 words → 2)
+                    "x the quick brown fox jumps over the lazy dog y",
+                    "totally unrelated words here with no overlap at all",
+                    "short doc",  # < 8 words: whole-text fallback, no hit
+                    # the same contaminated 8-gram twice → still distinct
+                    "the quick brown fox jumps over the lazy"
+                    " padding the quick brown fox jumps over the lazy",
+                ]
+            ),
+        }
+    )
+    out = (
+        contamination_flags(rd.from_arrow(docs), bench, shingle_k=8)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert len(out) == 4  # every doc emitted
+    assert out.loc[0, "n_hits"] == 2 and bool(out.loc[0, "contaminated"])
+    assert out.loc[1, "n_hits"] == 0 and not out.loc[1, "contaminated"]
+    assert out.loc[2, "n_hits"] == 0
+    assert out.loc[3, "n_hits"] == 1  # duplicate gram counted once
+    # empty benchmark: nothing flags
+    out2 = (
+        contamination_flags(
+            rd.from_arrow(docs), np.empty(0, np.uint64), shingle_k=8
+        ).to_pandas()
+    )
+    assert not out2["contaminated"].any()

@@ -208,3 +208,51 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       CAST(b.embedding AS DOUBLE[])) >= 0.9
 """.strip(),
 }
+
+
+KMEANS_K = 8
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-seed-centroid assignment (iters=0): deterministic, so the
+    cross-join argmin SQL oracle applies verbatim. The iterated Lloyd
+    path is exercised by q_kmeans_cluster_sizes + tests."""
+    from ..stages.clustering import kmeans_assign, kmeans_fit
+
+    emb = _emb(sf_dir)
+    centroids = kmeans_fit(emb, k=KMEANS_K, iters=0)
+    return kmeans_assign(emb, centroids)
+
+
+def q_kmeans_cluster_sizes(sf_dir: str):
+    """Domain-balance view: per-cluster counts after 3 distributed Lloyd
+    rounds (no shuffle — mergeable moment partials only). Iterative ⇒
+    no SQL oracle; brute-force numpy parity + determinism in
+    tests/test_clustering.py."""
+    from ..stages.clustering import kmeans_cluster_sizes
+
+    return kmeans_cluster_sizes(_emb(sf_dir), k=KMEANS_K, iters=3)
+
+
+QUERIES["kmeans_assign"] = q_kmeans_assign
+QUERIES["kmeans_cluster_sizes"] = q_kmeans_cluster_sizes
+
+# seed centroids = the KMEANS_K smallest vec_ids, cluster index = rank
+# in vec_id order — identical to kmeans_init_centroids; distances
+# rounded to 4 before the argmin on BOTH sides, ties to smaller cluster
+ORACLE_SQL["kmeans_assign"] = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+), d AS (
+  SELECT e.vec_id, c.cluster,
+         round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 4) AS dist
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist FROM (
+  SELECT vec_id, cluster, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+  FROM d)
+WHERE rk = 1
+""".strip()

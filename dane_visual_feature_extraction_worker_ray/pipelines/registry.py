@@ -36,7 +36,8 @@ def _optional_suites():
     mods = []
     for name in ("relational_queries", "dedup_queries", "text_queries",
                  "similarity_queries", "scorer_queries",
-                 "multimodal_queries", "curation", "join_queries"):
+                 "multimodal_queries", "curation", "join_queries",
+                 "stats_queries"):
         try:
             mods.append(
                 __import__(

@@ -1,0 +1,166 @@
+"""Distributed-statistics suite: grouped z-score, moment-based
+correlation/OLS, fixed-width histogram, additive rollup.
+
+Float parity policy (CLAUDE.md): integer sums only (exact, mergeable),
+Python-int combination on the driver (no global overflow), and final
+IEEE expressions whose token order mirrors the oracle SQL exactly.
+``floor()`` — not ``round()`` — converts prices to whole dollars, since
+np.floor and SQL floor agree bit-for-bit while round's half-way rule
+differs between numpy (half-even) and DuckDB (half-away).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..stages.stats import (
+    corr_ols_from_moments,
+    fixed_width_histogram,
+    grouped_moment_partials,
+    grouped_zscore,
+    rollup_counts,
+)
+
+
+def _lineitem(sf_dir: str, columns):
+    from ..sources.parquet import read_parquet_tuned
+
+    return read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=columns
+    )
+
+
+def _qty(tbl: pa.Table) -> np.ndarray:
+    return tbl.column("l_quantity").to_numpy().astype(np.int64)
+
+
+def _floor_dollars(tbl: pa.Table) -> np.ndarray:
+    return np.floor(tbl.column("l_extendedprice").to_numpy()).astype(np.int64)
+
+
+def q_quantity_zscore(sf_dir: str):
+    """Per-row population z-score of quantity within its return-flag
+    group — the grouped-normalization primitive of a feature pipeline
+    (two passes: tiny exact group moments broadcast, then streaming)."""
+    ds = _lineitem(
+        sf_dir,
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+
+    def _cast(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey").cast(pa.int64()),
+                "l_linenumber": tbl.column("l_linenumber").cast(pa.int64()),
+                "l_returnflag": tbl.column("l_returnflag"),
+                "l_quantity": tbl.column("l_quantity"),
+            }
+        )
+
+    return grouped_zscore(
+        ds.map_batches(_cast, batch_format="pyarrow", batch_size=None),
+        key_cols=["l_returnflag"],
+        id_cols=["l_orderkey", "l_linenumber"],
+        batch_to_x=_qty,
+    )
+
+
+def q_price_quantity_corr(sf_dir: str):
+    """Pearson correlation + OLS fit of (quantity, floor-dollar price)
+    per return flag — distributed bivariate stats from one streaming
+    pass of mergeable integer moments; the corpus never shuffles."""
+    ds = _lineitem(
+        sf_dir, ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    moments = grouped_moment_partials(
+        ds,
+        ["l_returnflag"],
+        lambda t: (_qty(t), _floor_dollars(t)),
+    )
+    return rd.from_arrow(corr_ols_from_moments(moments, ["l_returnflag"]))
+
+
+def q_price_histogram(sf_dir: str):
+    """Global $1000-wide histogram of extended price: mergeable
+    per-batch bin counts → one tiny grouped sum."""
+    ds = _lineitem(sf_dir, ["l_extendedprice"])
+    return fixed_width_histogram(ds, lambda t: _floor_dollars(t) // 1000)
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus) of count + quantity sum:
+    finest level distributed, coarser levels derived driver-side from
+    the (tiny) finest table — additive rollup costs one corpus pass."""
+    ds = _lineitem(
+        sf_dir, ["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+    tbl = rollup_counts(
+        ds, ["l_returnflag", "l_linestatus"], _qty
+    ).rename_columns(
+        ["l_returnflag", "l_linestatus", "n_rows", "sum_qty"]
+    )
+    return rd.from_arrow(tbl)
+
+
+QUERIES = {
+    "quantity_zscore": q_quantity_zscore,
+    "price_quantity_corr": q_price_quantity_corr,
+    "price_histogram": q_price_histogram,
+    "lineitem_rollup": q_lineitem_rollup,
+}
+
+ORACLE_SQL = {
+    "quantity_zscore": """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+    sum(CAST(l_quantity AS BIGINT)) AS sx,
+    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+  l.l_returnflag,
+  CAST(CAST(l.l_quantity AS BIGINT) AS DOUBLE) AS x,
+  (CAST(CAST(l.l_quantity AS BIGINT) AS DOUBLE) - CAST(s.sx AS DOUBLE) / s.n)
+    / sqrt((CAST(s.sxx AS DOUBLE)
+            - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n) / s.n) AS z
+FROM lineitem l JOIN s USING (l_returnflag)
+""".strip(),
+    "price_quantity_corr": """
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+    sum(CAST(l_quantity AS BIGINT)) AS sx,
+    sum(CAST(floor(l_extendedprice) AS BIGINT)) AS sy,
+    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+    sum(CAST(floor(l_extendedprice) AS BIGINT)
+        * CAST(floor(l_extendedprice) AS BIGINT)) AS syy,
+    sum(CAST(l_quantity AS BIGINT)
+        * CAST(floor(l_extendedprice) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+  (CAST(sy AS DOUBLE)
+   - CAST(n * sxy - sx * sy AS DOUBLE)
+     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    / CAST(n AS DOUBLE) AS intercept
+FROM m
+""".strip(),
+    "price_histogram": """
+SELECT CAST(floor(l_extendedprice) AS BIGINT) // 1000 AS bin,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+""".strip(),
+    "lineitem_rollup": """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""".strip(),
+}

@@ -219,3 +219,90 @@ def q_docs_embeddings_join_hot(sf_dir: str):
 
 QUERIES["docs_embeddings_join_hot"] = q_docs_embeddings_join_hot
 ORACLE_SQL["docs_embeddings_join_hot"] = ORACLE_SQL["docs_embeddings_join"]
+
+
+def _lineitem_keys(sf_dir: str):
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+
+    ds = read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+    def _cast(tbl):
+        return tbl.set_column(
+            tbl.schema.get_field_index("l_linenumber"),
+            "l_linenumber",
+            tbl.column("l_linenumber").cast(pa.int64()),
+        )
+
+    return ds.map_batches(_cast, batch_format="pyarrow", batch_size=None)
+
+
+def _big_orders(sf_dir: str):
+    from ..sources.parquet import read_parquet_tuned
+
+    ds = read_parquet_tuned(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def _keep(tbl):
+        import pyarrow.compute as pc
+
+        return tbl.filter(
+            pc.greater(tbl.column("o_totalprice"), 400000.0)
+        ).select(["o_orderkey"])
+
+    return ds.map_batches(_keep, batch_format="pyarrow", batch_size=None)
+
+
+def q_bloom_semi_lineitems(sf_dir: str):
+    """Lineitems of high-value orders via the bloom-pruned exact semi
+    join (stages/bloom.py): the broadcast bitset prunes the probe side
+    map-side, the exchange ships only bloom-positive rows, and the
+    exact hash semi join removes false positives."""
+    from ..stages.bloom import bloom_semi_join
+
+    return bloom_semi_join(
+        _lineitem_keys(sf_dir),
+        _big_orders(sf_dir),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        how="semi",
+        num_partitions=16,
+    )
+
+
+def q_bloom_anti_lineitems(sf_dir: str):
+    """The anti complement: bloom-negative rows bypass the exchange
+    entirely (definite non-matches), only the positive sliver is
+    exactness-checked."""
+    from ..stages.bloom import bloom_semi_join
+
+    return bloom_semi_join(
+        _lineitem_keys(sf_dir),
+        _big_orders(sf_dir),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        how="anti",
+        num_partitions=16,
+    )
+
+
+QUERIES["bloom_semi_lineitems"] = q_bloom_semi_lineitems
+QUERIES["bloom_anti_lineitems"] = q_bloom_anti_lineitems
+ORACLE_SQL["bloom_semi_lineitems"] = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+""".strip()
+ORACLE_SQL["bloom_anti_lineitems"] = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000)
+""".strip()

@@ -164,3 +164,46 @@ SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """.strip(),
 }
+
+
+SKETCH_QS = [0.0, 0.25, 0.5, 0.75, 1.0]
+
+
+def q_value_quantiles_sketch(sf_dir: str):
+    """Distributed quantiles of events.value via the mergeable KLL-style
+    sketch (stages/sketches.py). Capacity 2**17 exceeds every sf tier's
+    row count, so nothing compacts and the sketch is EXACT here —
+    quantile_disc is a full-strength oracle (the winnowing-window=1
+    de-vacuation trick); sub-capacity rank-error is bounded in
+    tests/test_sketches.py."""
+    from ..stages.sketches import quantile_sketch_ds
+
+    ds = _events(sf_dir, ["value"])
+    return quantile_sketch_ds(ds, "value", SKETCH_QS, capacity=1 << 17)
+
+
+def q_hll_distinct_values(sf_dir: str):
+    """Approximate distinct count of events.value (HyperLogLog p=12,
+    register-max merge). Probabilistic -> rows-only gate; the ±2%
+    envelope vs the exact count is asserted in tests/test_sketches.py."""
+    from ..stages.sketches import hll_distinct
+
+    est = hll_distinct(_events(sf_dir, ["value"]), ["value"], p=12)
+    return pa.table({"n_distinct_approx": pa.array([est], pa.float64())})
+
+
+def _events(sf_dir: str, columns):
+    from ..sources.parquet import read_parquet_tuned
+
+    return read_parquet_tuned(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
+
+
+QUERIES["value_quantiles_sketch"] = q_value_quantiles_sketch
+QUERIES["hll_distinct_values"] = q_hll_distinct_values
+ORACLE_SQL["value_quantiles_sketch"] = " UNION ALL ".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, "
+    f"quantile_disc(value, {q}) AS value FROM events"
+    for q in SKETCH_QS
+)

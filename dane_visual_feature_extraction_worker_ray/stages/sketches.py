@@ -1,0 +1,200 @@
+"""Mergeable sketches: KLL-style quantile sketch and HyperLogLog.
+
+Both follow the engine's sketch contract: one streaming pass emits
+bounded per-batch partials (a sketch per block, serialized as plain
+Arrow rows), the driver merges them — merge cost is bounded by
+``sketch_size × n_blocks``, never by corpus rows, and the merged result
+equals the sketch of the concatenated input (split-invariant by
+construction where exact, deterministic everywhere).
+
+Quantile sketch: levels of value buffers, level ``i`` carrying weight
+``2**i``; a full level sorts and promotes alternate items (offset 0,
+deterministic — a fixed offset trades the textbook's randomized
+unbiasedness for bit-reproducibility, the right trade under this
+repo's determinism-for-resume invariant). Total weight is conserved
+exactly (2m items of weight w → m items of weight 2w; odd leftovers
+stay put), so rank queries use the true row count. With ``capacity ≥
+n`` nothing ever compacts and quantiles are EXACT — the driver-gate
+query pins that regime so DuckDB's ``quantile_disc`` is a full-strength
+oracle (rank = max(1, ceil(q·N)), verified against DuckDB 1.0); the
+approximate regime's rank-error bound is pytest-checked.
+
+HyperLogLog: 2**p max-rank registers from the stable 64-bit hash
+(`functions/hashing.py`); partials are register vectors, merge =
+elementwise max. Approximate by nature → rows-only gate query with a
+tolerance test against the exact distinct count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+class QuantileSketch:
+    def __init__(self, capacity: int = 8192):
+        if capacity < 2:
+            raise ValueError("capacity must be >= 2")
+        self.capacity = capacity
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+
+    def add(self, values: np.ndarray) -> "QuantileSketch":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact()
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for i, buf in enumerate(other.levels):
+            while len(self.levels) <= i:
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], buf])
+        self._compact()
+        return self
+
+    def _compact(self):
+        i = 0
+        while i < len(self.levels):
+            buf = self.levels[i]
+            if len(buf) > self.capacity:
+                s = np.sort(buf, kind="stable")
+                if len(s) % 2:  # odd leftover keeps its level/weight
+                    keep, s = s[-1:], s[:-1]
+                else:
+                    keep = s[:0]
+                promoted = s[0::2]  # deterministic offset
+                self.levels[i] = keep
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], promoted]
+                )
+            i += 1
+
+    @property
+    def total_weight(self) -> int:
+        return sum(len(b) << i for i, b in enumerate(self.levels))
+
+    def quantiles(self, qs) -> np.ndarray:
+        """quantile_disc semantics: smallest stored value whose
+        cumulative weight ≥ max(1, ceil(q·N))."""
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(len(b), 1 << i, np.int64)
+             for i, b in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, cum = vals[order], np.cumsum(wts[order])
+        n = self.total_weight
+        out = np.empty(len(qs), np.float64)
+        for j, q in enumerate(qs):
+            target = max(1, int(np.ceil(q * n)))
+            out[j] = vals[np.searchsorted(cum, target, side="left")]
+        return out
+
+    def to_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "level": pa.array(
+                    np.concatenate(
+                        [np.full(len(b), i, np.int32)
+                         for i, b in enumerate(self.levels)]
+                    )
+                ),
+                "v": pa.array(np.concatenate(self.levels)),
+            }
+        )
+
+    @classmethod
+    def from_table(cls, tbl: pa.Table, capacity: int) -> "QuantileSketch":
+        sk = cls(capacity)
+        lv = tbl.column("level").to_numpy()
+        v = tbl.column("v").to_numpy()
+        for i in range(int(lv.max()) + 1 if len(lv) else 1):
+            while len(sk.levels) <= i:
+                sk.levels.append(np.empty(0, np.float64))
+            sk.levels[i] = v[lv == i].copy()
+        sk._compact()
+        return sk
+
+
+def quantile_sketch_ds(
+    ds, col: str, qs, capacity: int = 8192
+) -> pa.Table:
+    """Distributed quantiles of a double column: per-batch sketches →
+    driver merge → (q, value) table."""
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        sk = QuantileSketch(capacity).add(
+            tbl.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return sk.to_table()
+
+    merged = QuantileSketch(capacity)
+    for ref in ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            merged.merge(QuantileSketch.from_table(t, capacity))
+    vals = merged.quantiles(qs)
+    return pa.table(
+        {
+            "q": pa.array(np.asarray(qs, np.float64)),
+            "value": pa.array(vals),
+        }
+    )
+
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_registers_partial(h: np.ndarray, p: int) -> np.ndarray:
+    """Max leading-zero-rank register vector (length 2**p) from uint64
+    hashes: index = top p bits, rank = 1 + leading zeros of the rest."""
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    # rank = leading zeros of the 64-bit rest + 1 = 64 - floor(log2);
+    # the sentinel bit at position p-1 caps it at 64-p+1 naturally
+    fl = 64 - np.floor(np.log2(rest.astype(np.float64)) + 1e-15).astype(
+        np.int64
+    )
+    rank = np.minimum(fl, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(m, np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    est = _hll_alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:  # small-range linear counting
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds, cols: list[str], p: int = 12) -> float:
+    """Approximate distinct count of a column tuple: per-batch register
+    partials (2**p bytes each), elementwise-max merge on the driver."""
+    from ..functions.hashing import hash64_columns
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        h = hash64_columns(tbl.select(cols), cols)
+        return pa.table({"r": pa.array(hll_registers_partial(h, p))})
+
+    regs = np.zeros(1 << p, np.uint8)
+    for ref in ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            regs = np.maximum(regs, t.column("r").to_numpy())
+    return hll_estimate(regs)

@@ -1,0 +1,75 @@
+"""Quantile sketch + HyperLogLog: exact regime, merge associativity,
+rank-error bound in the compacting regime, HLL tolerance envelope."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dane_visual_feature_extraction_worker_ray.stages.sketches import (
+    QuantileSketch,
+    hll_distinct,
+    quantile_sketch_ds,
+)
+
+QS = [0.0, 0.25, 0.5, 0.75, 1.0]
+
+
+def _disc(sorted_v: np.ndarray, q: float) -> float:
+    return sorted_v[max(1, int(np.ceil(q * len(sorted_v)))) - 1]
+
+
+def test_exact_regime_matches_order_statistics():
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal(5000)
+    got = QuantileSketch(1 << 13).add(v).quantiles(QS)
+    s = np.sort(v)
+    np.testing.assert_array_equal(got, [_disc(s, q) for q in QS])
+
+
+def test_weight_conserved_under_compaction():
+    rng = np.random.default_rng(3)
+    sk = QuantileSketch(64)
+    n = 0
+    for _ in range(20):
+        chunk = rng.standard_normal(137)
+        sk.add(chunk)
+        n += len(chunk)
+    assert sk.total_weight == n
+
+
+def test_merge_equals_single_sketch_rank_error():
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal(50000)
+    merged = QuantileSketch(512)
+    for chunk in np.array_split(v, 83):
+        merged.merge(QuantileSketch(512).add(chunk))
+    s = np.sort(v)
+    got = merged.quantiles(QS)
+    ranks = np.searchsorted(s, got)
+    targets = np.array([max(1, int(np.ceil(q * len(v)))) for q in QS])
+    assert (np.abs(ranks - targets) / len(v)).max() < 0.02
+
+
+def test_quantile_sketch_ds_split_invariant_when_exact():
+    rng = np.random.default_rng(5)
+    t = pa.table({"value": pa.array(rng.standard_normal(3000))})
+    a = quantile_sketch_ds(
+        rd.from_arrow(t).repartition(3), "value", QS, capacity=1 << 12
+    )
+    b = quantile_sketch_ds(
+        rd.from_arrow(t).repartition(8), "value", QS, capacity=1 << 12
+    )
+    assert a.equals(b)
+
+
+def test_hll_within_tolerance_and_split_invariant():
+    rng = np.random.default_rng(6)
+    true_n = 7321
+    vals = rng.permutation(np.arange(60000) % true_n)
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    e3 = hll_distinct(rd.from_arrow(t).repartition(3), ["x"], p=12)
+    e9 = hll_distinct(rd.from_arrow(t).repartition(9), ["x"], p=12)
+    assert e3 == e9  # register-max merge is split-invariant
+    assert abs(e3 - true_n) / true_n < 0.05

@@ -207,3 +207,26 @@ ORACLE_SQL["value_quantiles_sketch"] = " UNION ALL ".join(
     f"quantile_disc(value, {q}) AS value FROM events"
     for q in SKETCH_QS
 )
+
+
+def q_value_quantiles_by_type(sf_dir: str):
+    """Grouped quantiles (per event_type) via per-group sketch merge —
+    same exact-at-this-capacity regime as value_quantiles_sketch."""
+    from ..stages.sketches import grouped_quantile_sketch_ds
+
+    tbl = grouped_quantile_sketch_ds(
+        _events(sf_dir, ["event_type", "value"]),
+        "event_type",
+        "value",
+        SKETCH_QS,
+        capacity=1 << 17,
+    )
+    return rd.from_arrow(tbl)
+
+
+QUERIES["value_quantiles_by_type"] = q_value_quantiles_by_type
+ORACLE_SQL["value_quantiles_by_type"] = " UNION ALL ".join(
+    f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
+    f"quantile_disc(value, {q}) AS value FROM events GROUP BY event_type"
+    for q in SKETCH_QS
+)

@@ -862,3 +862,108 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, freq_sum,
   CAST(freq_sum AS DOUBLE) / n_tokens AS freq_score
 FROM per
 """.strip()
+
+
+POSTINGS_CAP = 20
+
+
+def q_token_postings(sf_dir: str):
+    """Bounded inverted index: per token, the document frequency plus
+    the first POSTINGS_CAP doc_ids (sorted) as a comma-joined posting
+    segment — the lexical-search build next to tfidf_scores.
+
+    Scale shape: per-batch DISTINCT (tok, doc_id) pairs ride a
+    token-hash exchange (each token wholly in one partition, pairs only
+    — never raw text); inside a partition ONE C++ sort + vectorized run
+    detection computes df and caps the posting list BEFORE any string
+    is built, so output per token is bounded no matter how hot the
+    token (the full chain lives in sharded segments, exactly how a real
+    index bounds its posting blocks)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.exchange import hash_exchange
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def _pairs(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("text").to_pandas().fillna("")
+        ids = tbl.column("doc_id").to_pandas()
+        ex = s.str.split().explode().dropna()
+        df = pd.DataFrame(
+            {
+                "tok": ex.to_numpy(),
+                "doc_id": ids.reindex(ex.index).to_numpy(dtype=np.int64),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "tok": pa.array(df["tok"].to_numpy(dtype=object)),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("tok", pa.string()),
+            ("df", pa.int64()),
+            ("postings", pa.string()),
+        ]
+    )
+
+    def _kernel(p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        t = tbl.take(
+            pc.sort_indices(
+                tbl,
+                sort_keys=[("tok", "ascending"), ("doc_id", "ascending")],
+            )
+        )
+        toks = t.column("tok").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy()
+        n = len(toks)
+        new = np.ones(n, dtype=bool)
+        new[1:] = toks[1:] != toks[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, n])
+        # rank within run, cap BEFORE building strings
+        run_id = np.cumsum(new) - 1
+        rank = np.arange(n) - starts[run_id]
+        keep = rank < POSTINGS_CAP
+        joined = (
+            pd.Series(ids[keep].astype(str))
+            .groupby(run_id[keep], sort=True)
+            .agg(",".join)
+        )
+        return pa.table(
+            {
+                "tok": pa.array(toks[starts], pa.string()),
+                "df": pa.array(lens.astype(np.int64)),
+                "postings": pa.array(joined.to_numpy(dtype=object)),
+            }
+        )
+
+    pairs = docs.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+    return hash_exchange(pairs, ["tok"], 16, _kernel, out_schema)
+
+
+QUERIES["token_postings"] = q_token_postings
+ORACLE_SQL["token_postings"] = rf"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS df,
+  array_to_string(
+    list_slice(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),
+               1, {POSTINGS_CAP}), ',') AS postings
+FROM pairs GROUP BY tok
+""".strip()

@@ -198,3 +198,85 @@ def hll_distinct(ds, cols: list[str], p: int = 12) -> float:
         if t.num_rows:
             regs = np.maximum(regs, t.column("r").to_numpy())
     return hll_estimate(regs)
+
+
+def grouped_quantile_sketch_ds(
+    ds, key_col: str, val_col: str, qs, capacity: int = 8192
+) -> pa.Table:
+    """Per-group distributed quantiles: one sketch per (group, batch)
+    partial, driver merge per group. Sized for statistic keys (few
+    groups — event types, languages), where driver state is
+    O(groups × capacity); entity-cardinality keys belong on the
+    exchange instead."""
+    import pandas as pd
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            tbl.column(key_col).to_pandas(), sort=False
+        )
+        v = tbl.column(val_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        keys, levels, vals = [], [], []
+        for c, key in enumerate(uniq):
+            t = QuantileSketch(capacity).add(v[codes == c]).to_table()
+            keys.append(
+                np.full(t.num_rows, key, dtype=object)
+            )
+            levels.append(t.column("level").to_numpy())
+            vals.append(t.column("v").to_numpy())
+        if not keys:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "level": pa.array([], pa.int32()),
+                    "v": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                key_col: pa.array(np.concatenate(keys), pa.string()),
+                "level": pa.array(np.concatenate(levels), pa.int32()),
+                "v": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    merged: dict[str, QuantileSketch] = {}
+    for ref in ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        import pandas as pd
+
+        codes, uniq = pd.factorize(
+            t.column(key_col).to_pandas(), sort=False
+        )
+        lv = t.column("level").to_numpy()
+        v = t.column("v").to_numpy()
+        for c, key in enumerate(uniq):
+            m = codes == c
+            part = QuantileSketch.from_table(
+                pa.table(
+                    {"level": pa.array(lv[m]), "v": pa.array(v[m])}
+                ),
+                capacity,
+            )
+            if key in merged:
+                merged[key].merge(part)
+            else:
+                merged[key] = part
+    out_k, out_q, out_v = [], [], []
+    for key in sorted(merged):
+        vals = merged[key].quantiles(qs)
+        out_k.extend([key] * len(qs))
+        out_q.extend(float(q) for q in qs)
+        out_v.extend(vals)
+    return pa.table(
+        {
+            key_col: pa.array(out_k, pa.string()),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )

@@ -1,0 +1,163 @@
+"""Event-stream analytics: user×event-type pivot (wide feature
+assembly) and an ordered conversion funnel.
+
+Both ride a single user-hash exchange with whole-partition vectorized
+kernels (no per-group Python dispatch): the pivot scatters partial
+counts into a dense (users × types) matrix, the funnel computes
+first-view / first-purchase-after via ``np.minimum.at`` over the
+partition's integer-µs timestamps. Pivot is the engine's analog of the
+reference's feature-matrix assembly — key column first, one fixed
+column per modality/feature (``/root/reference/feature_extraction.py:26-31``);
+the funnel reuses the temporal-ordering discipline of the as-of join
+(strictly-after semantics, integer-µs math for IEEE-free parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # sorted
+
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _events(sf_dir: str, columns):
+    from ..sources.parquet import read_parquet_tuned
+
+    return read_parquet_tuned(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
+
+
+def q_user_event_pivot(sf_dir: str):
+    """Per-user event-type counts pivoted to one column per type.
+    Per-batch (user, type) count partials shrink the exchange to at
+    most users×types rows per block; the partition kernel scatters
+    into a dense count matrix — fully vectorized."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.groupagg import group_aggregate_table
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.append_column(
+            "n", pa.array(np.ones(tbl.num_rows, np.int64))
+        )
+        return group_aggregate_table(
+            t, ["user_id", "event_type"], [("n", "sum")]
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64())]
+        + [(f"n_{e}", pa.int64()) for e in EVENT_TYPES]
+    )
+
+    def _kernel(p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        uid = tbl.column("user_id").cast(pa.int64()).to_numpy()
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").cast(pa.int64()).to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)  # sorted, stable
+        tix = np.searchsorted(EVENT_TYPES, et)
+        mat = np.zeros((len(users), len(EVENT_TYPES)), np.int64)
+        np.add.at(mat, (inv, tix), n)
+        cols = {"user_id": pa.array(users)}
+        for j, e in enumerate(EVENT_TYPES):
+            cols[f"n_{e}"] = pa.array(mat[:, j])
+        return pa.table(cols)
+
+    return hash_exchange(
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        16,
+        _kernel,
+        out_schema,
+    )
+
+
+def q_view_purchase_funnel(sf_dir: str):
+    """Ordered funnel: per user, first 'view' and the first 'purchase'
+    STRICTLY after it (the as-of discipline: later stages never match
+    earlier-or-equal timestamps), plus conversion flag and integer-µs
+    latency. One user-hash exchange; the kernel is np.minimum.at over
+    the partition — no sort needed."""
+    from ..stages.exchange import hash_exchange
+
+    ds = _events(sf_dir, ["user_id", "event_type", "ts"])
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("first_view_ts", pa.timestamp("us")),
+            ("first_purchase_ts", pa.timestamp("us")),
+            ("converted", pa.bool_()),
+            ("latency_us", pa.int64()),
+        ]
+    )
+
+    def _kernel(p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        uid = tbl.column("user_id").cast(pa.int64()).to_numpy()
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)
+        ta = np.full(len(users), _I64_MAX)
+        vm = et == "view"
+        np.minimum.at(ta, inv[vm], us[vm])
+        has_view = ta != _I64_MAX
+        pm = (et == "purchase") & (us > ta[inv])
+        tb = np.full(len(users), _I64_MAX)
+        np.minimum.at(tb, inv[pm], us[pm])
+        users, ta, tb = users[has_view], ta[has_view], tb[has_view]
+        conv = tb != _I64_MAX
+        return pa.table(
+            {
+                "user_id": pa.array(users),
+                "first_view_ts": pa.array(ta).cast(pa.timestamp("us")),
+                "first_purchase_ts": pa.array(
+                    tb, pa.int64(), mask=~conv
+                ).cast(pa.timestamp("us")),
+                "converted": pa.array(conv),
+                "latency_us": pa.array(
+                    np.where(conv, tb - ta, 0), pa.int64(), mask=~conv
+                ),
+            }
+        )
+
+    return hash_exchange(ds, ["user_id"], 16, _kernel, out_schema)
+
+
+QUERIES = {
+    "user_event_pivot": q_user_event_pivot,
+    "view_purchase_funnel": q_view_purchase_funnel,
+}
+
+ORACLE_SQL = {
+    "user_event_pivot": "SELECT user_id, "
+    + ", ".join(
+        f"CAST(count(CASE WHEN event_type = '{e}' THEN 1 END) AS BIGINT)"
+        f" AS n_{e}"
+        for e in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+    "view_purchase_funnel": """
+WITH v AS (
+  SELECT user_id, min(ts) AS ta FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS tb
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.ta
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.ta AS first_view_ts, p.tb AS first_purchase_ts,
+  p.tb IS NOT NULL AS converted,
+  CAST(epoch_us(p.tb) - epoch_us(v.ta) AS BIGINT) AS latency_us
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+""".strip(),
+}

@@ -1,0 +1,78 @@
+"""Event analytics kernels: funnel strictness/null edges, pivot
+completeness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dane_visual_feature_extraction_worker_ray.pipelines.events_queries import (
+    EVENT_TYPES,
+    q_user_event_pivot,
+    q_view_purchase_funnel,
+)
+
+
+def _write(tmp_path, rows):
+    import pyarrow.parquet as pq
+
+    uid, et, ts = zip(*rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                np.array(ts, np.int64), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(np.zeros(len(rows))),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_funnel_strictly_after_and_nulls(tmp_path):
+    sf = _write(
+        tmp_path,
+        [
+            (1, "view", 100), (1, "purchase", 100),  # equal ts: no match
+            (1, "purchase", 250),                    # strictly after: match
+            (2, "view", 50),                         # no purchase
+            (3, "purchase", 10),                     # purchase, never viewed
+            (4, "purchase", 5), (4, "view", 20), (4, "purchase", 30),
+        ],
+    )
+    out = (
+        q_view_purchase_funnel(sf)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2, 4]  # user 3 never viewed
+    assert out["converted"].tolist() == [True, False, True]
+    assert out["latency_us"].tolist()[0] == 150  # 250-100, not 100-100
+    assert out["latency_us"].isna().tolist() == [False, True, False]
+    assert out["first_purchase_ts"].isna().tolist() == [False, True, False]
+    assert out["latency_us"].tolist()[2] == 10  # pre-view purchase ignored
+
+
+def test_pivot_counts_complete(tmp_path):
+    rows = []
+    rng = np.random.default_rng(8)
+    for i in range(200):
+        rows.append(
+            (int(rng.integers(0, 9)), EVENT_TYPES[rng.integers(0, 5)], i)
+        )
+    sf = _write(tmp_path, rows)
+    out = q_user_event_pivot(sf).to_pandas()
+    assert out[[f"n_{e}" for e in EVENT_TYPES]].to_numpy().sum() == 200
+    # spot-check one cell against brute force
+    import collections
+
+    c = collections.Counter((u, e) for u, e, _ in rows)
+    u0 = int(out["user_id"].iloc[0])
+    for e in EVENT_TYPES:
+        assert out.set_index("user_id").loc[u0, f"n_{e}"] == c[(u0, e)]

@@ -121,10 +121,18 @@ class QuantileSketch:
 
 
 def quantile_sketch_ds(
-    ds, col: str, qs, capacity: int = 8192
+    ds, col: str, qs, capacity: int = 8192, combine_partitions: int = 16
 ) -> pa.Table:
     """Distributed quantiles of a double column: per-batch sketches →
-    driver merge → (q, value) table."""
+    two-level combine → (q, value) table.
+
+    The driver never merges one partial per block (O(n_blocks) serial
+    work at corpus scale): partial rows are level-tagged, so
+    concatenating any subset of partials and re-compacting IS the
+    sketch merge — a ``repartition(combine_partitions)`` +
+    per-partition re-sketch collapses n_blocks partials into
+    ``combine_partitions`` intermediate sketches in parallel, and the
+    driver merges only those."""
 
     def _partial(tbl: pa.Table) -> pa.Table:
         sk = QuantileSketch(capacity).add(
@@ -132,10 +140,16 @@ def quantile_sketch_ds(
         )
         return sk.to_table()
 
+    def _combine(tbl: pa.Table) -> pa.Table:
+        return QuantileSketch.from_table(tbl, capacity).to_table()
+
+    combined = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .repartition(combine_partitions)
+        .map_batches(_combine, batch_format="pyarrow", batch_size=None)
+    )
     merged = QuantileSketch(capacity)
-    for ref in ds.map_batches(
-        _partial, batch_format="pyarrow", batch_size=None
-    ).to_arrow_refs():
+    for ref in combined.to_arrow_refs():
         t = ray.get(ref)
         if t.num_rows:
             merged.merge(QuantileSketch.from_table(t, capacity))
@@ -181,22 +195,47 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def hll_distinct(ds, cols: list[str], p: int = 12) -> float:
+def hll_distinct(
+    ds, cols: list[str], p: int = 12, combine_partitions: int = 16
+) -> float:
     """Approximate distinct count of a column tuple: per-batch register
-    partials (2**p bytes each), elementwise-max merge on the driver."""
+    partials (2**p bytes each, index-tagged so repartitioning may split
+    them), a parallel two-level max-combine, then an elementwise-max
+    driver merge of only ``combine_partitions`` vectors."""
     from ..functions.hashing import hash64_columns
+
+    m = 1 << p
+    idx_arr = pa.array(np.arange(m, dtype=np.int32))
 
     def _partial(tbl: pa.Table) -> pa.Table:
         h = hash64_columns(tbl.select(cols), cols)
-        return pa.table({"r": pa.array(hll_registers_partial(h, p))})
+        return pa.table(
+            {"i": idx_arr, "r": pa.array(hll_registers_partial(h, p))}
+        )
 
-    regs = np.zeros(1 << p, np.uint8)
-    for ref in ds.map_batches(
-        _partial, batch_format="pyarrow", batch_size=None
-    ).to_arrow_refs():
+    def _combine(tbl: pa.Table) -> pa.Table:
+        regs = np.zeros(m, np.uint8)
+        np.maximum.at(
+            regs,
+            tbl.column("i").to_numpy().astype(np.int64),
+            tbl.column("r").to_numpy(),
+        )
+        return pa.table({"i": idx_arr, "r": pa.array(regs)})
+
+    combined = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .repartition(combine_partitions)
+        .map_batches(_combine, batch_format="pyarrow", batch_size=None)
+    )
+    regs = np.zeros(m, np.uint8)
+    for ref in combined.to_arrow_refs():
         t = ray.get(ref)
         if t.num_rows:
-            regs = np.maximum(regs, t.column("r").to_numpy())
+            np.maximum.at(
+                regs,
+                t.column("i").to_numpy().astype(np.int64),
+                t.column("r").to_numpy(),
+            )
     return hll_estimate(regs)
 
 

@@ -1,0 +1,225 @@
+"""Distributed prefix scans: running (cumulative) aggregates.
+
+SQL's ``SUM(x) OVER (... ROWS UNBOUNDED PRECEDING)`` family in two
+distributed shapes, both on the engine's explicit exchange:
+
+- :func:`grouped_scan` — running aggregates *within* a group
+  (``PARTITION BY key ORDER BY ...``): one hash exchange co-locates
+  each group, then one C++ sort + fully vectorized segmented kernels
+  (numpy cumsum re-based at group starts) — no per-group Python
+  dispatch, so a partition with a million tiny groups costs the same
+  as one big group.
+- :func:`global_scan` — running aggregates over the *global* sort
+  order (``ORDER BY ...`` with no partition): range-partitioned sort
+  (stages/sort.py), then the classic two-phase prefix scan: per-block
+  partial sums (tiny ints to the driver) → driver prefix offsets →
+  per-block cumsum + offset. The driver holds O(blocks × cols) ints,
+  never rows.
+- :func:`grouped_string_agg` — ordered ``string_agg(value, sep)`` per
+  group, vectorized end-to-end via ``ListArray.from_arrays`` over the
+  group offsets + C++ ``binary_join`` (no Python string loops).
+
+Exactness: scans run on *integer* columns (cents, micros, counts,
+lengths) so partial→final addition is associative bit-for-bit;
+callers divide once per row at the end when a float surface is needed
+(same policy as pipelines/relational_queries.py). Null values
+contribute 0 — identical to SQL ``SUM`` semantics whenever each
+window frame contains at least one non-null row (running frames
+always contain the current row; pair null-able sources with
+``coalesce`` on both sides).
+
+Reference analog: the reference accumulates per-batch results in
+timestamp order into one growing matrix (``/root/reference/
+feature_extraction.py:75-81``) — an O(source) in-memory prefix
+concat; these operators are the bounded-memory distributed form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from .exchange import hash_exchange
+from .sort import sort_by
+
+# spec forms accepted by grouped_scan
+_SPEC_KINDS = ("rownum", "count", "cumsum")
+
+
+def _seg_starts(tbl: pa.Table, keys: list[str]) -> np.ndarray:
+    """Run-start mask over already-sorted key columns (exact values)."""
+    n = tbl.num_rows
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for k in keys:
+        col = tbl.column(k).to_numpy(zero_copy_only=False)
+        new[1:] |= col[1:] != col[:-1]
+    return np.flatnonzero(new)
+
+
+def grouped_scan(
+    ds,
+    keys: str | list[str],
+    order_by: list[tuple[str, str]],
+    specs: list[tuple],
+    num_partitions: int = 32,
+    keep_cols: list[str] | None = None,
+):
+    """Running aggregates within each ``keys`` group, ordered by
+    ``order_by`` (``(col, "ascending"|"descending")`` pairs).
+
+    ``specs`` entries:
+      ``("rownum", out)``        1-based row number within the group
+      ``("count", out)``         group size, broadcast to every row
+      ``("cumsum", col, out)``   running int64 sum of ``col``
+                                 (nulls add 0)
+
+    Output columns: ``keep_cols`` (default: all input columns) +
+    the spec outputs. Project ``ds`` to the needed columns *before*
+    calling — everything passed in rides the exchange.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    for s in specs:
+        if s[0] not in _SPEC_KINDS:
+            raise ValueError(f"unknown scan spec {s[0]!r}")
+
+    sort_keys = [(k, "ascending") for k in key_list] + list(order_by)
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=sort_keys)
+        t = tbl.take(idx)
+        n = t.num_rows
+        cols = {c: t.column(c) for c in (keep_cols or t.column_names)}
+        if n == 0:
+            for s in specs:
+                cols[s[-1]] = pa.array([], pa.int64())
+            return pa.table(cols)
+        starts = _seg_starts(t, key_list)
+        lens = np.diff(np.r_[starts, n])
+        for s in specs:
+            if s[0] == "rownum":
+                out = np.arange(n, dtype=np.int64) - np.repeat(
+                    starts, lens
+                ) + 1
+            elif s[0] == "count":
+                out = np.repeat(lens.astype(np.int64), lens)
+            else:  # cumsum
+                v = t.column(s[1]).to_numpy(zero_copy_only=False)
+                v = np.nan_to_num(
+                    v.astype(np.float64), nan=0.0
+                ).astype(np.int64) if v.dtype.kind == "f" else v.astype(
+                    np.int64
+                )
+                cs = np.cumsum(v)
+                out = cs - np.repeat(cs[starts] - v[starts], lens)
+            cols[s[-1]] = pa.array(out)
+        return pa.table(cols)
+
+    return hash_exchange(ds, key_list, num_partitions, _kernel)
+
+
+def global_scan(
+    ds,
+    sort_keys: list[tuple[str, str]],
+    cum_cols: list[tuple[str, str]],
+    rank_col: str | None = None,
+    num_partitions: int = 32,
+):
+    """Running int64 sums over the GLOBAL ``sort_keys`` order.
+
+    ``cum_cols``: ``(source_col, out_col)`` pairs — source must be
+    integer-typed (exact associative partials; cast money to cents
+    first). ``rank_col`` optionally adds the 1-based global rank.
+    Two-phase prefix scan: per-block sums → driver prefix → per-block
+    rebase; only O(blocks) ints reach the driver.
+    """
+    sorted_ds = sort_by(ds, sort_keys, num_partitions=num_partitions)
+    refs = sorted_ds.to_arrow_refs()
+    src_cols = [c for c, _ in cum_cols]
+
+    @ray.remote
+    def _partials(tbl):
+        t = tbl if isinstance(tbl, pa.Table) else pa.table(tbl)
+        sums = [
+            int(pc.sum(t.column(c)).as_py() or 0) for c in src_cols
+        ]
+        return t.num_rows, sums
+
+    parts = ray.get([_partials.remote(r) for r in refs])
+    # Python-int prefix combine on the driver — exact at any scale
+    # (no int64 overflow in the offsets even if totals exceed 2**63
+    # would raise on the Arrow cast below, loudly not silently).
+    rank_offs, sum_offs = [], []
+    rtot, stot = 0, [0] * len(src_cols)
+    for n, sums in parts:
+        rank_offs.append(rtot)
+        sum_offs.append(list(stot))
+        rtot += n
+        stot = [a + b for a, b in zip(stot, sums)]
+
+    @ray.remote
+    def _apply(tbl, roff, soffs):
+        t = tbl if isinstance(tbl, pa.Table) else pa.table(tbl)
+        n = t.num_rows
+        for (c, out), off in zip(cum_cols, soffs):
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            t = t.append_column(out, pa.array(np.cumsum(v) + off))
+        if rank_col is not None:
+            t = t.append_column(
+                rank_col,
+                pa.array(np.arange(1, n + 1, dtype=np.int64) + roff),
+            )
+        return t
+
+    out_refs = [
+        _apply.remote(b, int(ro), so)
+        for b, ro, so in zip(refs, rank_offs, sum_offs)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def grouped_string_agg(
+    ds,
+    keys: str | list[str],
+    order_by: list[tuple[str, str]],
+    value_col: str,
+    sep: str,
+    out: str,
+    count_col: str | None = None,
+    num_partitions: int = 32,
+):
+    """Ordered ``string_agg(value_col, sep)`` per group → one row per
+    group (key columns + ``out`` + optional ``count_col``). The join
+    itself is C++: a ListArray built from the group offsets fed to
+    ``pc.binary_join`` — no per-group Python.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    sort_keys = [(k, "ascending") for k in key_list] + list(order_by)
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=sort_keys)
+        t = tbl.take(idx)
+        n = t.num_rows
+        if n == 0:
+            cols = {k: t.column(k) for k in key_list}
+            cols[out] = pa.array([], pa.string())
+            if count_col:
+                cols[count_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        starts = _seg_starts(t, key_list)
+        offsets = np.r_[starts, n].astype(np.int32)
+        vals = pc.cast(t.column(value_col), pa.string()).combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
+        joined = pc.binary_join(lists, sep)
+        cols = {k: t.column(k).take(pa.array(starts)) for k in key_list}
+        cols[out] = joined
+        if count_col:
+            cols[count_col] = pa.array(np.diff(offsets).astype(np.int64))
+        return pa.table(cols)
+
+    return hash_exchange(ds, key_list, num_partitions, _kernel)

@@ -1,0 +1,165 @@
+"""Unit tests for stages/scan.py — distributed prefix scans vs a
+pandas single-process oracle on adversarial small inputs (single-row
+groups, descending order keys, nulls in the summed column, many tiny
+groups split across input blocks)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dane_visual_feature_extraction_worker_ray.stages.scan import (
+    global_scan,
+    grouped_scan,
+    grouped_string_agg,
+)
+
+
+def _rng_frame(n=500, n_groups=60, seed=7):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, n_groups, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    # a few single-row groups beyond the random ones
+    extra = pd.DataFrame(
+        {"g": [1000, 1001], "o": [0, 0], "v": [7, -3]}
+    )
+    return pd.concat([df, extra], ignore_index=True)
+
+
+def _ds_of(df, blocks=5):
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def test_grouped_scan_matches_pandas(ray_session):
+    df = _rng_frame()
+    out = (
+        grouped_scan(
+            _ds_of(df),
+            "g",
+            [("o", "ascending")],
+            [
+                ("rownum", "rn"),
+                ("count", "cnt"),
+                ("cumsum", "v", "run_v"),
+            ],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "rn"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["g", "o"]).reset_index(drop=True)
+    exp["rn"] = exp.groupby("g").cumcount() + 1
+    exp["cnt"] = exp.groupby("g")["g"].transform("size")
+    exp["run_v"] = exp.groupby("g")["v"].cumsum()
+    exp = exp.sort_values(["g", "rn"]).reset_index(drop=True)
+    assert (out["rn"] == exp["rn"]).all()
+    assert (out["cnt"] == exp["cnt"]).all()
+    assert (out["run_v"] == exp["run_v"]).all()
+
+
+def test_grouped_scan_descending_and_nulls(ray_session):
+    df = _rng_frame(n=200, n_groups=10, seed=11)
+    vals = df["v"].astype("float64")
+    vals.iloc[::7] = np.nan  # nulls add 0 to the running sum
+    tbl = pa.table(
+        {
+            "g": pa.array(df["g"]),
+            "o": pa.array(df["o"]),
+            "v": pa.array(vals),
+        }
+    )
+    out = (
+        grouped_scan(
+            rd.from_arrow(tbl).repartition(3),
+            "g",
+            [("o", "descending")],
+            [("rownum", "rn"), ("cumsum", "v", "run_v")],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "rn"])
+        .reset_index(drop=True)
+    )
+    exp = df.assign(v=vals.fillna(0).astype(np.int64)).sort_values(
+        ["g", "o"], ascending=[True, False]
+    )
+    exp["rn"] = exp.groupby("g").cumcount() + 1
+    exp["run_v"] = exp.groupby("g")["v"].cumsum()
+    exp = exp.sort_values(["g", "rn"]).reset_index(drop=True)
+    assert (out["run_v"] == exp["run_v"]).all()
+
+
+def test_global_scan_matches_pandas(ray_session):
+    df = _rng_frame(n=400, n_groups=40, seed=3)
+    out = (
+        global_scan(
+            _ds_of(df),
+            [("o", "ascending"), ("g", "ascending")],
+            [("v", "run_v")],
+            rank_col="rn",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["o", "g"]).reset_index(drop=True)
+    assert (out["run_v"].to_numpy() == exp["v"].cumsum().to_numpy()).all()
+    assert (out["rn"].to_numpy() == np.arange(1, len(exp) + 1)).all()
+    # global order is consistent with the sort keys
+    assert (out["o"].to_numpy() == exp["o"].to_numpy()).all()
+
+
+def test_grouped_string_agg_matches_pandas(ray_session):
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 12, 150).astype(np.int64),
+            "o": rng.permutation(150).astype(np.int64),
+            "s": [f"w{int(x)}" for x in rng.integers(0, 9, 150)],
+        }
+    )
+    out = (
+        grouped_string_agg(
+            _ds_of(df, blocks=4),
+            "g",
+            [("o", "ascending")],
+            value_col="s",
+            sep="|",
+            out="seq",
+            count_col="n",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["g", "o"])
+        .groupby("g")["s"]
+        .agg(["|".join, "size"])
+        .reset_index()
+        .rename(columns={"join": "seq", "size": "n"})
+    )
+    exp.columns = ["g", "seq", "n"]
+    assert (out["g"] == exp["g"]).all()
+    assert (out["seq"] == exp["seq"]).all()
+    assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_grouped_scan_bad_spec(ray_session):
+    with pytest.raises(ValueError):
+        grouped_scan(
+            _ds_of(_rng_frame(50)), "g", [("o", "ascending")],
+            [("median", "v", "m")],
+        )

@@ -37,7 +37,8 @@ def _optional_suites():
     for name in ("relational_queries", "dedup_queries", "text_queries",
                  "similarity_queries", "scorer_queries",
                  "multimodal_queries", "curation", "join_queries",
-                 "stats_queries", "events_queries", "window_queries"):
+                 "stats_queries", "events_queries", "window_queries",
+                 "setop_queries"):
         try:
             mods.append(
                 __import__(

@@ -16,7 +16,10 @@ join as ONE side-tagged hash exchange on the key:
    matches with ``np.repeat`` — no Python per-row loops.
 
 ``how="inner"`` drops unmatched left rows; ``how="left"`` keeps them
-with typed nulls in the right columns; ``how="semi"`` / ``how="anti"``
+with typed nulls in the right columns; ``how="outer"`` additionally
+emits unmatched RIGHT rows with typed nulls in the left columns (SQL
+FULL OUTER — null-key rows from both sides surface unmatched);
+``how="semi"`` / ``how="anti"``
 emit each left row at most once — with / without a match — and no
 right columns (SQL EXISTS / NOT EXISTS; null-key rows never match, so
 they appear only under ``anti``). Both sides stream into the exchange;
@@ -118,10 +121,15 @@ def hash_equi_join(
     are never hot. The caller supplies the keys (e.g. from the salting
     detector's counting pre-pass, stages/salting.py).
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(
-            f"how must be 'inner'/'left'/'semi'/'anti', got {how!r}"
+            f"how must be 'inner'/'left'/'outer'/'semi'/'anti', got {how!r}"
         )
+    if how == "outer" and hot_keys:
+        # hot right rows are pulled out of the exchange for the
+        # broadcast pre-join, so their unmatched remainder could not
+        # surface on the right-outer side
+        raise ValueError("hot_keys is not supported with how='outer'")
     if how in ("semi", "anti"):
         if right_columns:
             raise ValueError(f"how={how!r} joins emit no right columns")
@@ -314,6 +322,7 @@ def hash_equi_join(
         li = np.flatnonzero(side == 0)
         # null right keys never match; side 2 = pre-joined passthrough
         ri = np.flatnonzero((side == 1) & key_valid)
+        null_ri = np.flatnonzero((side == 1) & ~key_valid)
         pre = np.flatnonzero(side == 2)
         rk = key_np[ri]
         order = np.argsort(rk, kind="stable")
@@ -367,7 +376,7 @@ def hash_equi_join(
         for c, oc in out_right.items():
             pieces[oc] = tbl.column(oc).take(r_take)
         out = pa.table(pieces).cast(out_schema)
-        if how == "left":
+        if how in ("left", "outer"):
             un_take = pa.array(li[~matched], pa.int64())
             if len(un_take):
                 un = {}
@@ -375,6 +384,28 @@ def hash_equi_join(
                     un[c] = tbl.column(c).take(un_take)
                 for c, oc in out_right.items():
                     un[oc] = _null_array(len(un_take), r_types[c])
+                out = pa.concat_tables([out, pa.table(un).cast(out_schema)])
+        if how == "outer":
+            # right rows no valid left key matched (rk is sorted, so a
+            # right row is matched iff its key occurs among the valid
+            # left keys), plus null-key right rows (never matched)
+            lk_s = np.sort(lk[l_ok], kind="stable")
+            if len(rk) and len(lk_s):
+                pos = np.searchsorted(lk_s, rk)
+                pos_c = np.minimum(pos, len(lk_s) - 1)
+                r_matched = (pos < len(lk_s)) & (lk_s[pos_c] == rk)
+            else:
+                r_matched = np.zeros(len(rk), dtype=bool)
+            ro_take = pa.array(
+                np.concatenate([ri[~r_matched], null_ri]), pa.int64()
+            )
+            if len(ro_take):
+                un = {
+                    c: _null_array(len(ro_take), l_types[c])
+                    for c in l_names
+                }
+                for c, oc in out_right.items():
+                    un[oc] = tbl.column(oc).take(ro_take)
                 out = pa.concat_tables([out, pa.table(un).cast(out_schema)])
         return _with_pre(out)
 

@@ -811,3 +811,133 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice,
     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
 FROM orders
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# interpolated (continuous) percentiles from the SAME mergeable
+# bounded-domain histograms as q_price_quantiles: the merged histogram
+# yields both neighbouring order statistics, and the interpolation is
+# DuckDB's exact IEEE expression lo*(1-frac) + hi*frac (verified: the
+# algebraically-equal lo + frac*(hi-lo) differs in the last ulp on
+# some inputs)
+
+
+def q_price_quantiles_cont(sf_dir: str):
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        from ..stages.groupagg import group_aggregate_table
+
+        t = pa.table(
+            {
+                "l_returnflag": tbl.column("l_returnflag"),
+                "price_c": pa.array(_cents(tbl.column("l_extendedprice"))),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["l_returnflag", "price_c"], [("n", "sum")]
+        )
+
+    partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    hist = hash_grouped_aggregate(
+        partials, ["l_returnflag", "price_c"], [("n", "sum")]
+    )
+
+    qs = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    out_schema = pa.schema(
+        [("l_returnflag", pa.string())]
+        + [(name, pa.float64()) for name, _ in qs]
+    )
+
+    def _quant(g: pa.Table) -> pa.Table:
+        vals = g.column("price_c").to_numpy()
+        cnt = g.column("n").cast(pa.int64()).to_numpy()
+        o = np.argsort(vals)
+        vals, cnt = vals[o], cnt[o]
+        cum = np.cumsum(cnt)
+        total = int(cum[-1])
+        out = {"l_returnflag": pa.array(
+            [g.column("l_returnflag")[0].as_py()], pa.string()
+        )}
+        for name, q in qs:
+            h = q * (total - 1)  # 0-based fractional rank
+            lo_r = int(np.floor(h))
+            frac = h - lo_r
+            v_lo = float(vals[np.searchsorted(cum, lo_r + 1)])
+            v_hi = float(vals[np.searchsorted(cum, min(lo_r + 2, total))])
+            v = v_lo * (1.0 - frac) + v_hi * frac
+            out[name] = pa.array([v / 100.0])
+        return pa.table(out)
+
+    from ..stages.exchange import hash_grouped_map
+
+    return hash_grouped_map(
+        hist, ["l_returnflag"], _quant, num_partitions=8,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["price_quantiles_cont"] = q_price_quantiles_cont
+ORACLE_SQL["price_quantiles_cont"] = """
+SELECT l_returnflag,
+  quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5)/100.0 AS p50,
+  quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9)/100.0 AS p90,
+  quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.99)/100.0 AS p99
+FROM lineitem GROUP BY l_returnflag
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# calendar-bucketed aggregate: month truncation is a pure projection
+# (Arrow C++ floor_temporal == SQL date_trunc), so the whole query is
+# the engine's standard partial -> tiny-final shape — 12ish groups/year
+# regardless of corpus size
+
+
+def q_monthly_revenue(sf_dir: str):
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate as _hga
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "month": pc.floor_temporal(
+                    tbl.column("o_orderdate"), unit="month"
+                ),
+                "rev_c": pa.array(_cents(tbl.column("o_totalprice"))),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["month"], [("rev_c", "sum"), ("n", "sum")]
+        )
+
+    final = _hga(
+        orders.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["month"],
+        [("rev_c", "sum"), ("n", "sum")],
+        num_buckets=4,
+    )
+
+    def _fin(tbl: pa.Table) -> pa.Table:
+        rev = tbl.column("rev_c").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "month": tbl.column("month"),
+                "n_orders": tbl.column("n").cast(pa.int64()),
+                "revenue": pa.array(rev.astype(np.float64) / 100.0),
+            }
+        )
+
+    return final.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["monthly_revenue"] = q_monthly_revenue
+ORACLE_SQL["monthly_revenue"] = """
+SELECT date_trunc('month', o_orderdate) AS month,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS revenue
+FROM orders GROUP BY 1
+""".strip()

@@ -128,3 +128,51 @@ def test_rollup_levels_additive():
     assert len(total) == 1
     assert total["n"].iloc[0] == leaves["n"].sum() == t.num_rows
     assert total["sx"].iloc[0] == leaves["sx"].sum()
+
+
+def test_quantile_cont_interpolation_matches_duckdb(ray_session, tmp_path):
+    """Continuous quantiles from the bounded-domain histogram must hit
+    DuckDB's quantile_cont bit-for-bit, including on duplicate-heavy
+    multisets where the two neighbouring order statistics straddle a
+    histogram bucket boundary."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.relational_queries import (
+        ORACLE_SQL,
+        q_price_quantiles_cont,
+    )
+
+    rng = np.random.default_rng(21)
+    # few distinct cent values -> massive duplication
+    cents = rng.choice([100, 105, 99999, 100000, 5], size=5001,
+                       p=[0.4, 0.3, 0.15, 0.1, 0.05])
+    flags = rng.choice(["A", "N", "R"], size=5001)
+    tbl = pa.table(
+        {
+            "l_returnflag": pa.array(flags),
+            "l_extendedprice": pa.array(cents / 100.0),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = (
+        q_price_quantiles_cont(str(tmp_path))
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    exp = (
+        con.execute(ORACLE_SQL["price_quantiles_cont"])
+        .df()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    for c in ("p50", "p90", "p99"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c

@@ -310,6 +310,44 @@ def asof_indices(
     return out_idx, valid
 
 
+def asof_indices_forward(
+    left_key: np.ndarray,
+    left_ts: np.ndarray,
+    right_key: np.ndarray,
+    right_ts: np.ndarray,
+    allow_exact: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mirror of :func:`asof_indices` looking FORWARD: for each left
+    row, index of the EARLIEST right row with the same int key and
+    ``right_ts >= left_ts`` (``>`` when not allow_exact).
+
+    The backward join is the leakage-safe *feature* lookup; this one
+    is the *label* lookup — "the next snapshot/outcome at or after
+    this turn" — which deliberately reads the future. Same composite
+    monotone-key searchsorted, same dense-small-int key contract.
+    """
+    nl, nr = len(left_key), len(right_key)
+    if nl == 0 or nr == 0:
+        return np.zeros(nl, dtype=np.int64), np.zeros(nl, dtype=bool)
+    lo = min(left_ts.min(), right_ts.min())
+    hi = max(left_ts.max(), right_ts.max())
+    span = int(hi) - int(lo) + 2
+    max_key = int(max(left_key.max(), right_key.max()))
+    if (max_key + 1) * span >= 2**63:
+        raise OverflowError(
+            "composite as-of key overflows int64; factorize keys per bucket"
+        )
+    gl = left_key.astype(np.int64) * span + (left_ts.astype(np.int64) - lo)
+    gr = right_key.astype(np.int64) * span + (right_ts.astype(np.int64) - lo)
+    side = "left" if allow_exact else "right"
+    idx = np.searchsorted(gr, gl, side=side)  # first right row >= / > left
+    valid = idx < nr
+    idx_safe = np.where(valid, idx, 0)
+    valid &= right_key[idx_safe] == left_key
+    out_idx = np.where(valid, idx_safe, 0)
+    return out_idx, valid
+
+
 # ---------------------------------------------------------------------------
 # tumbling windows
 

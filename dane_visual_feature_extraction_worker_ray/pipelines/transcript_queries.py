@@ -434,3 +434,124 @@ ORACLE_SQL["feature_ops"] = (
         COALESCE(role <> prev_role, FALSE) AS role_changed
  FROM sess"""
 )
+
+
+def q_label_next_snapshot(sf_dir: str):
+    """FORWARD as-of: each turn labelled with the earliest snapshot at
+    or after it (``snap.ts >= turn.ts``) — the training-LABEL lookup
+    that deliberately reads the future, mirror-image of the
+    leakage-safe backward feature join. One hash exchange on conv_id
+    over the aligned turns ∪ snaps union, then a single vectorized
+    forward searchsorted per partition
+    (functions/segkernels.asof_indices_forward)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions import segkernels as sk
+    from ..stages.exchange import hash_exchange
+
+    ev = _events(sf_dir)
+    turns = events_to_turns(ev)
+    snaps = events_to_snapshots(ev)
+
+    def _al_t(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "ts": tbl.column("ts"),
+                "order_key": tbl.column("order_key").cast(pa.int64()),
+                "snap_val": pa.nulls(n, pa.float64()),
+                "is_snap": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def _al_s(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "ts": tbl.column("ts"),
+                "order_key": pa.array(np.zeros(n, np.int64)),
+                "snap_val": tbl.column("snap_val").cast(pa.float64()),
+                "is_snap": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    unioned = turns.map_batches(
+        _al_t, batch_format="pyarrow", batch_size=None
+    ).union(snaps.map_batches(_al_s, batch_format="pyarrow", batch_size=None))
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("next_val", pa.float64()),
+            ("next_lead_s", pa.float64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        is_snap = tbl.column("is_snap").to_numpy(zero_copy_only=False)
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        okey = tbl.column("order_key").to_numpy(zero_copy_only=False)
+        t_rows = np.flatnonzero(is_snap == 0)
+        s_rows = np.flatnonzero(is_snap == 1)
+        t_order = np.lexsort((okey[t_rows], ts[t_rows], codes[t_rows]))
+        t_sel = t_rows[t_order]
+        codes_t, ts_t = codes[t_sel], ts[t_sel]
+        n_t = len(t_sel)
+        if n_t == 0:
+            return out_schema.empty_table()
+        seg_new = np.r_[True, codes_t[1:] != codes_t[:-1]]
+        starts = np.flatnonzero(seg_new)
+        lens = np.diff(np.r_[starts, n_t])
+        tix = (np.arange(n_t) - np.repeat(starts, lens)).astype(np.int32)
+        s_order = np.lexsort((ts[s_rows], codes[s_rows]))
+        s_sel = s_rows[s_order]
+        codes_s, ts_s = codes[s_sel], ts[s_sel]
+        a_idx, a_ok = sk.asof_indices_forward(
+            codes_t, ts_t, codes_s, ts_s, allow_exact=True
+        )
+        sv_all = tbl.column("snap_val").to_numpy(zero_copy_only=False)
+        if len(s_sel):
+            sv_s = sv_all[s_sel]
+            nv = np.where(a_ok, sv_s[a_idx], 0.0)
+            lead = (
+                np.where(a_ok, ts_s[a_idx], 0) - np.where(a_ok, ts_t, 0)
+            ).astype(np.float64) / 1e6
+        else:
+            nv = np.zeros(n_t)
+            lead = np.zeros(n_t)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[t_sel], pa.string()),
+                "turn_idx": pa.array(tix),
+                "next_val": pa.array(nv, mask=~a_ok),
+                "next_lead_s": pa.array(lead, mask=~a_ok),
+            }
+        )
+
+    return hash_exchange(
+        unioned, "conv_id", PCFG.num_buckets, _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["label_next_snapshot"] = q_label_next_snapshot
+ORACLE_SQL["label_next_snapshot"] = f"""
+WITH {SQL_TURNS_CTE},
+{SQL_SNAPS_CTE},
+fwd AS (
+  SELECT t.conv_id, t.turn_idx, s.snap_val AS next_val,
+    CAST(epoch_us(s.ts) - epoch_us(t.ts) AS DOUBLE)/1000000 AS next_lead_s
+  FROM turns t ASOF LEFT JOIN snaps s
+    ON t.conv_id = s.conv_id AND t.ts <= s.ts
+)
+SELECT conv_id, turn_idx, next_val, next_lead_s FROM fwd
+""".strip()

@@ -121,3 +121,49 @@ def test_asof_empty_sides():
 def test_tumble_bucket():
     ts = np.array([0, 999, 1000, 1001, 2500], dtype=np.int64)
     assert (sk.tumble_bucket(ts, 1000) == [0, 0, 1000, 1000, 2000]).all()
+
+
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_forward(allow_exact):
+    rng = np.random.default_rng(12)
+    lk = np.sort(rng.integers(0, 6, 80))
+    lt = np.sort(rng.integers(0, 1000, 80))
+    o = np.lexsort((lt, lk))
+    lk, lt = lk[o], lt[o]
+    rk = np.sort(rng.integers(0, 6, 25))
+    rt = np.sort(rng.integers(0, 1000, 25))
+    o = np.lexsort((rt, rk))
+    rk, rt = rk[o], rt[o]
+    ai, av = sk.asof_indices_forward(lk, lt, rk, rt, allow_exact=allow_exact)
+    for i in range(len(lk)):
+        if allow_exact:
+            c = [j for j in range(len(rk)) if rk[j] == lk[i] and rt[j] >= lt[i]]
+        else:
+            c = [j for j in range(len(rk)) if rk[j] == lk[i] and rt[j] > lt[i]]
+        if c:
+            assert av[i] and ai[i] == c[0]  # EARLIEST at-or-after
+        else:
+            assert not av[i]
+
+
+def test_asof_forward_never_reads_past():
+    # mirror of the leakage probe: perturbing PAST snapshots must not
+    # change the forward (label) lookup
+    lk = np.array([0, 0, 0], dtype=np.int64)
+    lt = np.array([10, 20, 30], dtype=np.int64)
+    rk = np.array([0, 0, 0], dtype=np.int64)
+    rt = np.array([5, 25, 35], dtype=np.int64)
+    ai, av = sk.asof_indices_forward(lk, lt, rk, rt)
+    assert av.all() and ai.tolist() == [1, 1, 2]
+    # drop the past snapshot: labels unchanged
+    ai2, av2 = sk.asof_indices_forward(lk, lt, rk[1:], rt[1:])
+    assert av2.all() and ai2.tolist() == [0, 0, 1]
+    assert (rt[1:][ai2] == rt[ai]).all()
+
+
+def test_asof_forward_empty_sides():
+    e = np.empty(0, dtype=np.int64)
+    idx, ok = sk.asof_indices_forward(e, e, e, e)
+    assert len(idx) == 0
+    idx, ok = sk.asof_indices_forward(np.array([0]), np.array([5]), e, e)
+    assert not ok[0]

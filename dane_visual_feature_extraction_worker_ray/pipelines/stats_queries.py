@@ -230,3 +230,87 @@ ORACLE_SQL["value_quantiles_by_type"] = " UNION ALL ".join(
     f"quantile_disc(value, {q}) AS value FROM events GROUP BY event_type"
     for q in SKETCH_QS
 )
+
+
+def q_price_quantity_spearman(sf_dir: str):
+    """Global Spearman rank correlation of (quantity, floor-dollar
+    price): two distributed range-partitioned sorts attach the global
+    row_number of each variable (deterministic (orderkey, linenumber)
+    tie-break shared with the SQL), then Pearson over the integer
+    ranks via the exact-moment machinery — ranks are ints, so the
+    whole reduction is exact and the final expression is the one IEEE
+    shape both engines share. Composition demo: sort_by × 2 →
+    moments → formula; no joins, the rank rides the row."""
+    import pyarrow.compute as pc
+
+    from ..stages.sort import sort_by
+
+    ds = _lineitem(
+        sf_dir,
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def _project(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "l_linenumber": tbl.column("l_linenumber").cast(pa.int64()),
+                "x": pa.array(_qty(tbl)),
+                "y": pa.array(_floor_dollars(tbl)),
+            }
+        )
+
+    ranked = sort_by(
+        sort_by(
+            ds.map_batches(_project, batch_format="pyarrow", batch_size=None),
+            [("x", "ascending"), ("l_orderkey", "ascending"),
+             ("l_linenumber", "ascending")],
+            num_partitions=16,
+            rank_col="rx",
+        ),
+        [("y", "ascending"), ("l_orderkey", "ascending"),
+         ("l_linenumber", "ascending")],
+        num_partitions=16,
+        rank_col="ry",
+    )
+
+    def _scoped(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "scope", pa.array(["all"] * tbl.num_rows, pa.string())
+        )
+
+    moments = grouped_moment_partials(
+        ranked.map_batches(_scoped, batch_format="pyarrow", batch_size=None),
+        ["scope"],
+        lambda t: (
+            t.column("rx").to_numpy(zero_copy_only=False),
+            t.column("ry").to_numpy(zero_copy_only=False),
+        ),
+    )
+    out = corr_ols_from_moments(moments, ["scope"])
+    return rd.from_arrow(
+        out.select(["scope", "n", "r"]).rename_columns(
+            ["scope", "n", "rho"]
+        )
+    )
+
+
+QUERIES["price_quantity_spearman"] = q_price_quantity_spearman
+ORACLE_SQL["price_quantity_spearman"] = """
+WITH rk AS (
+  SELECT
+    row_number() OVER (ORDER BY CAST(l_quantity AS BIGINT),
+                       l_orderkey, l_linenumber) AS rx,
+    row_number() OVER (ORDER BY CAST(floor(l_extendedprice) AS BIGINT),
+                       l_orderkey, l_linenumber) AS ry
+  FROM lineitem),
+m AS (
+  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+    sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+  FROM rk)
+SELECT 'all' AS scope, CAST(n AS BIGINT) AS n,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+FROM m
+""".strip()

@@ -967,3 +967,57 @@ SELECT tok, CAST(count(*) AS BIGINT) AS df,
                1, {POSTINGS_CAP}), ',') AS postings
 FROM pairs GROUP BY tok
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# data-mixture sampling: per-source keep rates (the training-mix
+# operator — upsample curated sources, downsample bulk scrapes) via a
+# deterministic per-row coin that both engines compute identically.
+# The coin ((doc_id * 37 + 11) % 100) is a gate-checkable stand-in for
+# the production hash64-based coin (functions/hashing.py) — swap the
+# coin, keep the plumbing.
+
+MIXTURE_RATES = {f"src{i}": (80 if i % 2 == 0 else 25) for i in range(20)}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Rate-based mixture sample: each source kept at its configured
+    percentage. Pure per-batch filter — rates ride the closure (tiny
+    broadcast), the corpus streams, nothing shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    srcs = sorted(MIXTURE_RATES)
+    thr = np.array([MIXTURE_RATES[s] for s in srcs], np.int64)
+    src_arr = pa.array(srcs, pa.string())
+
+    def _keep(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        coin = (ids * 37 + 11) % 100
+        idx = pc.index_in(tbl.column("source"), value_set=src_arr)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        known = ~np.isnan(idx_np)
+        t = np.zeros(tbl.num_rows, np.int64)  # unknown source -> rate 0
+        t[known] = thr[idx_np[known].astype(np.int64)]
+        return tbl.filter(pa.array(coin < t))
+
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "lang"],
+    )
+    return docs.map_batches(_keep, batch_format="pyarrow")
+
+
+QUERIES["mixture_sample"] = q_mixture_sample
+
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in sorted(MIXTURE_RATES.items())
+)
+ORACLE_SQL["mixture_sample"] = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE (doc_id * 37 + 11) % 100 <
+      (CASE source {_MIX_CASE} ELSE 0 END)
+""".strip()

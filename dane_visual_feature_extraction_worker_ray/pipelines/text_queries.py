@@ -1021,3 +1021,44 @@ SELECT doc_id, source, lang FROM documents
 WHERE (doc_id * 37 + 11) % 100 <
       (CASE source {_MIX_CASE} ELSE 0 END)
 """.strip()
+
+
+def q_canonical_text(sf_dir: str):
+    """Dedup-grade text canonicalization as a DERIVED column (raw text
+    preserved byte-exact per the engine invariant): lowercase, collapse
+    whitespace runs, trim — all Arrow C++ kernels (RE2), patterns
+    shared verbatim with the oracle's regexp_replace."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def _canon(tbl: pa.Table) -> pa.Table:
+        canon = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(tbl.column("text")), r"\s+", " "
+            ),
+            characters=" ",
+        )
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "text": tbl.column("text"),
+                "canon": canon,
+            }
+        )
+
+    return docs.map_batches(_canon, batch_format="pyarrow")
+
+
+QUERIES["canonical_text"] = q_canonical_text
+ORACLE_SQL["canonical_text"] = r"""
+SELECT doc_id, text,
+  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS canon
+FROM documents
+""".strip()

@@ -255,3 +255,53 @@ SELECT conv_id,
 FROM turns
 GROUP BY conv_id
 """.strip()
+
+
+# --- order_gap_days: GLOBAL lag across block boundaries --------------------
+
+
+def q_order_gap_days(sf_dir: str):
+    """Gap (days) between each order and the globally previous one in
+    (o_orderdate, o_orderkey) order — global lag(1): the only
+    cross-block state is one carry-in row per block, relayed by the
+    driver as O(blocks) scalars. First order lags to null."""
+    from ..stages.scan import global_lag
+
+    orders = _read(sf_dir, "orders")
+
+    def _project(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["o_orderkey", "o_orderdate"])
+
+    lagged = global_lag(
+        orders.map_batches(_project, batch_format="pyarrow"),
+        [("o_orderdate", "ascending"), ("o_orderkey", "ascending")],
+        [("o_orderdate", "prev_date")],
+        num_partitions=16,
+    )
+
+    def _final(tbl: pa.Table) -> pa.Table:
+        cur = tbl.column("o_orderdate").cast(pa.int64())
+        prev = tbl.column("prev_date").cast(pa.int64())
+        gap = pc.divide(
+            pc.cast(pc.subtract(cur, prev), pa.float64()),
+            pa.scalar(86400e6),
+        )
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey"),
+                "o_orderdate": tbl.column("o_orderdate"),
+                "gap_days": gap,
+            }
+        )
+
+    return lagged.map_batches(_final, batch_format="pyarrow")
+
+
+QUERIES["order_gap_days"] = q_order_gap_days
+ORACLE_SQL["order_gap_days"] = """
+SELECT o_orderkey, o_orderdate,
+  CAST(epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER w
+       AS DOUBLE) / 86400000000 AS gap_days
+FROM orders
+WINDOW w AS (ORDER BY o_orderdate, o_orderkey)
+""".strip()

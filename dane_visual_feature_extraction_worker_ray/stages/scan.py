@@ -183,6 +183,66 @@ def global_scan(
     return rd.from_arrow_refs(out_refs)
 
 
+def global_lag(
+    ds,
+    sort_keys: list[tuple[str, str]],
+    lag_cols: list[tuple[str, str]],
+    num_partitions: int = 32,
+):
+    """``lag(col, 1) OVER (ORDER BY sort_keys)`` with no partition:
+    range-partitioned sort, then each block's lag needs exactly ONE
+    carry-in row — the previous block's last value — which the driver
+    relays as O(blocks) scalars. The global first row lags to null.
+
+    ``lag_cols``: ``(source_col, out_col)`` pairs (any Arrow type —
+    values are carried as Arrow scalars, never round-tripped through
+    numpy).
+    """
+    sorted_ds = sort_by(ds, sort_keys, num_partitions=num_partitions)
+    refs = sorted_ds.to_arrow_refs()
+    src_cols = [c for c, _ in lag_cols]
+
+    @ray.remote
+    def _last_vals(tbl):
+        t = tbl if isinstance(tbl, pa.Table) else pa.table(tbl)
+        if t.num_rows == 0:
+            return None
+        return {c: t.column(c).slice(t.num_rows - 1, 1).to_pylist()[0]
+                for c in src_cols}
+
+    lasts = ray.get([_last_vals.remote(r) for r in refs])
+    # carry-in for block i = last row of the nearest NON-EMPTY block
+    # before it (empty partitions may survive in degenerate inputs)
+    carries, prev = [], None
+    for lv in lasts:
+        carries.append(prev)
+        if lv is not None:
+            prev = lv
+
+    @ray.remote
+    def _apply(tbl, carry):
+        t = tbl if isinstance(tbl, pa.Table) else pa.table(tbl)
+        n = t.num_rows
+        for c, out in lag_cols:
+            col = t.column(c)
+            if n == 0:
+                t = t.append_column(out, pa.array([], col.type))
+                continue
+            head = pa.array(
+                [None if carry is None else carry[c]], col.type
+            )
+            body = col.slice(0, n - 1)
+            if isinstance(body, pa.ChunkedArray):
+                body = body.combine_chunks()
+            t = t.append_column(out, pa.concat_arrays([head, body]))
+        return t
+
+    out_refs = [
+        _apply.remote(b, c) for b, c in zip(refs, carries)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
 def grouped_string_agg(
     ds,
     keys: str | list[str],

@@ -12,6 +12,7 @@ import pytest
 import ray.data as rd
 
 from dane_visual_feature_extraction_worker_ray.stages.scan import (
+    global_lag,
     global_scan,
     grouped_scan,
     grouped_string_agg,
@@ -163,3 +164,32 @@ def test_grouped_scan_bad_spec(ray_session):
             _ds_of(_rng_frame(50)), "g", [("o", "ascending")],
             [("median", "v", "m")],
         )
+
+
+def test_global_lag_matches_pandas(ray_session):
+    df = _rng_frame(n=300, n_groups=30, seed=17)
+    out = (
+        global_lag(
+            _ds_of(df, blocks=6),
+            [("o", "ascending"), ("g", "ascending")],
+            [("v", "prev_v"), ("o", "prev_o")],
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values(["o", "g"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["o", "g"]).reset_index(drop=True)
+    exp["prev_v"] = exp["v"].shift(1)
+    exp["prev_o"] = exp["o"].shift(1)
+    assert out["prev_v"].isna().sum() == 1  # global first row only
+    pd.testing.assert_series_equal(
+        out["prev_v"].astype("float64"),
+        exp["prev_v"],
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        out["prev_o"].astype("float64"),
+        exp["prev_o"],
+        check_names=False,
+    )

@@ -260,6 +260,31 @@ def ffill_indices(
     return idx_safe, ok
 
 
+def segment_last_index(seg: np.ndarray) -> np.ndarray:
+    """For each row, the row index where its segment ends (mirror of
+    :func:`segment_first_index` via the reversed array)."""
+    n = len(seg)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    return n - 1 - segment_first_index(seg[::-1])[::-1]
+
+
+def bfill_indices(
+    valid: np.ndarray, seg: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(index of earliest valid row at-or-after i within segment, mask)
+    — backward fill, the mirror of :func:`ffill_indices`. Like the
+    forward as-of mirror, this reads the future: a label/backfill
+    operator, not a leakage-safe feature."""
+    n = len(valid)
+    idx = np.where(valid, np.arange(n, dtype=np.int64), n)
+    idx = np.minimum.accumulate(idx[::-1])[::-1]
+    last = segment_last_index(seg)
+    ok = idx <= last  # a valid index from a later segment never applies
+    idx_safe = np.where(ok, idx, 0)
+    return idx_safe, ok
+
+
 # ---------------------------------------------------------------------------
 # sorted-merge as-of lookup (core graft; reference analog
 # find_shot_for_timestamp, data_handling.py:121-129)

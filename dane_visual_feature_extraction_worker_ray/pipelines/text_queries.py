@@ -1062,3 +1062,35 @@ SELECT doc_id, text,
   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS canon
 FROM documents
 """.strip()
+
+
+def q_hll_tokens_per_source(sf_dir: str):
+    """Approximate per-source vocabulary size via grouped HyperLogLog
+    (stages/sketches.hll_distinct_grouped): register partials are
+    mergeable, so shuffled bytes per batch are bounded by
+    sources × 2**p regardless of corpus size — the sketch twin of the
+    exact q_distinct_tokens_per_source (tolerance-tested against it in
+    tests/test_sketches.py; approximate ⇒ rows-only in the gate)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import hash64_columns
+    from ..functions.tokenize import ws_tokens
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.sketches import hll_distinct_grouped
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def _kv(tbl: pa.Table):
+        row_idx, flat = ws_tokens(tbl.column("text"))
+        src = tbl.column("source").to_numpy(zero_copy_only=False)[row_idx]
+        h = hash64_columns(pa.table({"t": flat}), ["t"])
+        return src, h
+
+    return hll_distinct_grouped(docs, "source", _kv, p=12)
+
+
+QUERIES["hll_tokens_per_source"] = q_hll_tokens_per_source

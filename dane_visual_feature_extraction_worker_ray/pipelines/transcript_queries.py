@@ -555,3 +555,74 @@ fwd AS (
 )
 SELECT conv_id, turn_idx, next_val, next_lead_s FROM fwd
 """.strip()
+
+
+def q_bfill_tool(sf_dir: str):
+    """Backward fill of the sparse tool column: each turn takes the
+    NEXT tool call at-or-after it within its conversation (the
+    label-side mirror of the leakage-safe ffill feature) — one hash
+    exchange on conv_id, then vectorized reversed prefix-min
+    (functions/segkernels.bfill_indices)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import segkernels as sk
+    from ..stages.exchange import hash_exchange
+
+    turns = events_to_turns(_events(sf_dir))
+
+    def _project(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["conv_id", "ts", "order_key", "tool"])
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("bfill_tool", pa.string()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        okey = tbl.column("order_key").cast(pa.int64()).to_numpy()
+        order = np.lexsort((okey, ts, codes))
+        t = tbl.take(pa.array(order))
+        codes = codes[order]
+        n = len(codes)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        tix = (np.arange(n) - np.repeat(starts, lens)).astype(np.int32)
+        valid = t.column("tool").is_valid().to_numpy(zero_copy_only=False)
+        idx, ok = sk.bfill_indices(valid, codes)
+        take_idx = pa.array(np.where(ok, idx, 0), mask=~ok)
+        tool_arr = t.column("tool").combine_chunks()
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pa.array(tix),
+                "bfill_tool": tool_arr.take(take_idx),
+            }
+        )
+
+    return hash_exchange(
+        turns.map_batches(_project, batch_format="pyarrow", batch_size=None),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["bfill_tool"] = q_bfill_tool
+ORACLE_SQL["bfill_tool"] = f"""
+WITH {SQL_TURNS_CTE}
+SELECT conv_id, turn_idx,
+  first_value(tool IGNORE NULLS) OVER (
+    PARTITION BY conv_id ORDER BY ts, event_id
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill_tool
+FROM turns
+""".strip()

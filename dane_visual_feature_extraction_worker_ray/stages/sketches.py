@@ -239,6 +239,100 @@ def hll_distinct(
     return hll_estimate(regs)
 
 
+def hll_distinct_grouped(
+    ds,
+    key_col: str,
+    batch_to_kv,
+    p: int = 12,
+    num_partitions: int = 16,
+):
+    """Approximate distinct count PER GROUP: HyperLogLog registers as
+    mergeable grouped partials.
+
+    ``batch_to_kv(tbl) -> (keys, hashes)``: group key values (any
+    numpy-comparable dtype) and uint64 value hashes, one pair per
+    observation. Per batch the sparse non-zero registers are reduced
+    with one sort + ``maximum.reduceat`` (works at any group
+    cardinality — no dense groups×2**p allocation); the cross-batch
+    combine is ``max(r)`` per (key, register) on the exchange's C++
+    group_by; the per-group estimate is the standard bias-corrected
+    harmonic mean with linear counting for the small range.
+
+    Shuffled bytes per batch are bounded by
+    ``distinct (group, register) pairs ≤ groups_in_batch × 2**p``,
+    independent of row count — same partial→final contract as every
+    other engine aggregate. Returns a Dataset ``(key_col, est)``.
+    """
+    from .exchange import hash_grouped_map
+    from .groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    m = 1 << p
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        keys, h = batch_to_kv(tbl)
+        h = h.astype(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+        fl = 64 - np.floor(
+            np.log2(rest.astype(np.float64)) + 1e-15
+        ).astype(np.int64)
+        rank = np.minimum(fl, 64 - p + 1).astype(np.int64)
+        codes, uniq = _factorize(keys)
+        ck = codes.astype(np.int64) * m + idx
+        order = np.argsort(ck, kind="stable")
+        cks, rs = ck[order], rank[order]
+        starts = np.flatnonzero(np.r_[True, cks[1:] != cks[:-1]]) if len(
+            cks
+        ) else np.array([], np.int64)
+        maxr = (
+            np.maximum.reduceat(rs, starts)
+            if len(starts)
+            else np.array([], np.int64)
+        )
+        return pa.table(
+            {
+                key_col: pa.array(uniq[cks[starts] // m]),
+                "i": pa.array((cks[starts] % m).astype(np.int32)),
+                "r": pa.array(maxr),
+            }
+        )
+
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    )
+    regs = hash_grouped_aggregate(
+        partials, [key_col, "i"], [("r", "max")],
+        num_buckets=num_partitions,
+    )
+
+    def _estimate(g: pa.Table) -> pa.Table:
+        full = np.zeros(m, np.float64)
+        full[g.column("i").to_numpy().astype(np.int64)] = (
+            g.column("r").cast(pa.int64()).to_numpy()
+        )
+        est = _hll_alpha(m) * m * m / np.sum(np.exp2(-full))
+        zeros = int((full == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return pa.table(
+            {
+                key_col: pa.array([g.column(key_col)[0].as_py()]),
+                "est": pa.array([float(est)]),
+            }
+        )
+
+    return hash_grouped_map(
+        regs, [key_col], _estimate, num_partitions=num_partitions
+    )
+
+
+def _factorize(keys):
+    """np.unique-based factorize (codes, uniques) for any comparable
+    dtype, including object-dtype strings."""
+    uniq, codes = np.unique(keys, return_inverse=True)
+    return codes, uniq
+
+
 def grouped_quantile_sketch_ds(
     ds, key_col: str, val_col: str, qs, capacity: int = 8192
 ) -> pa.Table:

@@ -167,3 +167,23 @@ def test_asof_forward_empty_sides():
     assert len(idx) == 0
     idx, ok = sk.asof_indices_forward(np.array([0]), np.array([5]), e, e)
     assert not ok[0]
+
+
+def test_bfill_indices_brute_force():
+    rng = np.random.default_rng(23)
+    n = 200
+    seg = np.sort(rng.integers(0, 12, n))
+    valid = rng.random(n) < 0.3
+    idx, ok = sk.bfill_indices(valid, seg)
+    for i in range(n):
+        nxt = [j for j in range(i, n) if seg[j] == seg[i] and valid[j]]
+        if nxt:
+            assert ok[i] and idx[i] == nxt[0]
+        else:
+            assert not ok[i]
+
+
+def test_segment_last_index():
+    seg = np.array([0, 0, 1, 1, 1, 2])
+    assert sk.segment_last_index(seg).tolist() == [1, 1, 4, 4, 4, 5]
+    assert len(sk.segment_last_index(np.empty(0, np.int64))) == 0

@@ -73,3 +73,82 @@ def test_hll_within_tolerance_and_split_invariant():
     e9 = hll_distinct(rd.from_arrow(t).repartition(9), ["x"], p=12)
     assert e3 == e9  # register-max merge is split-invariant
     assert abs(e3 - true_n) / true_n < 0.05
+
+
+def test_hll_grouped_within_tolerance_of_exact(ray_session):
+    """Grouped HLL vocabulary estimates vs the exact grouped distinct
+    (p=12 → ~1.6% standard error; assert 5%)."""
+    import duckdb
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.text_queries import (
+        q_hll_tokens_per_source,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    est = (
+        q_hll_tokens_per_source(sf)
+        .to_pandas()
+        .set_index("source")["est"]
+    )
+    con = duckdb.connect()
+    exact = (
+        con.execute(
+            rf"""
+            SELECT source, count(DISTINCT tok) AS n FROM (
+              SELECT source,
+                unnest(list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')) AS tok
+              FROM read_parquet('{sf}/documents.parquet'))
+            GROUP BY source
+            """
+        )
+        .df()
+        .set_index("source")["n"]
+    )
+    assert set(est.index) == set(exact.index)
+    for src in exact.index:
+        rel = abs(est[src] - exact[src]) / exact[src]
+        assert rel < 0.05, (src, est[src], exact[src])
+
+
+def test_hll_grouped_many_groups_no_dense_blowup(ray_session):
+    """Sort-reduceat partial path: high-cardinality group column (one
+    group per ~2 rows) must still produce sane per-group estimates."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.functions.hashing import (
+        hash64_columns,
+    )
+    from dane_visual_feature_extraction_worker_ray.stages.sketches import (
+        hll_distinct_grouped,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    g = rng.integers(0, 1000, n).astype(np.int64)
+    v = rng.integers(0, 50, n).astype(np.int64)
+    tbl = pa.table({"g": pa.array(g), "v": pa.array(v)})
+
+    def _kv(t):
+        keys = t.column("g").to_numpy()
+        h = hash64_columns(t.select(["v"]), ["v"])
+        return keys, h
+
+    out = (
+        hll_distinct_grouped(
+            rd.from_arrow(tbl).repartition(4), "g", _kv, p=10
+        )
+        .to_pandas()
+        .set_index("g")["est"]
+    )
+    import pandas as pd
+
+    exact = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].nunique()
+    assert set(out.index) == set(exact.index)
+    # tiny groups: linear counting is near-exact up to hash
+    # quantization — allow ±2 absolute or 10% relative
+    err = (out.reindex(exact.index) - exact).abs()
+    ok = (err <= 2) | (err / exact < 0.1)
+    assert ok.all(), err[~ok]

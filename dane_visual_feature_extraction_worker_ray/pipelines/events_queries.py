@@ -161,3 +161,70 @@ SELECT v.user_id, v.ta AS first_view_ts, p.tb AS first_purchase_ts,
 FROM v LEFT JOIN p ON v.user_id = p.user_id
 """.strip(),
 }
+
+
+def q_train_test_split_counts(sf_dir: str):
+    """Leakage-aware train/test split: the coin is thrown per
+    CONVERSATION (user), never per row, so a conversation's turns can
+    never straddle the split. Two-level exact aggregation: per-batch
+    (user, n) partials → user-keyed exchange (exact per-user totals,
+    each user wholly in one partition) → tiny per-split sums."""
+    from ..stages.exchange import hash_grouped_map
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = tbl.filter(
+            pc.not_equal(tbl.column("event_type"), "signup")
+        )
+        t = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["user_id"], [("n", "sum")])
+
+    per_user = hash_grouped_aggregate(
+        ev.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    def _split_partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").cast(pa.int64()).to_numpy()
+        split = np.where((uid * 37 + 11) % 10 < 8, "train", "test")
+        t = pa.table(
+            {
+                "split": pa.array(split),
+                "n_convs": pa.array(np.ones(len(uid), np.int64)),
+                "n_turns": tbl.column("n").cast(pa.int64()),
+            }
+        )
+        return group_aggregate_table(
+            t, ["split"], [("n_convs", "sum"), ("n_turns", "sum")]
+        )
+
+    return hash_grouped_aggregate(
+        per_user.map_batches(
+            _split_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["split"],
+        [("n_convs", "sum"), ("n_turns", "sum")],
+        num_buckets=2,
+    )
+
+
+QUERIES["train_test_split_counts"] = q_train_test_split_counts
+ORACLE_SQL["train_test_split_counts"] = """
+SELECT CASE WHEN (user_id * 37 + 11) % 10 < 8
+            THEN 'train' ELSE 'test' END AS split,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_convs,
+  CAST(count(*) AS BIGINT) AS n_turns
+FROM events WHERE event_type <> 'signup'
+GROUP BY 1
+""".strip()

@@ -941,3 +941,84 @@ SELECT date_trunc('month', o_orderdate) AS month,
   CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100 AS revenue
 FROM orders GROUP BY 1
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# winsorization (outlier clipping at exact percentiles): two-pass
+# broadcast-stat pattern — pass 1 computes exact p01/p99 from the
+# mergeable cent histogram (tiny), pass 2 streams the corpus clipping
+# each value; the thresholds ride the closure, nothing shuffles
+
+
+def q_winsorized_prices(sf_dir: str):
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "price_c": pa.array(_cents(tbl.column("l_extendedprice"))),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["price_c"], [("n", "sum")])
+
+    hist_ds = hash_grouped_aggregate(
+        li.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["price_c"],
+        [("n", "sum")],
+        num_buckets=4,
+    )
+    import ray as _ray
+
+    parts = [
+        _ray.get(r) for r in hist_ds.to_arrow_refs()
+    ]
+    hist = pa.concat_tables([t for t in parts if t.num_rows])
+    vals = hist.column("price_c").to_numpy()
+    cnt = hist.column("n").cast(pa.int64()).to_numpy()
+    o = np.argsort(vals)
+    vals, cnt = vals[o], cnt[o]
+    cum = np.cumsum(cnt)
+    total = int(cum[-1])
+
+    def _cont(q: float) -> float:
+        # DuckDB quantile_cont IEEE shape: lo*(1-frac) + hi*frac
+        h = q * (total - 1)
+        lo_r = int(np.floor(h))
+        frac = h - lo_r
+        v_lo = float(vals[np.searchsorted(cum, lo_r + 1)])
+        v_hi = float(vals[np.searchsorted(cum, min(lo_r + 2, total))])
+        return v_lo * (1.0 - frac) + v_hi * frac
+
+    lo_c, hi_c = _cont(0.01), _cont(0.99)
+
+    def _clip(tbl: pa.Table) -> pa.Table:
+        c = _cents(tbl.column("l_extendedprice")).astype(np.float64)
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "l_linenumber": tbl.column("l_linenumber").cast(pa.int64()),
+                "clipped": pa.array(
+                    np.minimum(np.maximum(c, lo_c), hi_c) / 100.0
+                ),
+            }
+        )
+
+    return li.map_batches(_clip, batch_format="pyarrow")
+
+
+QUERIES["winsorized_prices"] = q_winsorized_prices
+ORACLE_SQL["winsorized_prices"] = """
+WITH q AS (
+  SELECT
+    quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.01) AS lo,
+    quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.99) AS hi
+  FROM lineitem)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+  LEAST(GREATEST(CAST(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                      AS DOUBLE), q.lo), q.hi) / 100.0 AS clipped
+FROM lineitem, q
+""".strip()

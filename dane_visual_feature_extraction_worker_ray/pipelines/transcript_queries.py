@@ -626,3 +626,86 @@ SELECT conv_id, turn_idx,
     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill_tool
 FROM turns
 """.strip()
+
+
+def q_purchase_within_hour(sf_dir: str):
+    """Future-window conversion label: for each turn, how many
+    purchase turns occur in the same conversation within [ts, ts+1h]
+    (value-range frame — equal-ts peers count symmetrically on both
+    engines). One conv_id exchange; per partition ONE composite-key
+    searchsorted pair over the purchase subset — the windowed-label
+    mirror of the time-window feature counts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    H_US = 3600 * US_PER_S
+    turns = events_to_turns(_events(sf_dir))
+
+    def _project(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["conv_id", "ts", "order_key", "role"])
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("purchases_next_hour", pa.int64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        okey = tbl.column("order_key").cast(pa.int64()).to_numpy()
+        order = np.lexsort((okey, ts, codes))
+        t = tbl.take(pa.array(order))
+        codes, ts = codes[order], ts[order]
+        n = len(codes)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        tix = (np.arange(n) - np.repeat(starts, lens)).astype(np.int32)
+        is_p = (
+            t.column("role").to_numpy(zero_copy_only=False) == "purchase"
+        )
+        p_codes, p_ts = codes[is_p], ts[is_p]
+        lo = int(ts.min())
+        span = int(ts.max()) + H_US - lo + 2
+        if (int(codes.max()) + 1) * span >= 2**63:
+            raise OverflowError("composite window key overflows int64")
+        gp = p_codes.astype(np.int64) * span + (p_ts - lo)
+        g_lo = codes.astype(np.int64) * span + (ts - lo)
+        g_hi = codes.astype(np.int64) * span + (ts + H_US - lo)
+        cnt = np.searchsorted(gp, g_hi, side="right") - np.searchsorted(
+            gp, g_lo, side="left"
+        )
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": pa.array(tix),
+                "purchases_next_hour": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return hash_exchange(
+        turns.map_batches(_project, batch_format="pyarrow", batch_size=None),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["purchase_within_hour"] = q_purchase_within_hour
+ORACLE_SQL["purchase_within_hour"] = f"""
+WITH {SQL_TURNS_CTE}
+SELECT conv_id, turn_idx,
+  CAST(SUM(CASE WHEN role = 'purchase' THEN 1 ELSE 0 END) OVER (
+    PARTITION BY conv_id ORDER BY ts
+    RANGE BETWEEN CURRENT ROW AND INTERVAL 1 HOUR FOLLOWING)
+    AS BIGINT) AS purchases_next_hour
+FROM turns
+""".strip()

@@ -306,3 +306,78 @@ WHERE NOT EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000)
 """.strip()
+
+
+def q_docs_group_stats_join(sf_dir: str):
+    """Feature augmentation on a COMPOSITE key: per-(lang, source)
+    document count and mean length joined back onto every document —
+    hash_equi_join_multi packs the key tuple injectively
+    (length-prefixed segments) and rides the single-key join machinery.
+    Mean = exact int sum with one IEEE division, shared with the SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+    from ..stages.join import hash_equi_join_multi
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": tbl.column("lang"),
+                "source": tbl.column("source"),
+                "n_docs": pa.array(np.ones(tbl.num_rows, np.int64)),
+                "chars": tbl.column("n_chars").cast(pa.int64()),
+            }
+        )
+        return group_aggregate_table(
+            t, ["lang", "source"], [("n_docs", "sum"), ("chars", "sum")]
+        )
+
+    stats = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["lang", "source"],
+        [("n_docs", "sum"), ("chars", "sum")],
+        num_buckets=8,
+    )
+
+    def _mean(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n_docs").cast(pa.int64()).to_numpy()
+        ch = tbl.column("chars").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "lang": tbl.column("lang"),
+                "source": tbl.column("source"),
+                "grp_docs": pa.array(n),
+                "grp_mean_chars": pa.array(ch.astype(np.float64) / n),
+            }
+        )
+
+    stats = stats.map_batches(_mean, batch_format="pyarrow", batch_size=None)
+    return hash_equi_join_multi(
+        docs,
+        stats,
+        left_on=["lang", "source"],
+        right_on=["lang", "source"],
+        right_columns=["grp_docs", "grp_mean_chars"],
+        how="inner",
+        num_partitions=8,
+    )
+
+
+QUERIES["docs_group_stats_join"] = q_docs_group_stats_join
+ORACLE_SQL["docs_group_stats_join"] = """
+WITH g AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS grp_docs,
+    CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*)
+      AS grp_mean_chars
+  FROM documents GROUP BY lang, source)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, g.grp_docs,
+       g.grp_mean_chars
+FROM documents d JOIN g ON d.lang = g.lang AND d.source = g.source
+""".strip()

@@ -414,3 +414,77 @@ def hash_equi_join(
     return hash_exchange(
         unioned, _PK, num_partitions, _kernel, empty_schema=out_schema
     )
+
+
+_CK = "__ck"
+
+
+def pack_keys(tbl: pa.Table, cols: list[str]) -> pa.Array:
+    """INJECTIVE string encoding of a composite key tuple:
+    length-prefixed segments (``len:value|len:value``), so no
+    separator collision is possible and two tuples encode equal iff
+    they are equal component-wise. Any NULL component yields a NULL
+    packed key — composite SQL equality fails on nulls, and null keys
+    never match in :func:`hash_equi_join`, so the semantics compose.
+    All Arrow C++ kernels; no Python per-row work."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in cols:
+        s = pc.cast(tbl.column(c), pa.string())
+        ln = pc.cast(pc.utf8_length(s), pa.string())
+        parts.extend([ln, s])
+    if len(cols) == 1:
+        return pc.binary_join_element_wise(parts[0], parts[1], ":")
+    first = pc.binary_join_element_wise(parts[0], parts[1], ":")
+    rest = [
+        pc.binary_join_element_wise(parts[i], parts[i + 1], ":")
+        for i in range(2, len(parts), 2)
+    ]
+    return pc.binary_join_element_wise(first, *rest, "|")
+
+
+def hash_equi_join_multi(
+    left_ds,
+    right_ds,
+    left_on: list[str],
+    right_on: list[str],
+    right_columns: list[str] | None = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+    right_suffix: str = "_r",
+):
+    """Composite-key variant of :func:`hash_equi_join`: both sides are
+    projected with an injective packed-key column (:func:`pack_keys`),
+    the single-key join machinery runs unchanged on it, and the
+    surrogate column is dropped from the output. Cost: one extra
+    string column (~sum of key widths + prefixes) through the
+    exchange."""
+    if len(left_on) != len(right_on) or not left_on:
+        raise ValueError("left_on/right_on must be equal-length, non-empty")
+
+    def _with_ck(cols):
+        def _fn(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(_CK, pack_keys(tbl, cols))
+
+        return _fn
+
+    joined = hash_equi_join(
+        left_ds.map_batches(
+            _with_ck(left_on), batch_format="pyarrow", batch_size=None
+        ),
+        right_ds.map_batches(
+            _with_ck(right_on), batch_format="pyarrow", batch_size=None
+        ),
+        left_on=_CK,
+        right_on=_CK,
+        right_columns=right_columns,
+        how=how,
+        num_partitions=num_partitions,
+        right_suffix=right_suffix,
+    )
+
+    def _drop(tbl: pa.Table) -> pa.Table:
+        return tbl.drop_columns([_CK])
+
+    return joined.map_batches(_drop, batch_format="pyarrow", batch_size=None)

@@ -242,3 +242,94 @@ def test_hot_keys_string_join():
     assert out.loc[out["lv"] == 3, "rv"].tolist() == [20]
     assert out.loc[out["lv"] == 4, "rv"].isna().all()
     assert out.loc[out["lv"] == 5, "rv"].tolist() == [10]
+
+
+def test_pack_keys_injective_on_adversarial_strings():
+    """Separator characters inside values must not alias tuples —
+    ('a|b', 'c') vs ('a', 'b|c') vs ('a', 'b', 'c')-style collisions."""
+    import pyarrow as pa
+
+    from dane_visual_feature_extraction_worker_ray.stages.join import (
+        pack_keys,
+    )
+
+    tuples = [
+        ("a|b", "c"),
+        ("a", "b|c"),
+        ("a:b", "c"),
+        ("a", "b:c"),
+        ("ab", "c"),
+        ("a", "bc"),
+        ("", "abc"),
+        ("abc", ""),
+        ("1:a", "b"),
+        ("1", "a|b"),
+    ]
+    tbl = pa.table(
+        {
+            "x": pa.array([t[0] for t in tuples]),
+            "y": pa.array([t[1] for t in tuples]),
+        }
+    )
+    packed = pack_keys(tbl, ["x", "y"]).to_pylist()
+    assert len(set(packed)) == len(tuples), packed
+    # null component -> null packed key
+    tbl2 = pa.table(
+        {
+            "x": pa.array(["a", None], pa.string()),
+            "y": pa.array([None, "b"], pa.string()),
+        }
+    )
+    assert pack_keys(tbl2, ["x", "y"]).null_count == 2
+
+
+def test_multi_key_join_matches_pandas(ray_session):
+    from dane_visual_feature_extraction_worker_ray.stages.join import (
+        hash_equi_join_multi,
+    )
+
+    rng = np.random.default_rng(31)
+    ldf = pd.DataFrame(
+        {
+            "a": rng.integers(0, 8, 200).astype(np.int64),
+            "b": rng.choice(["x", "y", "z"], 200),
+            "lval": np.arange(200, dtype=np.int64),
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "ra": rng.integers(0, 8, 60).astype(np.int64),
+            "rb": rng.choice(["x", "y", "z", "w"], 60),
+            "rval": np.arange(60, dtype=np.int64) * 7,
+        }
+    )
+    got = (
+        hash_equi_join_multi(
+            rd.from_pandas(ldf).repartition(4),
+            rd.from_pandas(rdf).repartition(3),
+            left_on=["a", "b"],
+            right_on=["ra", "rb"],
+            right_columns=["rval"],
+            how="left",
+            num_partitions=5,
+        )
+        .to_pandas()
+        .sort_values(["a", "b", "lval", "rval"], na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = (
+        ldf.merge(
+            rdf.rename(columns={"ra": "a", "rb": "b"}),
+            on=["a", "b"],
+            how="left",
+        )
+        .sort_values(["a", "b", "lval", "rval"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ["a", "lval", "rval"]:
+        pd.testing.assert_series_equal(
+            got[c].astype("float64"), exp[c].astype("float64"),
+            check_names=False,
+        )
+    assert (got["b"] == exp["b"]).all()

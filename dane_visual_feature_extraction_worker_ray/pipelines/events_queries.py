@@ -228,3 +228,46 @@ SELECT CASE WHEN (user_id * 37 + 11) % 10 < 8
 FROM events WHERE event_type <> 'signup'
 GROUP BY 1
 """.strip()
+
+
+def q_user_event_unpivot(sf_dir: str):
+    """Reshape round trip: melt the wide pivot back to long
+    (user_id, event_type, n), dropping the pivot's structural zeros —
+    the result must equal the plain grouped counts, which is the SQL
+    oracle. The melt is a pure per-batch reshape: tile the id column
+    once per value column, concatenate the counts, filter n > 0."""
+    wide = q_user_event_pivot(sf_dir)
+
+    def _melt(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id")
+        ids, types, counts = [], [], []
+        for e in EVENT_TYPES:
+            ids.append(uid)
+            types.append(pa.array([e] * n, pa.string()))
+            counts.append(tbl.column(f"n_{e}"))
+        import pyarrow.compute as pc
+
+        long = pa.table(
+            {
+                "user_id": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                     else c for c in ids]
+                ),
+                "event_type": pa.concat_arrays(types),
+                "n": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                     else c for c in counts]
+                ),
+            }
+        )
+        return long.filter(pc.greater(long.column("n"), 0))
+
+    return wide.map_batches(_melt, batch_format="pyarrow")
+
+
+QUERIES["user_event_unpivot"] = q_user_event_unpivot
+ORACLE_SQL["user_event_unpivot"] = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+""".strip()

@@ -709,3 +709,82 @@ SELECT conv_id, turn_idx,
     AS BIGINT) AS purchases_next_hour
 FROM turns
 """.strip()
+
+
+def q_conv_latency_quantiles(sf_dir: str):
+    """Per-conversation EXACT latency percentiles (entity-cardinality
+    grouped quantiles — millions of groups belong on the exchange, not
+    in driver-merged sketches): one conv_id exchange, then fully
+    vectorized per partition — lexsort once for the deltas, a second
+    lexsort of (conv, delta), and the quantile_disc index
+    ceil(q·n)−1 picked per group run; single-turn conversations have
+    no deltas and drop out exactly as in the SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    turns = events_to_turns(_events(sf_dir))
+
+    def _project(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["conv_id", "ts", "order_key"])
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("p50_us", pa.int64()),
+            ("p90_us", pa.int64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        okey = tbl.column("order_key").cast(pa.int64()).to_numpy()
+        order = np.lexsort((okey, ts, codes))
+        codes, ts = codes[order], ts[order]
+        n = len(codes)
+        same = np.r_[False, codes[1:] == codes[:-1]]
+        delta = np.empty(n, np.int64)
+        delta[1:] = ts[1:] - ts[:-1]
+        d_codes, d_vals = codes[same], delta[same]
+        if not len(d_codes):
+            return out_schema.empty_table()
+        o2 = np.lexsort((d_vals, d_codes))
+        d_codes, d_vals = d_codes[o2], d_vals[o2]
+        starts = np.flatnonzero(
+            np.r_[True, d_codes[1:] != d_codes[:-1]]
+        )
+        lens = np.diff(np.r_[starts, len(d_codes)])
+        out = {"conv_id": pa.array(uniq[d_codes[starts]], pa.string())}
+        for name, q in (("p50_us", 0.5), ("p90_us", 0.9)):
+            k = np.ceil(q * lens).astype(np.int64) - 1
+            out[name] = pa.array(d_vals[starts + k])
+        return pa.table(out)
+
+    return hash_exchange(
+        turns.map_batches(_project, batch_format="pyarrow", batch_size=None),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["conv_latency_quantiles"] = q_conv_latency_quantiles
+ORACLE_SQL["conv_latency_quantiles"] = f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY ts, event_id) AS delta_us
+  FROM turns)
+SELECT conv_id,
+  quantile_disc(delta_us, 0.5) AS p50_us,
+  quantile_disc(delta_us, 0.9) AS p90_us
+FROM d WHERE delta_us IS NOT NULL
+GROUP BY conv_id
+""".strip()

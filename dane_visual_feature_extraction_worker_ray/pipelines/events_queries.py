@@ -271,3 +271,65 @@ ORACLE_SQL["user_event_unpivot"] = """
 SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY user_id, event_type
 """.strip()
+
+
+def q_hourly_active_users(sf_dir: str):
+    """Windowed exact distinct: active users + event volume per
+    tumbling hour. Two-level shape — per-batch (hour, user) partials
+    collapse duplicates early, the (hour, user)-keyed exchange makes
+    per-user totals exact, and the final per-hour reduction counts
+    users and sums events; raw rows never shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "hour": pc.floor_temporal(tbl.column("ts"), unit="hour"),
+                "user_id": tbl.column("user_id"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["hour", "user_id"], [("n", "sum")]
+        )
+
+    per_user = hash_grouped_aggregate(
+        ev.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["hour", "user_id"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    def _hour_partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "hour": tbl.column("hour"),
+                "n_users": pa.array(np.ones(tbl.num_rows, np.int64)),
+                "n_events": tbl.column("n").cast(pa.int64()),
+            }
+        )
+        return group_aggregate_table(
+            t, ["hour"], [("n_users", "sum"), ("n_events", "sum")]
+        )
+
+    return hash_grouped_aggregate(
+        per_user.map_batches(
+            _hour_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["hour"],
+        [("n_users", "sum"), ("n_events", "sum")],
+        num_buckets=4,
+    )
+
+
+QUERIES["hourly_active_users"] = q_hourly_active_users
+ORACLE_SQL["hourly_active_users"] = """
+SELECT date_trunc('hour', ts) AS hour,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""".strip()

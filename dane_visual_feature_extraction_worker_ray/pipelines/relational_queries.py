@@ -1022,3 +1022,71 @@ SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
                       AS DOUBLE), q.lo), q.hi) / 100.0 AS clipped
 FROM lineitem, q
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# quantile normalization: map each value to its empirical CDF
+# (cume_dist) — the rank-uniformizing feature transform. The exact
+# cent histogram gives cumulative counts per DISTINCT value, so
+# cume_dist(v) = cum_count(v) / n is a tiny broadcast + one
+# searchsorted per batch; value ties get identical scores on both
+# engines by construction (no per-row rank shuffle at all)
+
+
+def q_price_cume_dist(sf_dir: str):
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "price_c": pa.array(_cents(tbl.column("l_extendedprice"))),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["price_c"], [("n", "sum")])
+
+    hist_ds = hash_grouped_aggregate(
+        li.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["price_c"],
+        [("n", "sum")],
+        num_buckets=4,
+    )
+    import ray as _ray
+
+    parts = [_ray.get(r) for r in hist_ds.to_arrow_refs()]
+    hist = pa.concat_tables([t for t in parts if t.num_rows])
+    vals = hist.column("price_c").to_numpy()
+    cnt = hist.column("n").cast(pa.int64()).to_numpy()
+    o = np.argsort(vals)
+    vals, cum = vals[o], np.cumsum(cnt[o])
+    total = int(cum[-1])
+    vals_ref, cum_ref = _ray.put(vals), _ray.put(cum)
+
+    def _score(tbl: pa.Table) -> pa.Table:
+        v = _ray.get(vals_ref)
+        c = _ray.get(cum_ref)
+        x = _cents(tbl.column("l_extendedprice"))
+        pos = np.searchsorted(v, x, side="left")
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "l_linenumber": tbl.column("l_linenumber").cast(pa.int64()),
+                "cume": pa.array(
+                    c[pos].astype(np.float64) / np.float64(total)
+                ),
+            }
+        )
+
+    return li.map_batches(_score, batch_format="pyarrow")
+
+
+QUERIES["price_cume_dist"] = q_price_cume_dist
+ORACLE_SQL["price_cume_dist"] = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+  cume_dist() OVER (
+    ORDER BY CAST(round(l_extendedprice*100,0) AS BIGINT)) AS cume
+FROM lineitem
+""".strip()

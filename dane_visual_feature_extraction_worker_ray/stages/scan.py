@@ -77,6 +77,11 @@ def grouped_scan(
       ``("cumsum", col, out)``   running int64 sum of ``col``
                                  (nulls add 0)
 
+    For deterministic output, ``order_by`` must be a TOTAL order
+    within each group (include a unique tie-breaker column, as SQL
+    window frames need for reproducible running values); every gate
+    query does.
+
     Output columns: ``keep_cols`` (default: all input columns) +
     the spec outputs. Project ``ds`` to the needed columns *before*
     calling — everything passed in rides the exchange.

@@ -1090,3 +1090,78 @@ SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
     ORDER BY CAST(round(l_extendedprice*100,0) AS BIGINT)) AS cume
 FROM lineitem
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# robust statistics: median + MAD (median absolute deviation). The SQL
+# needs two corpus passes (median, then deviations); the engine needs
+# ONE — the |v − med| histogram is a pure driver-side transform of the
+# value histogram (fold values around the median, re-merge counts), so
+# the second "pass" costs O(distinct values), not O(rows)
+
+
+def q_price_mad(sf_dir: str):
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "price_c": pa.array(_cents(tbl.column("l_extendedprice"))),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["price_c"], [("n", "sum")])
+
+    hist_ds = hash_grouped_aggregate(
+        li.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["price_c"],
+        [("n", "sum")],
+        num_buckets=4,
+    )
+    import ray as _ray
+
+    parts = [_ray.get(r) for r in hist_ds.to_arrow_refs()]
+    hist = pa.concat_tables([t for t in parts if t.num_rows])
+    vals = hist.column("price_c").to_numpy()
+    cnt = hist.column("n").cast(pa.int64()).to_numpy()
+    o = np.argsort(vals)
+    vals, cnt = vals[o], cnt[o]
+    cum = np.cumsum(cnt)
+    total = int(cum[-1])
+
+    def _disc(v, c, q):
+        # quantile_disc: 0-based index ceil(q*n) - 1
+        k = int(np.ceil(q * int(c[-1]))) - 1
+        return int(v[np.searchsorted(c, k + 1)])
+
+    med = _disc(vals, cum, 0.5)
+    # fold the histogram around the median and re-merge equal |dev|s
+    dev = np.abs(vals - med)
+    od = np.argsort(dev, kind="stable")
+    dev_s, cnt_s = dev[od], cnt[od]
+    starts = np.flatnonzero(np.r_[True, dev_s[1:] != dev_s[:-1]])
+    dev_u = dev_s[starts]
+    cnt_u = np.add.reduceat(cnt_s, starts)
+    mad = _disc(dev_u, np.cumsum(cnt_u), 0.5)
+    return pa.table(
+        {
+            "median": pa.array([med / 100.0]),
+            "mad": pa.array([mad / 100.0]),
+            "n": pa.array([total], pa.int64()),
+        }
+    )
+
+
+QUERIES["price_mad"] = q_price_mad
+ORACLE_SQL["price_mad"] = """
+WITH c AS (
+  SELECT CAST(round(l_extendedprice*100,0) AS BIGINT) AS v
+  FROM lineitem),
+med AS (SELECT quantile_disc(v, 0.5) AS m FROM c)
+SELECT CAST(med.m AS DOUBLE)/100 AS median,
+  CAST(quantile_disc(abs(c.v - med.m), 0.5) AS DOUBLE)/100 AS mad,
+  CAST(count(*) AS BIGINT) AS n
+FROM c, med GROUP BY med.m
+""".strip()

@@ -1094,3 +1094,67 @@ def q_hll_tokens_per_source(sf_dir: str):
 
 
 QUERIES["hll_tokens_per_source"] = q_hll_tokens_per_source
+
+
+TOKEN_BUDGET = 512
+
+
+def q_token_budget_chunks(sf_dir: str):
+    """Offset-based sequence packing: assign each document to a
+    training chunk by its global token OFFSET (chunk = floor(offset /
+    budget), the standard approximate packing where boundary docs are
+    split at tokenization time). The offset is the engine's two-phase
+    global prefix scan over doc_id order — per-block token sums to the
+    driver, never rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.tokenize import ws_tokens
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.scan import global_scan
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def _ntok(tbl: pa.Table) -> pa.Table:
+        row_idx, _ = ws_tokens(tbl.column("text"))
+        n = np.bincount(row_idx, minlength=tbl.num_rows).astype(np.int64)
+        return pa.table(
+            {"doc_id": tbl.column("doc_id"), "n_tokens": pa.array(n)}
+        )
+
+    scanned = global_scan(
+        docs.map_batches(_ntok, batch_format="pyarrow"),
+        [("doc_id", "ascending")],
+        [("n_tokens", "cum_tokens")],
+    )
+
+    def _chunk(tbl: pa.Table) -> pa.Table:
+        cum = tbl.column("cum_tokens").to_numpy(zero_copy_only=False)
+        ntk = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+        off = cum - ntk
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": tbl.column("n_tokens"),
+                "chunk_id": pa.array(off // TOKEN_BUDGET),
+            }
+        )
+
+    return scanned.map_batches(_chunk, batch_format="pyarrow")
+
+
+QUERIES["token_budget_chunks"] = q_token_budget_chunks
+ORACLE_SQL["token_budget_chunks"] = rf"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(text, '\s+'),
+             x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       - n_tokens AS BIGINT) // {TOKEN_BUDGET} AS chunk_id
+FROM t
+""".strip()

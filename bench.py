@@ -75,12 +75,33 @@ def ensure_skew_corpus() -> tuple[str, str]:
     return tp, sp
 
 
+def _memcpy_gbps() -> float:
+    """Single-thread 100 MB memcpy probe (GB/s, read+write counted).
+    This VM's host-side DRAM starvation is invisible to loadavg and
+    steal counters but inflates every memory-bound stage uniformly
+    (measured 0.1-0.8 GB/s during bad windows vs several GB/s
+    healthy) — recording it makes an out-of-band suite total
+    attributable. See BASELINE.md variance notes."""
+    import time
+
+    import numpy as np
+
+    x = np.ones(12_500_000)  # 100 MB
+    x.copy()  # touch pages
+    t0 = time.perf_counter()
+    for _ in range(3):
+        x.copy()
+    dt = time.perf_counter() - t0
+    return round(3 * 0.1 * 2 / dt, 2)
+
+
 def run_bench(num_cpus: int, sf_dir: str) -> dict:
     import ray
 
     # pre-run load: our own workers inflate loadavg once the suite
     # starts, so only the STARTING value attributes external load
     load_at_start = round(os.getloadavg()[0], 2)
+    membw_at_start = _memcpy_gbps()
 
     # NOTE: do not use runtime_env worker_process_setup_hook here — the
     # runtime-env agent hangs in sandboxed (no-network, no-dashboard)
@@ -192,6 +213,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                 n_turns / timings["synthetic_flagship"], 1
             ),
             "host_load_1m_at_start": load_at_start,
+            "memcpy_gbps_at_start": membw_at_start,
         }
         ray.shutdown()
         return result
@@ -267,6 +289,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         # external load spikes that inflate timings ~2x (BASELINE.md
         # variance note) — recorded so a slow number can be attributed
         "host_load_1m_at_start": load_at_start,
+        "memcpy_gbps_at_start": membw_at_start,
     }
     ray.shutdown()
     return result

@@ -1158,3 +1158,106 @@ SELECT doc_id, n_tokens,
        - n_tokens AS BIGINT) // {TOKEN_BUDGET} AS chunk_id
 FROM t
 """.strip()
+
+
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve per source: how many NEW tokens each
+    document introduces, and the running vocabulary size — the
+    corpus-diversity diagnostic for training-data curation. Three-step
+    composition, no step ever holds raw text after the first:
+    (source, tok) → min(doc_id) on the pair-keyed exchange (first
+    sighting), then per-(source, first_doc) counts, then the grouped
+    prefix scan for the running total."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.tokenize import ws_tokens
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+    from ..stages.scan import grouped_scan
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def _pair_partial(tbl: pa.Table) -> pa.Table:
+        row_idx, flat = ws_tokens(tbl.column("text"))
+        t = pa.table(
+            {
+                "source": tbl.column("source").take(pa.array(row_idx)),
+                "tok": flat,
+                "first_doc": tbl.column("doc_id").take(pa.array(row_idx)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["source", "tok"], [("first_doc", "min")]
+        )
+
+    firsts = hash_grouped_aggregate(
+        docs.map_batches(
+            _pair_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["source", "tok"],
+        [("first_doc", "min")],
+        num_buckets=8,
+    )
+
+    def _doc_partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": tbl.column("source"),
+                "doc_id": tbl.column("first_doc").cast(pa.int64()),
+                "new_toks": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["source", "doc_id"], [("new_toks", "sum")]
+        )
+
+    per_doc = hash_grouped_aggregate(
+        firsts.map_batches(
+            _doc_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["source", "doc_id"],
+        [("new_toks", "sum")],
+        num_buckets=8,
+    )
+
+    def _typed(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": tbl.column("source"),
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "new_toks": tbl.column("new_toks").cast(pa.int64()),
+            }
+        )
+
+    return grouped_scan(
+        per_doc.map_batches(_typed, batch_format="pyarrow", batch_size=None),
+        "source",
+        [("doc_id", "ascending")],
+        [("cumsum", "new_toks", "vocab_size")],
+        num_partitions=8,
+    )
+
+
+QUERIES["vocab_growth"] = q_vocab_growth
+ORACLE_SQL["vocab_growth"] = r"""
+WITH pairs AS (
+  SELECT source, doc_id,
+    unnest(list_filter(string_split_regex(text, '\s+'),
+           x -> x <> '')) AS tok
+  FROM documents),
+firsts AS (
+  SELECT source, tok, min(doc_id) AS first_doc
+  FROM pairs GROUP BY source, tok),
+per_doc AS (
+  SELECT source, first_doc AS doc_id,
+    CAST(count(*) AS BIGINT) AS new_toks
+  FROM firsts GROUP BY source, first_doc)
+SELECT source, doc_id, new_toks,
+  CAST(SUM(new_toks) OVER (PARTITION BY source ORDER BY doc_id
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+FROM per_doc
+""".strip()

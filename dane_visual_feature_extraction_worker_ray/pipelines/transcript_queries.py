@@ -788,3 +788,65 @@ SELECT conv_id,
 FROM d WHERE delta_us IS NOT NULL
 GROUP BY conv_id
 """.strip()
+
+
+ASOF_TOL_S = 86400  # 24h
+
+
+def q_asof_join_tolerance(sf_dir: str):
+    """As-of join with a max-age TOLERANCE (pandas
+    merge_asof(tolerance=...) semantics): a prior snapshot older than
+    24h is treated as absent — a pure streaming mask over the as-of
+    output, so tolerance costs nothing extra at scale. The age
+    comparison is exact on both engines (identical double from
+    identical integer microseconds)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    feats = _features(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "snap_val_asof", "snap_tag_asof",
+         "snap_age_s"]
+    )
+
+    def _mask(tbl: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(
+            pc.is_valid(tbl.column("snap_age_s")),
+            pc.less_equal(
+                tbl.column("snap_age_s"), pa.scalar(float(ASOF_TOL_S))
+            ),
+        )
+        ok = pc.fill_null(ok, False)
+        null_f = pa.scalar(None, pa.float64())
+        null_s = pa.scalar(None, pa.string())
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "turn_idx": tbl.column("turn_idx"),
+                "snap_val_tol": pc.if_else(
+                    ok, tbl.column("snap_val_asof"), null_f
+                ),
+                "snap_tag_tol": pc.if_else(
+                    ok, tbl.column("snap_tag_asof"), null_s
+                ),
+                "snap_age_tol_s": pc.if_else(
+                    ok, tbl.column("snap_age_s"), null_f
+                ),
+            }
+        )
+
+    return feats.map_batches(_mask, batch_format="pyarrow")
+
+
+QUERIES["asof_join_tolerance"] = q_asof_join_tolerance
+ORACLE_SQL["asof_join_tolerance"] = (
+    SQL_PREAMBLE
+    + f"""
+ SELECT conv_id, turn_idx,
+   CASE WHEN snap_age_s <= {ASOF_TOL_S} THEN snap_val_asof END
+     AS snap_val_tol,
+   CASE WHEN snap_age_s <= {ASOF_TOL_S} THEN snap_tag_asof END
+     AS snap_tag_tol,
+   CASE WHEN snap_age_s <= {ASOF_TOL_S} THEN snap_age_s END
+     AS snap_age_tol_s
+ FROM asofj"""
+)

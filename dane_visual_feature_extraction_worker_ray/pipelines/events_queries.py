@@ -333,3 +333,85 @@ SELECT date_trunc('hour', ts) AS hour,
   CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1
 """.strip()
+
+
+def q_props_key_stats(sf_dir: str):
+    """Semi-structured column processing: extract the integer ``k``
+    from the JSON ``props`` payload (vectorized RE2 on the engine,
+    json_extract in the oracle — equal on well-formed JSON) and
+    aggregate per event type with the standard partial→tiny-final
+    shape. Missing/unparseable keys count as NULL (excluded from sum
+    and mean, like SQL)."""
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    ev = _events(sf_dir, ["event_type", "props"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            tbl.column("props").combine_chunks(),
+            r'"k":\s*(?P<k>-?\d+)',
+        )
+        valid = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+        ks = np.zeros(tbl.num_rows, np.int64)
+        if valid.any():
+            field = pc.struct_field(ex, [0])
+            ks_all = pc.cast(
+                pc.if_else(pc.is_valid(ex), field, "0"), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            ks = np.where(valid, ks_all, 0)
+        t = pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+                "n_k": pa.array(valid.astype(np.int64)),
+                "sum_k": pa.array(ks),
+            }
+        )
+        return group_aggregate_table(
+            t,
+            ["event_type"],
+            [("n", "sum"), ("n_k", "sum"), ("sum_k", "sum")],
+        )
+
+    final = hash_grouped_aggregate(
+        ev.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["event_type"],
+        [("n", "sum"), ("n_k", "sum"), ("sum_k", "sum")],
+        num_buckets=2,
+    )
+
+    def _fin(tbl: pa.Table) -> pa.Table:
+        n_k = tbl.column("n_k").cast(pa.int64()).to_numpy()
+        s = tbl.column("sum_k").cast(pa.int64()).to_numpy()
+        mean = s.astype(np.float64) / np.maximum(n_k, 1)
+        return pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "n_events": tbl.column("n").cast(pa.int64()),
+                "n_with_k": pa.array(n_k),
+                "sum_k": pa.array(s),
+                "mean_k": pa.array(
+                    np.where(n_k > 0, mean, np.nan)
+                ),
+            }
+        )
+
+    out = final.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+    return out
+
+
+QUERIES["props_key_stats"] = q_props_key_stats
+ORACLE_SQL["props_key_stats"] = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS n_with_k,
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_k,
+  CAST(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+       AS DOUBLE)
+    / count(CAST(json_extract(props, '$.k') AS BIGINT)) AS mean_k
+FROM events GROUP BY event_type
+""".strip()

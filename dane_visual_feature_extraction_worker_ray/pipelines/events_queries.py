@@ -169,7 +169,6 @@ def q_train_test_split_counts(sf_dir: str):
     never straddle the split. Two-level exact aggregation: per-batch
     (user, n) partials → user-keyed exchange (exact per-user totals,
     each user wholly in one partition) → tiny per-split sums."""
-    from ..stages.exchange import hash_grouped_map
     from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
 
     ev = _events(sf_dir, ["user_id", "event_type"])

@@ -861,12 +861,7 @@ def q_price_quantiles_cont(sf_dir: str):
             [g.column("l_returnflag")[0].as_py()], pa.string()
         )}
         for name, q in qs:
-            h = q * (total - 1)  # 0-based fractional rank
-            lo_r = int(np.floor(h))
-            frac = h - lo_r
-            v_lo = float(vals[np.searchsorted(cum, lo_r + 1)])
-            v_hi = float(vals[np.searchsorted(cum, min(lo_r + 2, total))])
-            v = v_lo * (1.0 - frac) + v_hi * frac
+            v = hist_quantile_cont(vals, cum, total, q)
             out[name] = pa.array([v / 100.0])
         return pa.table(out)
 
@@ -950,11 +945,12 @@ FROM orders GROUP BY 1
 # each value; the thresholds ride the closure, nothing shuffles
 
 
-def q_winsorized_prices(sf_dir: str):
+def _lineitem_cent_hist(li):
+    """Shared pass-1 of every histogram-statistic query (winsorize,
+    cume_dist, MAD): mergeable per-batch (cent, count) partials →
+    tiny exchange → driver-side ``(vals_sorted, cum, total)``. Driver
+    state is O(distinct cent values), never rows."""
     from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
-
-    li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
 
     def _partial(tbl: pa.Table) -> pa.Table:
         t = pa.table(
@@ -973,27 +969,42 @@ def q_winsorized_prices(sf_dir: str):
     )
     import ray as _ray
 
-    parts = [
-        _ray.get(r) for r in hist_ds.to_arrow_refs()
-    ]
+    parts = [_ray.get(r) for r in hist_ds.to_arrow_refs()]
     hist = pa.concat_tables([t for t in parts if t.num_rows])
     vals = hist.column("price_c").to_numpy()
     cnt = hist.column("n").cast(pa.int64()).to_numpy()
     o = np.argsort(vals)
     vals, cnt = vals[o], cnt[o]
     cum = np.cumsum(cnt)
-    total = int(cum[-1])
+    return vals, cum, int(cum[-1])
 
-    def _cont(q: float) -> float:
-        # DuckDB quantile_cont IEEE shape: lo*(1-frac) + hi*frac
-        h = q * (total - 1)
-        lo_r = int(np.floor(h))
-        frac = h - lo_r
-        v_lo = float(vals[np.searchsorted(cum, lo_r + 1)])
-        v_hi = float(vals[np.searchsorted(cum, min(lo_r + 2, total))])
-        return v_lo * (1.0 - frac) + v_hi * frac
 
-    lo_c, hi_c = _cont(0.01), _cont(0.99)
+def hist_quantile_cont(vals, cum, total, q: float) -> float:
+    """DuckDB quantile_cont from a (sorted values, cumulative counts)
+    histogram — the exact IEEE shape is ``lo*(1-frac) + hi*frac``
+    (the algebraically-equal ``lo + frac*(hi-lo)`` differs in the
+    last ulp on some inputs; verified empirically)."""
+    h = q * (total - 1)
+    lo_r = int(np.floor(h))
+    frac = h - lo_r
+    v_lo = float(vals[np.searchsorted(cum, lo_r + 1)])
+    v_hi = float(vals[np.searchsorted(cum, min(lo_r + 2, total))])
+    return v_lo * (1.0 - frac) + v_hi * frac
+
+
+def hist_quantile_disc(vals, cum, q: float) -> int:
+    """DuckDB quantile_disc: the order statistic at 0-based index
+    ``ceil(q*n) - 1``."""
+    k = int(np.ceil(q * int(cum[-1]))) - 1
+    return int(vals[np.searchsorted(cum, k + 1)])
+
+
+def q_winsorized_prices(sf_dir: str):
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    vals, cum, total = _lineitem_cent_hist(li)
+    lo_c = hist_quantile_cont(vals, cum, total, 0.01)
+    hi_c = hist_quantile_cont(vals, cum, total, 0.99)
 
     def _clip(tbl: pa.Table) -> pa.Table:
         c = _cents(tbl.column("l_extendedprice")).astype(np.float64)
@@ -1034,35 +1045,11 @@ FROM lineitem, q
 
 
 def q_price_cume_dist(sf_dir: str):
-    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+    import ray as _ray
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
-
-    def _partial(tbl: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "price_c": pa.array(_cents(tbl.column("l_extendedprice"))),
-                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
-            }
-        )
-        return group_aggregate_table(t, ["price_c"], [("n", "sum")])
-
-    hist_ds = hash_grouped_aggregate(
-        li.map_batches(_partial, batch_format="pyarrow", batch_size=None),
-        ["price_c"],
-        [("n", "sum")],
-        num_buckets=4,
-    )
-    import ray as _ray
-
-    parts = [_ray.get(r) for r in hist_ds.to_arrow_refs()]
-    hist = pa.concat_tables([t for t in parts if t.num_rows])
-    vals = hist.column("price_c").to_numpy()
-    cnt = hist.column("n").cast(pa.int64()).to_numpy()
-    o = np.argsort(vals)
-    vals, cum = vals[o], np.cumsum(cnt[o])
-    total = int(cum[-1])
+    vals, cum, total = _lineitem_cent_hist(li)
     vals_ref, cum_ref = _ray.put(vals), _ray.put(cum)
 
     def _score(tbl: pa.Table) -> pa.Table:
@@ -1101,42 +1088,10 @@ FROM lineitem
 
 
 def q_price_mad(sf_dir: str):
-    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
-
     li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
-
-    def _partial(tbl: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "price_c": pa.array(_cents(tbl.column("l_extendedprice"))),
-                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
-            }
-        )
-        return group_aggregate_table(t, ["price_c"], [("n", "sum")])
-
-    hist_ds = hash_grouped_aggregate(
-        li.map_batches(_partial, batch_format="pyarrow", batch_size=None),
-        ["price_c"],
-        [("n", "sum")],
-        num_buckets=4,
-    )
-    import ray as _ray
-
-    parts = [_ray.get(r) for r in hist_ds.to_arrow_refs()]
-    hist = pa.concat_tables([t for t in parts if t.num_rows])
-    vals = hist.column("price_c").to_numpy()
-    cnt = hist.column("n").cast(pa.int64()).to_numpy()
-    o = np.argsort(vals)
-    vals, cnt = vals[o], cnt[o]
-    cum = np.cumsum(cnt)
-    total = int(cum[-1])
-
-    def _disc(v, c, q):
-        # quantile_disc: 0-based index ceil(q*n) - 1
-        k = int(np.ceil(q * int(c[-1]))) - 1
-        return int(v[np.searchsorted(c, k + 1)])
-
-    med = _disc(vals, cum, 0.5)
+    vals, cum, total = _lineitem_cent_hist(li)
+    cnt = np.diff(np.r_[0, cum])
+    med = hist_quantile_disc(vals, cum, 0.5)
     # fold the histogram around the median and re-merge equal |dev|s
     dev = np.abs(vals - med)
     od = np.argsort(dev, kind="stable")
@@ -1144,7 +1099,7 @@ def q_price_mad(sf_dir: str):
     starts = np.flatnonzero(np.r_[True, dev_s[1:] != dev_s[:-1]])
     dev_u = dev_s[starts]
     cnt_u = np.add.reduceat(cnt_s, starts)
-    mad = _disc(dev_u, np.cumsum(cnt_u), 0.5)
+    mad = hist_quantile_disc(dev_u, np.cumsum(cnt_u), 0.5)
     return pa.table(
         {
             "median": pa.array([med / 100.0]),

@@ -113,11 +113,21 @@ def grouped_scan(
                 out = np.repeat(lens.astype(np.int64), lens)
             else:  # cumsum
                 v = t.column(s[1]).to_numpy(zero_copy_only=False)
-                v = np.nan_to_num(
-                    v.astype(np.float64), nan=0.0
-                ).astype(np.int64) if v.dtype.kind == "f" else v.astype(
-                    np.int64
-                )
+                if v.dtype.kind == "f":
+                    # float dtype only arises from int-with-null
+                    # round-trips; a genuinely fractional value means
+                    # the caller violated the integer contract — fail
+                    # loudly instead of truncating toward zero
+                    vf = np.nan_to_num(v.astype(np.float64), nan=0.0)
+                    if not (vf == np.floor(vf)).all():
+                        raise ValueError(
+                            f"grouped_scan cumsum column {s[1]!r} has "
+                            "non-integral values; cast to integer "
+                            "units (cents/micros) first"
+                        )
+                    v = vf.astype(np.int64)
+                else:
+                    v = v.astype(np.int64)
                 cs = np.cumsum(v)
                 out = cs - np.repeat(cs[starts] - v[starts], lens)
             cols[s[-1]] = pa.array(out)
@@ -141,19 +151,25 @@ def global_scan(
     Two-phase prefix scan: per-block sums → driver prefix → per-block
     rebase; only O(blocks) ints reach the driver.
     """
+    from .exchange import _cpus_per_task
+
     sorted_ds = sort_by(ds, sort_keys, num_partitions=num_partitions)
     refs = sorted_ds.to_arrow_refs()
     src_cols = [c for c, _ in cum_cols]
+    ncpu = _cpus_per_task()
 
     @ray.remote
     def _partials(tbl):
+        pa.set_cpu_count(1)  # memory-bound; see exchange._cpus_per_task
         t = tbl if isinstance(tbl, pa.Table) else pa.table(tbl)
         sums = [
             int(pc.sum(t.column(c)).as_py() or 0) for c in src_cols
         ]
         return t.num_rows, sums
 
-    parts = ray.get([_partials.remote(r) for r in refs])
+    parts = ray.get(
+        [_partials.options(num_cpus=ncpu).remote(r) for r in refs]
+    )
     # Python-int prefix combine on the driver — exact at any scale
     # (no int64 overflow in the offsets even if totals exceed 2**63
     # would raise on the Arrow cast below, loudly not silently).
@@ -167,6 +183,7 @@ def global_scan(
 
     @ray.remote
     def _apply(tbl, roff, soffs):
+        pa.set_cpu_count(1)
         t = tbl if isinstance(tbl, pa.Table) else pa.table(tbl)
         n = t.num_rows
         for (c, out), off in zip(cum_cols, soffs):
@@ -182,7 +199,7 @@ def global_scan(
         return t
 
     out_refs = [
-        _apply.remote(b, int(ro), so)
+        _apply.options(num_cpus=ncpu).remote(b, int(ro), so)
         for b, ro, so in zip(refs, rank_offs, sum_offs)
     ]
     return rd.from_arrow_refs(out_refs)
@@ -203,9 +220,12 @@ def global_lag(
     values are carried as Arrow scalars, never round-tripped through
     numpy).
     """
+    from .exchange import _cpus_per_task
+
     sorted_ds = sort_by(ds, sort_keys, num_partitions=num_partitions)
     refs = sorted_ds.to_arrow_refs()
     src_cols = [c for c, _ in lag_cols]
+    ncpu = _cpus_per_task()
 
     @ray.remote
     def _last_vals(tbl):
@@ -226,6 +246,7 @@ def global_lag(
 
     @ray.remote
     def _apply(tbl, carry):
+        pa.set_cpu_count(1)
         t = tbl if isinstance(tbl, pa.Table) else pa.table(tbl)
         n = t.num_rows
         for c, out in lag_cols:
@@ -243,7 +264,8 @@ def global_lag(
         return t
 
     out_refs = [
-        _apply.remote(b, c) for b, c in zip(refs, carries)
+        _apply.options(num_cpus=ncpu).remote(b, c)
+        for b, c in zip(refs, carries)
     ]
     return rd.from_arrow_refs(out_refs)
 
@@ -262,6 +284,10 @@ def grouped_string_agg(
     group (key columns + ``out`` + optional ``count_col``). The join
     itself is C++: a ListArray built from the group offsets fed to
     ``pc.binary_join`` — no per-group Python.
+
+    SQL ``string_agg`` semantics for nulls: null values are SKIPPED
+    from the join (an all-null group aggregates to NULL), while
+    ``count_col`` counts ALL rows in the group (``count(*)``).
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
     sort_keys = [(k, "ascending") for k in key_list] + list(order_by)
@@ -277,14 +303,32 @@ def grouped_string_agg(
                 cols[count_col] = pa.array([], pa.int64())
             return pa.table(cols)
         starts = _seg_starts(t, key_list)
-        offsets = np.r_[starts, n].astype(np.int32)
+        lens = np.diff(np.r_[starts, n])
         vals = pc.cast(t.column(value_col), pa.string()).combine_chunks()
-        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
+        valid = vals.is_valid().to_numpy(zero_copy_only=False)
+        # per-group offsets over the VALID subset only (binary_join
+        # would null the whole group on one null element otherwise —
+        # SQL string_agg skips nulls)
+        run_id = np.repeat(
+            np.arange(len(starts), dtype=np.int64), lens
+        )
+        valid_per_group = np.bincount(
+            run_id[valid], minlength=len(starts)
+        )
+        offsets = np.r_[0, np.cumsum(valid_per_group)].astype(np.int32)
+        kept = vals.filter(pa.array(valid)) if not valid.all() else vals
+        lists = pa.ListArray.from_arrays(pa.array(offsets), kept)
         joined = pc.binary_join(lists, sep)
+        if (valid_per_group == 0).any():
+            joined = pc.if_else(
+                pa.array(valid_per_group > 0),
+                joined,
+                pa.scalar(None, pa.string()),
+            )
         cols = {k: t.column(k).take(pa.array(starts)) for k in key_list}
         cols[out] = joined
         if count_col:
-            cols[count_col] = pa.array(np.diff(offsets).astype(np.int64))
+            cols[count_col] = pa.array(lens.astype(np.int64))
         return pa.table(cols)
 
     return hash_exchange(ds, key_list, num_partitions, _kernel)

@@ -169,20 +169,27 @@ def _hll_alpha(m: int) -> float:
     return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
-def hll_registers_partial(h: np.ndarray, p: int) -> np.ndarray:
-    """Max leading-zero-rank register vector (length 2**p) from uint64
-    hashes: index = top p bits, rank = 1 + leading zeros of the rest."""
-    m = 1 << p
+def _hll_idx_rank(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shared HLL core: uint64 hash → (register index = top p bits,
+    rank = 1 + leading zeros of the rest). The sentinel bit at
+    position p-1 caps the rank at 64-p+1 naturally; one copy of this
+    math keeps the grouped and ungrouped sketches merge-compatible."""
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
-    # rank = leading zeros of the 64-bit rest + 1 = 64 - floor(log2);
-    # the sentinel bit at position p-1 caps it at 64-p+1 naturally
     fl = 64 - np.floor(np.log2(rest.astype(np.float64)) + 1e-15).astype(
         np.int64
     )
-    rank = np.minimum(fl, 64 - p + 1).astype(np.uint8)
+    rank = np.minimum(fl, 64 - p + 1)
+    return idx, rank
+
+
+def hll_registers_partial(h: np.ndarray, p: int) -> np.ndarray:
+    """Max leading-zero-rank register vector (length 2**p) from uint64
+    hashes."""
+    m = 1 << p
+    idx, rank = _hll_idx_rank(h, p)
     regs = np.zeros(m, np.uint8)
-    np.maximum.at(regs, idx, rank)
+    np.maximum.at(regs, idx, rank.astype(np.uint8))
     return regs
 
 
@@ -245,6 +252,7 @@ def hll_distinct_grouped(
     batch_to_kv,
     p: int = 12,
     num_partitions: int = 16,
+    key_type: pa.DataType | None = None,
 ):
     """Approximate distinct count PER GROUP: HyperLogLog registers as
     mergeable grouped partials.
@@ -262,21 +270,22 @@ def hll_distinct_grouped(
     ``distinct (group, register) pairs ≤ groups_in_batch × 2**p``,
     independent of row count — same partial→final contract as every
     other engine aggregate. Returns a Dataset ``(key_col, est)``.
+
+    ``key_type``: the Arrow type of the key (default: string). It
+    pins the partial schema when a non-empty batch yields ZERO
+    observations (e.g. every text tokenizes empty) — an untyped empty
+    object array would otherwise produce a null-typed key column and
+    break the exchange's schema union.
     """
     from .exchange import hash_grouped_map
     from .groupagg import group_aggregate_table, hash_grouped_aggregate
 
     m = 1 << p
+    ktype = key_type or pa.string()
 
     def _partial(tbl: pa.Table) -> pa.Table:
         keys, h = batch_to_kv(tbl)
-        h = h.astype(np.uint64)
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
-        fl = 64 - np.floor(
-            np.log2(rest.astype(np.float64)) + 1e-15
-        ).astype(np.int64)
-        rank = np.minimum(fl, 64 - p + 1).astype(np.int64)
+        idx, rank = _hll_idx_rank(h.astype(np.uint64), p)
         codes, uniq = _factorize(keys)
         ck = codes.astype(np.int64) * m + idx
         order = np.argsort(ck, kind="stable")
@@ -291,7 +300,7 @@ def hll_distinct_grouped(
         )
         return pa.table(
             {
-                key_col: pa.array(uniq[cks[starts] // m]),
+                key_col: pa.array(uniq[cks[starts] // m], ktype),
                 "i": pa.array((cks[starts] % m).astype(np.int32)),
                 "r": pa.array(maxr),
             }
@@ -306,17 +315,14 @@ def hll_distinct_grouped(
     )
 
     def _estimate(g: pa.Table) -> pa.Table:
-        full = np.zeros(m, np.float64)
-        full[g.column("i").to_numpy().astype(np.int64)] = (
-            g.column("r").cast(pa.int64()).to_numpy()
+        regs = np.zeros(m, np.uint8)
+        regs[g.column("i").to_numpy().astype(np.int64)] = (
+            g.column("r").cast(pa.int64()).to_numpy().astype(np.uint8)
         )
-        est = _hll_alpha(m) * m * m / np.sum(np.exp2(-full))
-        zeros = int((full == 0).sum())
-        if est <= 2.5 * m and zeros:
-            est = m * np.log(m / zeros)
+        est = hll_estimate(regs)  # shared bias-corrected estimator
         return pa.table(
             {
-                key_col: pa.array([g.column(key_col)[0].as_py()]),
+                key_col: pa.array([g.column(key_col)[0].as_py()], ktype),
                 "est": pa.array([float(est)]),
             }
         )

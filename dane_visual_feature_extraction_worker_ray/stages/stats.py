@@ -39,15 +39,17 @@ def grouped_moment_partials(
     sxy) as Python ints. ``batch_to_xy(tbl) -> (x_int64, y_int64)``.
 
     Returns dict: key_tuple -> [n, sx, sy, sxx, syy, sxy] (Python ints).
-    Per-batch sums stay in int64 (safe while
-    ``batch_rows × max(|x·y|, y²) < 2**63``); cross-batch combination is
-    arbitrary-precision.
+    Exact at ANY row count: when a whole-batch int64 sum could wrap
+    (large values — e.g. global RANKS, whose squares grow as N², where
+    cents stay bounded), the batch is split into slices sized so every
+    slice sum fits 2**62, and the slices' partial tables are emitted
+    separately (the driver's Python-int combine already merges
+    repeated keys). Per-ELEMENT products ≥ 2**63 (|value| ≥ ~3.0e9)
+    raise loudly — that regime needs a wider-type path, not a silent
+    wrap.
     """
 
-    def _partial(tbl: pa.Table) -> pa.Table:
-        x, y = batch_to_xy(tbl)
-        x = x.astype(np.int64)
-        y = y.astype(np.int64)
+    def _one_slice(tbl: pa.Table, x, y) -> pa.Table:
         cols = {c: tbl.column(c) for c in key_cols}
         cols["n"] = pa.array(np.ones(len(x), np.int64))
         cols["sx"] = pa.array(x)
@@ -60,6 +62,30 @@ def grouped_moment_partials(
             key_cols,
             [(m, "sum") for m in ("n", "sx", "sy", "sxx", "syy", "sxy")],
         )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        x, y = batch_to_xy(tbl)
+        x = x.astype(np.int64)
+        y = y.astype(np.int64)
+        if len(x) == 0:
+            return _one_slice(tbl, x, y)
+        mx = int(
+            max(np.abs(x).max(initial=0), np.abs(y).max(initial=0))
+        )
+        if mx and mx * mx >= 2**63:
+            raise OverflowError(
+                "moment partials: |value| >= ~3.0e9 — per-element "
+                "squares overflow int64; rescale or use a wider path"
+            )
+        prod = max(mx * mx, 1)
+        seg = max(1, 2**62 // prod)
+        if len(x) <= seg:
+            return _one_slice(tbl, x, y)
+        parts = [
+            _one_slice(tbl.slice(i, seg), x[i : i + seg], y[i : i + seg])
+            for i in range(0, len(x), seg)
+        ]
+        return pa.concat_tables(parts)
 
     acc: dict[tuple, list[int]] = {}
     for ref in ds.map_batches(

@@ -138,7 +138,8 @@ def test_hll_grouped_many_groups_no_dense_blowup(ray_session):
 
     out = (
         hll_distinct_grouped(
-            rd.from_arrow(tbl).repartition(4), "g", _kv, p=10
+            rd.from_arrow(tbl).repartition(4), "g", _kv, p=10,
+            key_type=pa.int64(),
         )
         .to_pandas()
         .set_index("g")["est"]

@@ -414,3 +414,181 @@ SELECT event_type,
     / count(CAST(json_extract(props, '$.k') AS BIGINT)) AS mean_k
 FROM events GROUP BY event_type
 """.strip()
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+def _week_trunc_us(us: np.ndarray) -> np.ndarray:
+    """ISO-Monday week truncation of integer-µs timestamps — the exact
+    integer form of DuckDB ``date_trunc('week', ts)`` (1970-01-01 was
+    a Thursday, so Monday-index weekday = (days + 3) % 7; verified
+    against DuckDB over a two-week probe)."""
+    d = us // 86_400_000_000
+    return (d - ((d + 3) % 7)) * 86_400_000_000
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohort matrix: users bucketed by the week of
+    their FIRST event (cohort), counted once per (cohort, weeks-since)
+    cell they were active in.
+
+    Skew-safe two-level shape: per-batch distinct (user, week) pairs
+    (raw events collapse ~week-length runs before anything shuffles) →
+    user-keyed exchange (per-user min-week is exact because each user
+    is wholly in one partition; cross-batch duplicate (user, week)
+    pairs collapse here) → per-partition (cohort, week_no) count
+    partials → tiny final aggregation. The driver never sees rows,
+    only the O(cohorts × weeks) matrix — the same
+    partial→exchange→final discipline as every engine aggregate."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.groupagg import hash_grouped_aggregate
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def _pair_dedup(uid: np.ndarray, wk: np.ndarray):
+        order = np.lexsort((wk, uid))
+        u, w = uid[order], wk[order]
+        if len(u) == 0:
+            return u, w
+        keep = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        return u[keep], w[keep]
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").cast(pa.int64()).to_numpy()
+        wk = _week_trunc_us(tbl.column("ts").cast(pa.int64()).to_numpy())
+        u, w = _pair_dedup(uid, wk)
+        return pa.table({"user_id": pa.array(u), "week_us": pa.array(w)})
+
+    mid_schema = pa.schema(
+        [("cohort_us", pa.int64()), ("week_no", pa.int64()),
+         ("n_users", pa.int64())]
+    )
+
+    def _kernel(p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return mid_schema.empty_table()
+        uid = tbl.column("user_id").cast(pa.int64()).to_numpy()
+        wk = tbl.column("week_us").cast(pa.int64()).to_numpy()
+        u, w = _pair_dedup(uid, wk)  # cross-batch dedup
+        # sorted by (user, week): each user's run starts at its cohort
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, len(u)])
+        cohort = np.repeat(w[starts], lens)
+        week_no = (w - cohort) // _WEEK_US
+        # partial counts over a tiny key space (cohorts × offsets);
+        # pack by DAY index — cohort µs are Monday-aligned, NOT
+        # multiples of 7 days from the (Thursday) epoch
+        pack = (cohort // 86_400_000_000) * 100_000 + week_no
+        uniq, cnt = np.unique(pack, return_counts=True)
+        return pa.table(
+            {
+                "cohort_us": pa.array((uniq // 100_000) * 86_400_000_000),
+                "week_no": pa.array(uniq % 100_000),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = hash_exchange(
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        16,
+        _kernel,
+        mid_schema,
+    )
+    final = hash_grouped_aggregate(
+        cells, ["cohort_us", "week_no"], [("n_users", "sum")],
+        num_buckets=4,
+    )
+
+    def _fin(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": tbl.column("cohort_us").cast(
+                    pa.int64()
+                ).cast(pa.timestamp("us")),
+                "week_no": tbl.column("week_no").cast(pa.int64()),
+                "n_users": tbl.column("n_users").cast(pa.int64()),
+            }
+        )
+
+    return final.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["retention_cohorts"] = q_retention_cohorts
+ORACLE_SQL["retention_cohorts"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+    CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+  FROM events
+), c AS (
+  SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id
+)
+SELECT c.cw AS cohort_week,
+  CAST((epoch_us(uw.w) - epoch_us(c.cw))
+       / CAST(604800000000 AS BIGINT) AS BIGINT) AS week_no,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c ON uw.user_id = c.user_id
+GROUP BY 1, 2
+""".strip()
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts: for each user's events in
+    (ts, event_id) order, count (event_type → next event_type) pairs
+    globally — the behavioral-sequence analog of token bigrams.
+
+    One user-keyed exchange of the raw 4-column rows (ordering needs
+    the rows together — same shape as sessionize); the kernel is one
+    lexsort + boundary mask + a 25-cell bincount, so the partition
+    output is at most |types|² rows regardless of row count. The final
+    aggregation sums 25-row partials — trivially skew-free."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.groupagg import hash_grouped_aggregate
+
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+    nt = len(EVENT_TYPES)
+
+    out_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("n", pa.int64())]
+    )
+
+    def _kernel(p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        uid = tbl.column("user_id").cast(pa.int64()).to_numpy()
+        us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        eid = tbl.column("event_id").cast(pa.int64()).to_numpy()
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        u, t = uid[order], np.searchsorted(EVENT_TYPES, et[order])
+        same = u[1:] == u[:-1]
+        code = t[:-1][same] * nt + t[1:][same]
+        cnt = np.bincount(code, minlength=nt * nt)
+        nz = np.flatnonzero(cnt)
+        ets = np.asarray(EVENT_TYPES)
+        return pa.table(
+            {
+                "src": pa.array(ets[nz // nt]),
+                "dst": pa.array(ets[nz % nt]),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    parts = hash_exchange(ds, ["user_id"], 16, _kernel, out_schema)
+    return hash_grouped_aggregate(
+        parts, ["src", "dst"], [("n", "sum")], num_buckets=2
+    )
+
+
+QUERIES["event_transitions"] = q_event_transitions
+ORACLE_SQL["event_transitions"] = """
+WITH o AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
+FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+""".strip()

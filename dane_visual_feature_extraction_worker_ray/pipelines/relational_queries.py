@@ -1120,3 +1120,104 @@ SELECT CAST(med.m AS DOUBLE)/100 AS median,
   CAST(count(*) AS BIGINT) AS n
 FROM c, med GROUP BY med.m
 """.strip()
+
+
+def q_price_deciles(sf_dir: str):
+    """Global ``ntile(10)`` bucketing of orders by total price:
+    per-decile row count and price bounds — the quality-decile shape a
+    curation pipeline uses to split a corpus by score.
+
+    Distributed shape: the total row count comes from the parquet
+    footers (no data read); the global rank is the engine's two-phase
+    prefix scan over the range-partitioned sort (``stages/scan.py``) —
+    per-block counts to the driver, never rows; the decile assignment
+    is pure per-row arithmetic on (rank, N); per-batch (decile, n,
+    lo, hi) partials collapse each block to ≤10 rows before the tiny
+    final aggregation. Ties sort identically on both sides because
+    integer cents are order-isomorphic to the 2-decimal doubles and
+    ``o_orderkey`` breaks the remainder."""
+    import pyarrow.parquet as pq
+
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+    from ..stages.scan import global_scan
+
+    n_total = pq.ParquetFile(
+        os.path.join(sf_dir, "orders.parquet")
+    ).metadata.num_rows
+    k = 10
+    q, rem = divmod(n_total, k)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _prep(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey"),
+                "price_c": pa.array(_cents(tbl.column("o_totalprice"))),
+            }
+        )
+
+    ranked = global_scan(
+        orders.map_batches(_prep, batch_format="pyarrow", batch_size=None),
+        [("price_c", "ascending"), ("o_orderkey", "ascending")],
+        [],
+        rank_col="rk",
+    )
+
+    def _bucket(tbl: pa.Table) -> pa.Table:
+        r0 = tbl.column("rk").to_numpy(zero_copy_only=False) - 1
+        # SQL ntile: first `rem` buckets get q+1 rows, the rest q
+        cut = rem * (q + 1)
+        d = np.where(
+            r0 < cut,
+            r0 // (q + 1),
+            rem + (r0 - cut) // max(q, 1),
+        ) + 1
+        c = tbl.column("price_c").cast(pa.int64()).to_numpy()
+        t = pa.table(
+            {
+                "decile": pa.array(d.astype(np.int64)),
+                "n": pa.array(np.ones(len(d), np.int64)),
+                "lo_c": pa.array(c),
+                "hi_c": pa.array(c),
+            }
+        )
+        return group_aggregate_table(
+            t, ["decile"], [("n", "sum"), ("lo_c", "min"), ("hi_c", "max")]
+        )
+
+    final = hash_grouped_aggregate(
+        ranked.map_batches(_bucket, batch_format="pyarrow", batch_size=None),
+        ["decile"],
+        [("n", "sum"), ("lo_c", "min"), ("hi_c", "max")],
+        num_buckets=2,
+    )
+
+    def _fin(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "decile": tbl.column("decile").cast(pa.int64()),
+                "n": tbl.column("n").cast(pa.int64()),
+                "lo": pa.array(
+                    tbl.column("lo_c").cast(pa.int64()).to_numpy() / 100.0
+                ),
+                "hi": pa.array(
+                    tbl.column("hi_c").cast(pa.int64()).to_numpy() / 100.0
+                ),
+            }
+        )
+
+    return final.map_batches(_fin, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["price_deciles"] = q_price_deciles
+ORACLE_SQL["price_deciles"] = """
+WITH t AS (
+  SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS d,
+         o_totalprice
+  FROM orders
+)
+SELECT CAST(d AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n,
+  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM t GROUP BY d
+""".strip()

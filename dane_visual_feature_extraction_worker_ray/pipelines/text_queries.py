@@ -1261,3 +1261,48 @@ SELECT source, doc_id, new_toks,
        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
 FROM per_doc
 """.strip()
+
+
+def q_heavy_hitter_tokens(sf_dir: str, k: int = 20, capacity: int = 256):
+    """Approximate top-k heavy hitters via the mergeable Misra-Gries
+    sketch: the sketch analog of ``top_tokens`` with memory bounded by
+    ``capacity`` counters per stage instead of the partition
+    vocabulary — the 100-TB shape when the vocabulary itself doesn't
+    fit a reduce task. Estimates never exceed the true count and
+    undercount ≤ err_bound = 3·N/(capacity+1); the bound and the
+    guaranteed-containment property are pytest-checked against exact
+    counts in the genuinely approximate regime (a 3000-token tail,
+    tests/test_sketches.py). The synthetic corpus has a fixed ~31-word
+    vocabulary < capacity at every sf tier, so HERE no tier ever
+    subtracts and the estimates ARE the exact counts — plain SQL is a
+    full-strength oracle (the same pinned-exact-regime gate as the
+    quantile sketch, stages/sketches.py module docstring)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.tokenize import ws_tokens
+    from ..stages.sketches import mg_topk_tokens
+
+    def _toks(tbl: pa.Table) -> np.ndarray:
+        _, flat = ws_tokens(tbl.column("text"))
+        return flat.to_numpy(zero_copy_only=False)
+
+    return mg_topk_tokens(
+        _docs(sf_dir), _toks, k=k, capacity=capacity, num_partitions=8
+    )
+
+
+QUERIES["heavy_hitter_tokens"] = q_heavy_hitter_tokens
+ORACLE_SQL["heavy_hitter_tokens"] = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok, est, CAST(3 * tot.n // 257 AS BIGINT) AS err_bound
+FROM (
+  SELECT tok, CAST(count(*) AS BIGINT) AS est,
+    row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+  FROM toks GROUP BY tok), tot
+WHERE rk <= 20
+""".strip()

@@ -419,3 +419,142 @@ def grouped_quantile_sketch_ds(
             "value": pa.array(out_v, pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries, Agarwal et al. 2013):
+# per-batch exact counts → MG-compress to `capacity` counters → token-hash
+# exchange sums surviving counters exactly → per-partition compress →
+# tiny driver merge + one final compress. Undercount per item is bounded
+# by the compress steps: each subtracts at most (weight it processed) /
+# (capacity + 1), and the three tiers each process ≤ N total, so
+# true_count - estimate ≤ 3·N/(capacity+1) (per-batch tier + partition
+# tier + final tier); estimates never exceed the true count. Every item
+# with true count > that bound is guaranteed present.
+
+
+def mg_compress(toks: np.ndarray, cnt: np.ndarray, capacity: int):
+    """One Misra-Gries compress step on (item, weight) counters:
+    subtract the (capacity+1)-th largest weight from all, drop ≤ 0.
+    Returns (items, adjusted_weights) with ≤ capacity entries.
+    Deterministic: pure arithmetic, no tie-break choices (equal
+    weights at the threshold all survive or all drop together)."""
+    if len(toks) <= capacity:
+        return toks, cnt
+    # threshold = (capacity+1)-th largest count (1-indexed)
+    thr = np.partition(cnt, len(cnt) - capacity - 1)[len(cnt) - capacity - 1]
+    adj = cnt - thr
+    keep = adj > 0
+    return toks[keep], adj[keep]
+
+
+def mg_topk_tokens(
+    ds,
+    batch_to_tokens,
+    k: int = 20,
+    capacity: int = 1024,
+    num_partitions: int = 8,
+):
+    """Approximate top-k heavy hitters over an unbounded token stream
+    with bounded memory everywhere: no stage ever holds more than
+    ``capacity`` counters per block (map side) / per partition (reduce
+    side), and the driver sees ≤ capacity × num_partitions rows —
+    independent of corpus size OR vocabulary size (contrast
+    ``top_tokens``, which is exact but holds each partition's full
+    vocabulary). ``batch_to_tokens(tbl) -> np.ndarray`` of strings.
+
+    Returns an Arrow table (tok, est, err_bound): ``est ≤ true`` and
+    ``true - est ≤ err_bound = 3·total/(capacity+1)`` (tiers documented
+    above); any token with true count > err_bound is present in the
+    merged summary. With ``capacity ≥ distinct tokens`` nothing ever
+    subtracts and est == exact count — the driver-gate planted query
+    pins that regime so plain SQL counts are a full-strength oracle.
+    """
+    from .groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        toks = batch_to_tokens(tbl)
+        if len(toks) == 0:
+            return pa.table(
+                {"tok": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "w": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(toks, return_counts=True)
+        u2, c2 = mg_compress(u, c.astype(np.int64), capacity)
+        # `w`: the batch's TOTAL token weight rides the partials (on
+        # the first surviving row only) so the driver can compute the
+        # global error bound without a second pass
+        if len(u2) == 0:
+            # compress dropped every counter (all-equal counts just
+            # over capacity) — keep the weight on a sentinel row
+            return pa.table(
+                {"tok": pa.array([""], pa.string()),
+                 "n": pa.array([0], pa.int64()),
+                 "w": pa.array([len(toks)], pa.int64())}
+            )
+        w = np.zeros(len(u2), np.int64)
+        w[0] = len(toks)
+        return pa.table(
+            {"tok": pa.array(u2, pa.string()), "n": pa.array(c2),
+             "w": pa.array(w)}
+        )
+
+    summed = hash_grouped_aggregate(
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["tok"],
+        [("n", "sum"), ("w", "sum")],
+        num_buckets=num_partitions,
+    )
+
+    def _compress_part(tbl: pa.Table) -> pa.Table:
+        t = tbl.column("tok").to_numpy(zero_copy_only=False)
+        c = tbl.column("n").cast(pa.int64()).to_numpy()
+        wt = int(tbl.column("w").cast(pa.int64()).to_numpy().sum())
+        t2, c2 = mg_compress(t, c, capacity)
+        w = np.zeros(len(t2), np.int64)
+        if len(w):
+            w[0] = wt
+        elif wt:
+            # partition compressed to nothing but carries weight: keep
+            # the weight on a sentinel row so the global bound is exact
+            return pa.table(
+                {"tok": pa.array([""], pa.string()),
+                 "n": pa.array([0], pa.int64()),
+                 "w": pa.array([wt], pa.int64())}
+            )
+        return pa.table(
+            {"tok": pa.array(t2, pa.string()), "n": pa.array(c2),
+             "w": pa.array(w)}
+        )
+
+    parts = [
+        ray.get(r)
+        for r in summed.map_batches(
+            _compress_part, batch_format="pyarrow", batch_size=None
+        ).to_arrow_refs()
+    ]
+    merged = pa.concat_tables([t for t in parts if t.num_rows])
+    if merged.num_rows == 0:
+        return pa.table(
+            {"tok": pa.array([], pa.string()),
+             "est": pa.array([], pa.int64()),
+             "err_bound": pa.array([], pa.int64())}
+        )
+    toks = merged.column("tok").to_numpy(zero_copy_only=False)
+    cnts = merged.column("n").cast(pa.int64()).to_numpy()
+    total = int(merged.column("w").cast(pa.int64()).to_numpy().sum())
+    live = cnts > 0  # drop weight-sentinel rows
+    toks, cnts = toks[live], cnts[live]
+    toks, cnts = mg_compress(toks, cnts, capacity)
+    bound = 3 * total // (capacity + 1)
+    order = np.lexsort((toks, -cnts))[:k]
+    return pa.table(
+        {
+            "tok": pa.array(toks[order], pa.string()),
+            "est": pa.array(cnts[order]),
+            "err_bound": pa.array(
+                np.full(len(order), bound, np.int64)
+            ),
+        }
+    )

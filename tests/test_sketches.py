@@ -153,3 +153,66 @@ def test_hll_grouped_many_groups_no_dense_blowup(ray_session):
     err = (out.reindex(exact.index) - exact).abs()
     ok = (err <= 2) | (err / exact < 0.1)
     assert ok.all(), err[~ok]
+
+
+def test_misra_gries_guarantees(ray_session):
+    """Approximate regime: capacity < distinct. Estimates never exceed
+    true counts, undercount within the documented 3N/(cap+1) bound,
+    and every token more frequent than the bound survives the merge."""
+    from dane_visual_feature_extraction_worker_ray.stages.sketches import (
+        mg_topk_tokens,
+    )
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: few heavy tokens + a long distinct tail >> capacity
+    heavy = np.repeat([f"h{i}" for i in range(20)],
+                      [4000 - 150 * i for i in range(20)])
+    tail = np.array([f"t{i}" for i in range(3000)])
+    toks = np.r_[heavy, np.tile(tail, 3)]
+    rng.shuffle(toks)
+    docs = pa.table({"text": [" ".join(c) for c in
+                              np.array_split(toks, 97)]})
+    cap = 64
+
+    def _toks(tbl):
+        out = []
+        for s in tbl.column("text").to_pylist():
+            out.extend(s.split())
+        return np.asarray(out, dtype=object)
+
+    got = mg_topk_tokens(
+        rd.from_arrow(docs).repartition(8), _toks,
+        k=2000, capacity=cap, num_partitions=4,
+    )
+    est = dict(zip(got.column("tok").to_pylist(),
+                   got.column("est").to_pylist()))
+    true = {t: c for t, c in zip(*np.unique(toks, return_counts=True))}
+    n = len(toks)
+    bound = 3 * n // (cap + 1)
+    assert got.column("err_bound")[0].as_py() == bound
+    for t, e in est.items():
+        assert e <= true[t], (t, e, true[t])
+        assert true[t] - e <= bound, (t, e, true[t], bound)
+    # guaranteed containment: anything above the bound must be present
+    for t, c in true.items():
+        if c > bound:
+            assert t in est, (t, c, bound)
+
+
+def test_misra_gries_exact_when_capacity_covers_vocab(ray_session):
+    from dane_visual_feature_extraction_worker_ray.stages.sketches import (
+        mg_topk_tokens,
+    )
+
+    toks = np.array(["a"] * 9 + ["b"] * 5 + ["c"] * 2, dtype=object)
+    docs = pa.table({"text": [" ".join(toks[:8]), " ".join(toks[8:])]})
+
+    def _toks(tbl):
+        out = []
+        for s in tbl.column("text").to_pylist():
+            out.extend(s.split())
+        return np.asarray(out, dtype=object)
+
+    got = mg_topk_tokens(rd.from_arrow(docs), _toks, k=3, capacity=16)
+    assert got.column("tok").to_pylist() == ["a", "b", "c"]
+    assert got.column("est").to_pylist() == [9, 5, 2]

@@ -385,15 +385,16 @@ def q_props_key_stats(sf_dir: str):
         n_k = tbl.column("n_k").cast(pa.int64()).to_numpy()
         s = tbl.column("sum_k").cast(pa.int64()).to_numpy()
         mean = s.astype(np.float64) / np.maximum(n_k, 1)
+        # SQL sum/avg over an all-NULL group is NULL, not 0/NaN —
+        # mask both outputs where no row had a parseable k
+        no_k = n_k == 0
         return pa.table(
             {
                 "event_type": tbl.column("event_type"),
                 "n_events": tbl.column("n").cast(pa.int64()),
                 "n_with_k": pa.array(n_k),
-                "sum_k": pa.array(s),
-                "mean_k": pa.array(
-                    np.where(n_k > 0, mean, np.nan)
-                ),
+                "sum_k": pa.array(s, pa.int64(), mask=no_k),
+                "mean_k": pa.array(mean, pa.float64(), mask=no_k),
             }
         )
 

@@ -100,35 +100,20 @@ def _word_shingles(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
     split/explode path — this is the MinHash hot loop at corpus scale);
     the shingle hash is a rolling polynomial combine of token hashes.
     """
-    import pyarrow.compute as pc
+    from ..functions.tokenize import ws_tokens
 
+    # shared C++ whitespace-split idiom — one home in
+    # functions/tokenize.py (same path as the scorer and text stages)
     arr = pa.Array.from_pandas(texts, type=pa.string())
-    lists = pc.utf8_split_whitespace(pc.fill_null(arr, ""))
-    flat_all = lists.flatten()
-    counts_all = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-    row_all = np.repeat(
-        np.arange(len(arr), dtype=np.int64), counts_all
-    )
-    keep = pc.greater(pc.utf8_length(flat_all), 0).to_numpy(
-        zero_copy_only=False
-    )
-    row = row_all[keep]
+    row, flat_kept = ws_tokens(arr)
     n_tok = np.bincount(row, minlength=len(arr))
     if len(row) == 0:
-        flat_kept = None
-    elif keep.all():
-        flat_kept = flat_all
-    else:
-        flat_kept = flat_all.filter(pa.array(keep))
-    if flat_kept is None:
-        tok_h = np.empty(0, np.uint64)
-        row = np.empty(0, np.int64)
-        # fall through: every row takes the short-row whole-text path
+        # every row takes the short-row whole-text path
         short = np.flatnonzero(n_tok < k)
         if len(short):
             th = hash64(texts.iloc[short].fillna(""))
             return short.astype(np.int64), th
-        return row, tok_h
+        return row, np.empty(0, np.uint64)
     tok_h = hash64(flat_kept.to_pandas())
     # rolling combine of k consecutive token hashes within a row.
     # ORDER-SENSITIVE polynomial step (acc*C + h, wraps mod 2^64) then

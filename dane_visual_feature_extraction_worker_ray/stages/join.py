@@ -172,7 +172,10 @@ def hash_equi_join(
         hot_sorted = np.sort(np.asarray(hot_keys))
         hot_right = gather_rows_by_ids(
             right_ds, right_on, hot_sorted,
-            columns=[right_on] + list(right_columns),
+            # dedupe: right_on may legitimately also be in
+            # right_columns, and a duplicated name makes the
+            # .column(right_on) lookup below raise
+            columns=list(dict.fromkeys([right_on] + list(right_columns))),
         )
         hk = hot_right.column(right_on).cast(key_type)
         hk_np = hk.to_numpy(zero_copy_only=False)

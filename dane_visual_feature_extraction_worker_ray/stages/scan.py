@@ -187,9 +187,13 @@ def global_scan(
         t = tbl if isinstance(tbl, pa.Table) else pa.table(tbl)
         n = t.num_rows
         for (c, out), off in zip(cum_cols, soffs):
-            v = t.column(c).to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
+            # fill nulls with 0 IN ARROW (matching pc.sum's null-skip
+            # in _partials) — a to_numpy round-trip of int-with-null
+            # goes through float64 NaN and astype(int64) turns NaN
+            # into INT64_MIN garbage (the CLAUDE.md trap)
+            v = pc.fill_null(
+                t.column(c).cast(pa.int64()), 0
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
             t = t.append_column(out, pa.array(np.cumsum(v) + off))
         if rank_col is not None:
             t = t.append_column(

@@ -53,31 +53,14 @@ class FeatureScorer:
 
     # -- text path: hashed bag-of-words mean embedding -----------------
     def _text_vectors(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
-        import pyarrow.compute as pc
+        from ..functions.tokenize import ws_tokens
 
-        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
-            texts = pa.array(texts, pa.string())
-        arr = (
-            texts.combine_chunks()
-            if isinstance(texts, pa.ChunkedArray)
-            else texts
-        )
-        n = len(arr)
+        n = len(texts)
         out = np.zeros((n, self.dim), dtype=np.float32)
-        # C++ whitespace split (3.2x the pandas str.split/explode path,
-        # measured on the 8.4M-row bench scorer input); arrow emits
-        # empty tokens around whitespace runs — the length filter makes
-        # it bit-identical to Python str.split()
-        lists = pc.utf8_split_whitespace(pc.fill_null(arr, ""))
-        flat = lists.flatten()
-        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-        row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
-            zero_copy_only=False
-        )
-        if not keep.all():
-            flat = flat.filter(pa.array(keep))
-            row_idx = row_idx[keep]
+        # shared C++ whitespace-split idiom (3.2x the pandas
+        # str.split/explode path, measured on the 8.4M-row bench
+        # scorer input) — one home in functions/tokenize.py
+        row_idx, flat = ws_tokens(texts)
         if len(row_idx) == 0:
             return out
         tok = (hash64(flat.to_pandas()) % np.uint64(_VOCAB)).astype(np.int64)

@@ -88,6 +88,10 @@ class QuantileSketch:
         order = np.argsort(vals, kind="stable")
         vals, cum = vals[order], np.cumsum(wts[order])
         n = self.total_weight
+        if n == 0:
+            # empty sketch (0-row or all-null input): no order
+            # statistics exist — NaN per quantile, not IndexError
+            return np.full(len(qs), np.nan)
         out = np.empty(len(qs), np.float64)
         for j, q in enumerate(qs):
             target = max(1, int(np.ceil(q * n)))
@@ -278,7 +282,7 @@ def hll_distinct_grouped(
     break the exchange's schema union.
     """
     from .exchange import hash_grouped_map
-    from .groupagg import group_aggregate_table, hash_grouped_aggregate
+    from .groupagg import hash_grouped_aggregate
 
     m = 1 << p
     ktype = key_type or pa.string()
@@ -470,7 +474,7 @@ def mg_topk_tokens(
     subtracts and est == exact count — the driver-gate planted query
     pins that regime so plain SQL counts are a full-strength oracle.
     """
-    from .groupagg import group_aggregate_table, hash_grouped_aggregate
+    from .groupagg import hash_grouped_aggregate
 
     def _partial(tbl: pa.Table) -> pa.Table:
         toks = batch_to_tokens(tbl)

@@ -75,15 +75,25 @@ def sort_by(
         idx = np.linspace(0, n - 1, take).astype(np.int64)
         return tbl.select([first_col]).take(pa.array(idx))
 
-    sample = pa.concat_tables(
-        [
+    # drop 0-row blocks: Ray skips the UDF on them and emits 0-COLUMN
+    # blocks (CLAUDE.md gotcha) that would break the typed concat
+    sample_parts = [
+        t
+        for t in (
             ray.get(r)
             for r in ds.map_batches(
                 _sample, batch_format="pyarrow", batch_size=None
             ).to_arrow_refs()
-        ]
-    )
-    keys = np.sort(sample.column(first_col).to_numpy(zero_copy_only=False))
+        )
+        if t.num_rows
+    ]
+    if sample_parts:
+        sample = pa.concat_tables(sample_parts)
+        keys = np.sort(
+            sample.column(first_col).to_numpy(zero_copy_only=False)
+        )
+    else:
+        keys = np.empty(0)
     if len(keys) == 0:
         bounds = keys
     else:

@@ -92,6 +92,10 @@ def grouped_moment_partials(
         _partial, batch_format="pyarrow", batch_size=None
     ).to_arrow_refs():
         t = ray.get(ref)
+        if t.num_rows == 0:
+            # Ray skips the UDF on 0-row blocks and emits 0-COLUMN
+            # blocks — t.column(c) would KeyError (CLAUDE.md gotcha)
+            continue
         keys = list(zip(*(t.column(c).to_pylist() for c in key_cols)))
         for i, k in enumerate(keys):
             row = acc.setdefault(k, [0, 0, 0, 0, 0, 0])
@@ -238,14 +242,19 @@ def rollup_counts(
             pa.table(cols), key_cols, [("n", "sum"), ("sx", "sum")]
         )
 
-    finest = pa.concat_tables(
-        [
+    finest_parts = [
+        t
+        for t in (
             ray.get(r)
             for r in ds.map_batches(
                 _partial, batch_format="pyarrow", batch_size=None
             ).to_arrow_refs()
-        ]
-    )
+        )
+        if t.num_rows  # 0-row blocks arrive 0-COLUMN (UDF skipped)
+    ]
+    if not finest_parts:
+        raise ValueError("rollup_counts: input dataset is empty")
+    finest = pa.concat_tables(finest_parts)
     finest = group_aggregate_table(
         finest, key_cols, [("n", "sum"), ("sx", "sum")]
     )

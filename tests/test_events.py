@@ -76,3 +76,54 @@ def test_pivot_counts_complete(tmp_path):
     u0 = int(out["user_id"].iloc[0])
     for e in EVENT_TYPES:
         assert out.set_index("user_id").loc[u0, f"n_{e}"] == c[(u0, e)]
+
+
+def test_props_key_stats_all_null_group_matches_sql(ray_session, tmp_path):
+    """A group with zero parseable k: SQL sum/avg over all-NULL is
+    NULL — the engine must emit nulls, not 0/NaN values."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.events_queries import (
+        ORACLE_SQL,
+        q_props_key_stats,
+    )
+
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": pa.array(np.zeros(4, np.int64)).cast(pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(
+                ["click", "click", "view", "view"], pa.string()
+            ),
+            "value": pa.array(np.zeros(4)),
+            "props": pa.array(
+                ['{"k": 3}', '{"k": 7}', '{"x": 1}', "{}"], pa.string()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        q_props_key_stats(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    exp = (
+        con.execute(ORACLE_SQL["props_key_stats"])
+        .fetchdf()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    view_row = got[got.event_type == "view"].iloc[0]
+    assert pd.isna(view_row["sum_k"]) and pd.isna(view_row["mean_k"])
+    for c in ["n_events", "n_with_k", "sum_k", "mean_k"]:
+        ga, ea = got[c].astype("float64"), exp[c].astype("float64")
+        assert ((ga == ea) | (ga.isna() & ea.isna())).all(), c

@@ -193,3 +193,35 @@ def test_global_lag_matches_pandas(ray_session):
         exp["prev_o"],
         check_names=False,
     )
+
+
+def test_global_scan_nullable_int_column(ray_session):
+    """Nulls in a cum column add 0 (SQL SUM semantics) — the
+    int-with-null float64 round-trip must not inject INT64_MIN."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.scan import (
+        global_scan,
+    )
+
+    tbl = pa.table(
+        {
+            "o": pa.array(list(range(10)), pa.int64()),
+            "v": pa.array(
+                [5, None, 3, None, 1, 2, None, 4, 6, None], pa.int64()
+            ),
+        }
+    )
+    out = (
+        global_scan(
+            rd.from_arrow(tbl).repartition(3),
+            [("o", "ascending")],
+            [("v", "cum_v")],
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("o")
+    )
+    expected = np.cumsum([5, 0, 3, 0, 1, 2, 0, 4, 6, 0])
+    np.testing.assert_array_equal(out["cum_v"].to_numpy(), expected)

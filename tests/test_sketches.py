@@ -216,3 +216,11 @@ def test_misra_gries_exact_when_capacity_covers_vocab(ray_session):
     got = mg_topk_tokens(rd.from_arrow(docs), _toks, k=3, capacity=16)
     assert got.column("tok").to_pylist() == ["a", "b", "c"]
     assert got.column("est").to_pylist() == [9, 5, 2]
+
+
+def test_quantile_sketch_empty_returns_nan():
+    sk = QuantileSketch(16)
+    got = sk.quantiles([0.0, 0.5, 1.0])
+    assert np.isnan(got).all()
+    sk.add(np.array([np.nan, np.nan]))  # all-null input strips to empty
+    assert np.isnan(sk.quantiles([0.5])).all()

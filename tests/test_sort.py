@@ -92,3 +92,20 @@ def test_sort_validation(ray_session):
         sort_by(rd.from_pandas(df), [])
     with pytest.raises(ValueError):
         sort_by(rd.from_pandas(df), [("k", "up")])
+
+
+def test_sort_by_survives_empty_blocks(ray_session):
+    """Ray emits 0-COLUMN blocks for 0-row inputs (UDF skipped) — the
+    sample concat and range partitioning must not crash on them."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.sort import sort_by
+
+    tbl = pa.table(
+        {"k": pa.array([5, 3, 9, 1], pa.int64()),
+         "v": pa.array([1.0, 2.0, 3.0, 4.0])}
+    )
+    ds = rd.from_arrow(tbl).repartition(4).filter(lambda r: r["k"] < 6)
+    out = sort_by(ds, [("k", "ascending")], num_partitions=2).to_pandas()
+    assert out["k"].tolist() == [1, 3, 5]

@@ -593,3 +593,95 @@ WITH o AS (
 SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
 FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
 """.strip()
+
+
+def q_hourly_event_anomalies(sf_dir: str, frame: int = 24, min_w: int = 12):
+    """Trailing-window anomaly flags on the hourly event-rate series:
+    an hour is anomalous when its count is > 2 sample standard
+    deviations from the mean of the previous ≤24 observed hours.
+
+    The z-test is done ENTIRELY in integer arithmetic — z² > 4 is
+    algebraically ``(w·n − s)²·(w−1) > 4·w·(w·q − s²)`` over the
+    trailing count/sum/sum-of-squares (s, q), so both engines compare
+    exact integers and no float-parity engineering is needed (same
+    policy as the integer-cent money math). Distributed shape: the
+    only corpus-scale work is the per-hour count (mergeable partials →
+    tiny exchange); the windowed pass runs on the O(hours) aggregated
+    series — post-aggregation small data, Python-int exact (no int64
+    overflow even at 10⁹ events/hour, where (w·n−s)² exceeds 2⁶³)."""
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    ds = _events(sf_dir, ["ts"])
+    _HOUR_US = 3_600_000_000
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        hr = (us // _HOUR_US) * _HOUR_US
+        t = pa.table(
+            {
+                "hour_us": pa.array(hr),
+                "n": pa.array(np.ones(len(hr), np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["hour_us"], [("n", "sum")])
+
+    counts = hash_grouped_aggregate(
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["hour_us"],
+        [("n", "sum")],
+        num_buckets=4,
+    )
+    import ray as _ray
+
+    parts = [_ray.get(r) for r in counts.to_arrow_refs()]
+    series = pa.concat_tables([t for t in parts if t.num_rows])
+    hrs = series.column("hour_us").cast(pa.int64()).to_numpy()
+    ns = series.column("n").cast(pa.int64()).to_numpy()
+    o = np.argsort(hrs)
+    hrs, ns = hrs[o], ns[o]
+    n_list = [int(v) for v in ns]  # Python ints: overflow-free squares
+    flags, ws = [], []
+    for i, n in enumerate(n_list):
+        lo = max(0, i - frame)
+        win = n_list[lo:i]
+        w = len(win)
+        ws.append(w)
+        if w < min_w:
+            flags.append(False)
+            continue
+        s, q = sum(win), sum(v * v for v in win)
+        var_num = w * q - s * s  # w²·(w−1)/w × sample variance ≥ 0
+        flags.append(
+            var_num > 0
+            and (w * n - s) ** 2 * (w - 1) > 4 * w * var_num
+        )
+    return pa.table(
+        {
+            "hour": pa.array(hrs).cast(pa.timestamp("us")),
+            "n": pa.array(ns),
+            "w": pa.array(np.array(ws, np.int64)),
+            "is_anomaly": pa.array(flags, pa.bool_()),
+        }
+    )
+
+
+QUERIES["hourly_event_anomalies"] = q_hourly_event_anomalies
+ORACLE_SQL["hourly_event_anomalies"] = """
+WITH h AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), wnd AS (
+  SELECT hour, n,
+    CAST(count(n) OVER w AS BIGINT) AS w,
+    CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS s,
+    CAST(coalesce(sum(n*n) OVER w, 0) AS BIGINT) AS q
+  FROM h
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, n, w,
+  CASE WHEN w >= 12 AND (w*q - s*s) > 0
+       THEN (w*n - s)*(w*n - s)*(w - 1) > 4*w*(w*q - s*s)
+       ELSE FALSE END AS is_anomaly
+FROM wnd
+""".strip()

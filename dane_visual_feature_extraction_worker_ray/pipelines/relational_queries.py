@@ -1221,3 +1221,70 @@ SELECT CAST(d AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n,
   min(o_totalprice) AS lo, max(o_totalprice) AS hi
 FROM t GROUP BY d
 """.strip()
+
+
+def q_table_profile(sf_dir: str):
+    """Dataset profiling / data-quality assertion operator: per-column
+    row count, null count and min/max over the numeric lineitem
+    columns — the pre-flight integrity check a 100-TB ingest runs
+    before committing a partition.
+
+    One streaming pass: each batch emits a ≤|columns|-row partial
+    (column, n, n_nulls, min_v, max_v) via C++ kernels; partials are
+    mergeable (sum/sum/min/max) through the tiny final aggregation.
+    Min/max of doubles are exact value passthroughs — no arithmetic,
+    so no float-parity engineering needed."""
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import hash_grouped_aggregate
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem", columns=cols)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            col = tbl.column(c)
+            mm = pc.min_max(col)  # skips nulls
+            names.append(c)
+            ns.append(tbl.num_rows)
+            nulls.append(col.null_count)
+            mins.append(mm["min"].as_py())
+            maxs.append(mm["max"].as_py())
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n_rows": pa.array(ns, pa.int64()),
+                "n_nulls": pa.array(nulls, pa.int64()),
+                "min_v": pa.array(mins, pa.float64()),
+                "max_v": pa.array(maxs, pa.float64()),
+            }
+        )
+
+    return hash_grouped_aggregate(
+        li.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["column"],
+        [("n_rows", "sum"), ("n_nulls", "sum"),
+         ("min_v", "min"), ("max_v", "max")],
+        num_buckets=2,
+    )
+
+
+QUERIES["table_profile"] = q_table_profile
+ORACLE_SQL["table_profile"] = """
+SELECT 'l_quantity' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+  min(l_quantity) AS min_v, max(l_quantity) AS max_v FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+  CAST(count(*) - count(l_extendedprice) AS BIGINT),
+  min(l_extendedprice), max(l_extendedprice) FROM lineitem
+UNION ALL
+SELECT 'l_discount', CAST(count(*) AS BIGINT),
+  CAST(count(*) - count(l_discount) AS BIGINT),
+  min(l_discount), max(l_discount) FROM lineitem
+UNION ALL
+SELECT 'l_tax', CAST(count(*) AS BIGINT),
+  CAST(count(*) - count(l_tax) AS BIGINT),
+  min(l_tax), max(l_tax) FROM lineitem
+""".strip()

@@ -32,6 +32,23 @@ def _events(sf_dir: str, columns):
     )
 
 
+def _type_codes(et: np.ndarray) -> np.ndarray:
+    """Indices of event-type strings into the sorted EVENT_TYPES list.
+    ``searchsorted`` returns an INSERTION index — an event type outside
+    the fixed list would silently alias a neighbor (or index off the
+    end); validate and fail loudly instead."""
+    nt = len(EVENT_TYPES)
+    t = np.searchsorted(EVENT_TYPES, et)
+    bad = (t >= nt) | (
+        np.asarray(EVENT_TYPES)[np.minimum(t, nt - 1)] != et
+    )
+    if bad.any():
+        raise ValueError(
+            f"unknown event_type {et[bad][:3]!r} not in {EVENT_TYPES}"
+        )
+    return t
+
+
 def q_user_event_pivot(sf_dir: str):
     """Per-user event-type counts pivoted to one column per type.
     Per-batch (user, type) count partials shrink the exchange to at
@@ -62,7 +79,7 @@ def q_user_event_pivot(sf_dir: str):
         et = tbl.column("event_type").to_numpy(zero_copy_only=False)
         n = tbl.column("n").cast(pa.int64()).to_numpy()
         users, inv = np.unique(uid, return_inverse=True)  # sorted, stable
-        tix = np.searchsorted(EVENT_TYPES, et)
+        tix = _type_codes(et)
         mat = np.zeros((len(users), len(EVENT_TYPES)), np.int64)
         np.add.at(mat, (inv, tix), n)
         cols = {"user_id": pa.array(users)}
@@ -562,7 +579,7 @@ def q_event_transitions(sf_dir: str):
         eid = tbl.column("event_id").cast(pa.int64()).to_numpy()
         et = tbl.column("event_type").to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, us, uid))
-        u, t = uid[order], np.searchsorted(EVENT_TYPES, et[order])
+        u, t = uid[order], _type_codes(et[order])
         same = u[1:] == u[:-1]
         code = t[:-1][same] * nt + t[1:][same]
         cnt = np.bincount(code, minlength=nt * nt)

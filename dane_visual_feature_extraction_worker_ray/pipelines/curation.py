@@ -195,3 +195,45 @@ FROM samp GROUP BY lang
 
 QUERIES = {"curation_stats": q_curation_stats}
 ORACLE_SQL = {"curation_stats": SQL_CURATION}
+
+
+def q_checkpointed_write_roundtrip(sf_dir: str):
+    """K1–K5 on the gate surface for a SECOND pipeline: the documents
+    table written through the generic resumable partitioned writer
+    (``state/lineage.write_partitioned_checkpointed`` — atomic-renamed
+    ``bucket=`` dirs, ``_SUCCESS.json`` lineage, fingerprint skip) and
+    read back. The oracle is the source table itself, so the entire
+    write→resume→read path is hash-verified, not just row-counted.
+    The fingerprint binds the input file's size+mtime, so a
+    regenerated corpus can never be satisfied by a stale checkpoint;
+    re-runs on unchanged input skip every bucket (resume exercised on
+    every driver invocation after the first)."""
+    import tempfile
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..state.lineage import (
+        read_checkpointed,
+        write_partitioned_checkpointed,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    # stable scratch dir per input path (no salted hash())
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir).strip("_")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"graft_ckpt_roundtrip_{slug}"
+    )
+    docs = read_parquet_tuned(
+        src, columns=["doc_id", "lang", "n_chars"]
+    )
+    write_partitioned_checkpointed(
+        docs, "doc_id", 8, out_dir, fingerprint=fp
+    )
+    return read_checkpointed(out_dir)
+
+
+QUERIES["checkpointed_write_roundtrip"] = q_checkpointed_write_roundtrip
+ORACLE_SQL["checkpointed_write_roundtrip"] = (
+    "SELECT doc_id, lang, n_chars FROM documents"
+)

@@ -287,3 +287,103 @@ def read_checkpointed(out_dir: str) -> pa.Table:
         if os.path.isfile(p):
             parts.append(pq.read_table(p))
     return pa.concat_tables(parts) if parts else None
+
+
+def write_partitioned_checkpointed(
+    ds,
+    key,
+    num_buckets: int,
+    out_dir: str,
+    fingerprint: str = "",
+    kernel=None,
+    resume: bool = True,
+):
+    """Generic resumable partitioned writer: ANY dataset, ANY key.
+
+    The flagship's checkpoint/resume layout (atomic-renamed
+    ``bucket=NNNNN/`` dirs, ``_SUCCESS.json`` lineage markers,
+    fingerprint-matched skip) generalized so every pipeline — curation
+    output, dedup survivors, scored documents — gets the same
+    preemption story. ``key`` is one column or a list (composite keys
+    use the exchange's injective multi-column hash); ``kernel``
+    optionally transforms each bucket's table before the write
+    (identity default). Returns ``(lineage DataFrame, skipped)``.
+
+    Resume correctness hinges on one invariant: the skip filter and
+    the exchange assign buckets with the SAME hash
+    (``bucket_of(hash64_columns(...))``) — asserted by
+    ``tests/test_lineage_resume.py`` round-tripping a composite key.
+    """
+    from ..functions.hashing import bucket_of, hash64_columns
+    from ..stages.exchange import hash_exchange
+
+    key_list = [key] if isinstance(key, str) else list(key)
+    os.makedirs(out_dir, exist_ok=True)
+    done = list_completed_buckets(out_dir, fingerprint) if resume else set()
+
+    if done:
+        done_arr = pa.array(sorted(done), pa.int32())
+
+        def _skip(tbl: pa.Table) -> pa.Table:
+            b = bucket_of(hash64_columns(tbl, key_list), num_buckets)
+            return tbl.filter(
+                pc.invert(
+                    pc.is_in(pa.array(b, pa.int32()), value_set=done_arr)
+                )
+            )
+
+        ds = ds.map_batches(_skip, batch_format="pyarrow", batch_size=None)
+
+    lineage_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("rows_in", pa.int64()),
+            ("rows_out", pa.int64()),
+            ("checksum", pa.string()),
+            ("elapsed_s", pa.float64()),
+        ]
+    )
+
+    def _kernel_write(bucket: int, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        rows_in = group.num_rows
+        out = kernel(group) if kernel is not None else group
+        final_dir = _bucket_dir(out_dir, bucket)
+        tmp_dir = final_dir + f".tmp.{os.getpid()}"
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(out, os.path.join(tmp_dir, "part.parquet"))
+        # order-insensitive checksum over the key columns
+        ck = (
+            f"{int(np.bitwise_xor.reduce(hash64_columns(out, key_list)) ^ np.uint64(out.num_rows)):016x}"
+            if out.num_rows
+            else "0"
+        )
+        rec = {
+            "bucket": bucket,
+            "fingerprint": fingerprint,
+            "engine_version": __version__,
+            "rows_in": rows_in,
+            "rows_out": out.num_rows,
+            "checksum": ck,
+            "elapsed_s": round(time.monotonic() - t0, 4),
+        }
+        with open(os.path.join(tmp_dir, "_SUCCESS.json"), "w") as f:
+            json.dump(rec, f)
+        if os.path.isdir(final_dir):  # retried task: idempotent overwrite
+            shutil.rmtree(final_dir)
+        os.rename(tmp_dir, final_dir)
+        return pa.Table.from_pylist(
+            [{k: rec[k] for k in
+              ("bucket", "rows_in", "rows_out", "checksum", "elapsed_s")}]
+        )
+
+    def _k(p: int, table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return lineage_schema.empty_table()
+        return _kernel_write(p, table).cast(lineage_schema)
+
+    lineage = hash_exchange(
+        ds, key_list, num_buckets, _k, empty_schema=lineage_schema
+    ).to_pandas()
+    write_job_manifest(out_dir, fingerprint, lineage, sorted(done))
+    return lineage, sorted(done)

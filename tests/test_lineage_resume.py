@@ -177,3 +177,90 @@ def test_fingerprint_mismatch_forces_recompute(corpus, tmp_path):
     lineage, skipped = _run(corpus, out)
     assert len(skipped) == len(buckets) - 1
     assert set(lineage["bucket"]) == {int(buckets[0].split("=")[1])}
+
+
+def _docs_tbl(n=200):
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(rng.choice(["en", "de"], n)),
+            "n_chars": pa.array(rng.integers(10, 500, n)),
+        }
+    )
+
+
+def test_generic_checkpointed_writer_resume_identical(ray_session, tmp_path):
+    """The generic writer: fresh run writes every bucket; a second run
+    skips all of them; outputs bit-identical; deleting one bucket
+    recomputes exactly that bucket with the same content."""
+    import pyarrow.compute as pc
+
+    from dane_visual_feature_extraction_worker_ray.state.lineage import (
+        read_checkpointed,
+        write_partitioned_checkpointed,
+    )
+
+    tbl = _docs_tbl()
+    out = str(tmp_path / "docs_out")
+
+    def _kernel(g):
+        # per-bucket transform: deterministic sort + derived column
+        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        g = g.take(idx)
+        return g.append_column(
+            "n_chars_2x", pc.multiply(g.column("n_chars"), 2)
+        )
+
+    lin1, skipped1 = write_partitioned_checkpointed(
+        rd.from_arrow(tbl).repartition(4),
+        ["lang", "doc_id"],
+        8,
+        out,
+        fingerprint="fp1",
+        kernel=_kernel,
+    )
+    assert skipped1 == [] and len(lin1) == lin1["bucket"].nunique()
+    first = read_checkpointed(out).to_pandas().sort_values("doc_id")
+    assert len(first) == tbl.num_rows
+    assert (first["n_chars_2x"].to_numpy()
+            == first["n_chars"].to_numpy() * 2).all()
+
+    lin2, skipped2 = write_partitioned_checkpointed(
+        rd.from_arrow(tbl).repartition(4),
+        ["lang", "doc_id"],
+        8,
+        out,
+        fingerprint="fp1",
+        kernel=_kernel,
+    )
+    assert len(lin2) == 0 and len(skipped2) == len(lin1)
+    second = read_checkpointed(out).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        first.reset_index(drop=True), second.reset_index(drop=True)
+    )
+
+    # knock out one bucket: only it recomputes, content identical
+    victim = int(lin1["bucket"].iloc[0])
+    shutil.rmtree(os.path.join(out, f"bucket={victim:05d}"))
+    lin3, skipped3 = write_partitioned_checkpointed(
+        rd.from_arrow(tbl).repartition(4),
+        ["lang", "doc_id"],
+        8,
+        out,
+        fingerprint="fp1",
+        kernel=_kernel,
+    )
+    assert lin3["bucket"].tolist() == [victim]
+    assert len(skipped3) == len(lin1) - 1
+    third = read_checkpointed(out).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        first.reset_index(drop=True), third.reset_index(drop=True)
+    )
+    assert (
+        lin3["checksum"].iloc[0]
+        == lin1.set_index("bucket")["checksum"][victim]
+    )

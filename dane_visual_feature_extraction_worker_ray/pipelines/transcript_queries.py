@@ -850,3 +850,155 @@ ORACLE_SQL["asof_join_tolerance"] = (
      AS snap_age_tol_s
  FROM asofj"""
 )
+
+
+def q_asof_join_nearest(sf_dir: str):
+    """NEAREST-neighbor temporal join (the pandas
+    ``merge_asof(direction='nearest')`` analog): each turn takes
+    whichever same-conversation snapshot is closer in time — the
+    latest at-or-before vs the earliest at-or-after — with exact ties
+    resolved to the backward (leakage-safe) side. Completes the
+    engine's as-of family: backward (feature), forward (label),
+    tolerance-bounded, and now nearest. Same single conv_id exchange;
+    the kernel runs BOTH composite-key searchsorted lookups and picks
+    per-row by integer-µs distance — no extra shuffle over running one
+    direction."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import segkernels as sk
+    from ..stages.exchange import hash_exchange
+
+    ev = _events(sf_dir)
+    turns = events_to_turns(ev)
+    snaps = events_to_snapshots(ev)
+
+    def _al_t(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "ts": tbl.column("ts"),
+                "order_key": tbl.column("order_key").cast(pa.int64()),
+                "snap_val": pa.nulls(n, pa.float64()),
+                "is_snap": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def _al_s(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "ts": tbl.column("ts"),
+                "order_key": pa.array(np.zeros(n, np.int64)),
+                "snap_val": tbl.column("snap_val").cast(pa.float64()),
+                "is_snap": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    unioned = turns.map_batches(
+        _al_t, batch_format="pyarrow", batch_size=None
+    ).union(snaps.map_batches(_al_s, batch_format="pyarrow", batch_size=None))
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("nearest_val", pa.float64()),
+            ("nearest_dist_s", pa.float64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        is_snap = tbl.column("is_snap").to_numpy(zero_copy_only=False)
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        okey = tbl.column("order_key").to_numpy(zero_copy_only=False)
+        t_rows = np.flatnonzero(is_snap == 0)
+        s_rows = np.flatnonzero(is_snap == 1)
+        t_order = np.lexsort((okey[t_rows], ts[t_rows], codes[t_rows]))
+        t_sel = t_rows[t_order]
+        codes_t, ts_t = codes[t_sel], ts[t_sel]
+        n_t = len(t_sel)
+        if n_t == 0:
+            return out_schema.empty_table()
+        seg_new = np.r_[True, codes_t[1:] != codes_t[:-1]]
+        starts = np.flatnonzero(seg_new)
+        lens = np.diff(np.r_[starts, n_t])
+        tix = (np.arange(n_t) - np.repeat(starts, lens)).astype(np.int32)
+        s_order = np.lexsort((ts[s_rows], codes[s_rows]))
+        s_sel = s_rows[s_order]
+        codes_s, ts_s = codes[s_sel], ts[s_sel]
+        b_idx, b_ok = sk.asof_indices(
+            codes_t, ts_t, codes_s, ts_s, allow_exact=True
+        )
+        f_idx, f_ok = sk.asof_indices_forward(
+            codes_t, ts_t, codes_s, ts_s, allow_exact=True
+        )
+        any_ok = b_ok | f_ok
+        if len(s_sel):
+            sv_s = tbl.column("snap_val").to_numpy(
+                zero_copy_only=False
+            )[s_sel]
+            db = np.where(b_ok, ts_t - ts_s[b_idx], 0)
+            df = np.where(f_ok, ts_s[f_idx] - ts_t, 0)
+            # backward wins when it exists and is at least as close
+            # (<=: exact ties go to the leakage-safe side)
+            use_b = b_ok & (~f_ok | (db <= df))
+            nv = np.where(
+                use_b, sv_s[b_idx], np.where(f_ok, sv_s[f_idx], 0.0)
+            )
+            dist = np.where(use_b, db, df).astype(np.float64) / 1e6
+        else:
+            nv = np.zeros(n_t)
+            dist = np.zeros(n_t)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[t_sel], pa.string()),
+                "turn_idx": pa.array(tix),
+                "nearest_val": pa.array(nv, mask=~any_ok),
+                "nearest_dist_s": pa.array(dist, mask=~any_ok),
+            }
+        )
+
+    return hash_exchange(
+        unioned, "conv_id", PCFG.num_buckets, _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["asof_join_nearest"] = q_asof_join_nearest
+ORACLE_SQL["asof_join_nearest"] = f"""
+WITH {SQL_TURNS_CTE},
+{SQL_SNAPS_CTE},
+b AS (
+  SELECT t.conv_id, t.turn_idx, t.ts, s.ts AS bts, s.snap_val AS bval
+  FROM turns t ASOF LEFT JOIN snaps s
+    ON t.conv_id = s.conv_id AND s.ts <= t.ts
+),
+f AS (
+  SELECT t.conv_id, t.turn_idx, s.ts AS fts, s.snap_val AS fval
+  FROM turns t ASOF LEFT JOIN snaps s
+    ON t.conv_id = s.conv_id AND t.ts <= s.ts
+)
+SELECT b.conv_id, b.turn_idx,
+  CASE WHEN bval IS NULL AND fval IS NULL THEN NULL
+       WHEN fval IS NULL THEN bval
+       WHEN bval IS NULL THEN fval
+       WHEN (epoch_us(b.ts) - epoch_us(bts))
+            <= (epoch_us(fts) - epoch_us(b.ts)) THEN bval
+       ELSE fval END AS nearest_val,
+  CAST(CASE WHEN bval IS NULL AND fval IS NULL THEN NULL
+       WHEN fval IS NULL THEN epoch_us(b.ts) - epoch_us(bts)
+       WHEN bval IS NULL THEN epoch_us(fts) - epoch_us(b.ts)
+       WHEN (epoch_us(b.ts) - epoch_us(bts))
+            <= (epoch_us(fts) - epoch_us(b.ts))
+            THEN epoch_us(b.ts) - epoch_us(bts)
+       ELSE epoch_us(fts) - epoch_us(b.ts) END AS DOUBLE) / 1000000
+    AS nearest_dist_s
+FROM b JOIN f ON b.conv_id = f.conv_id AND b.turn_idx = f.turn_idx
+""".strip()

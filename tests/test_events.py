@@ -127,3 +127,46 @@ def test_props_key_stats_all_null_group_matches_sql(ray_session, tmp_path):
     for c in ["n_events", "n_with_k", "sum_k", "mean_k"]:
         ga, ea = got[c].astype("float64"), exp[c].astype("float64")
         assert ((ga == ea) | (ga.isna() & ea.isna())).all(), c
+
+
+def test_asof_nearest_tie_goes_backward(ray_session, tmp_path):
+    """Equidistant prev/next snapshots resolve to the backward
+    (leakage-safe) side; a turn with only future snapshots takes them."""
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.transcript_queries import (
+        q_asof_join_nearest,
+    )
+
+    us = 1_000_000
+    rows = [
+        # user 1: turn at 125s; snapshots (signup value) at 100s and
+        # 150s — both 25s away → tie → backward val 5.0
+        (1, "signup", 100 * us, 5.0),
+        (1, "signup", 150 * us, 7.0),
+        (1, "click", 125 * us, 0.0),
+        # user 2: turn at 10s; only a FUTURE snapshot at 90s
+        (2, "signup", 90 * us, 9.0),
+        (2, "click", 10 * us, 0.0),
+    ]
+    uid, et, ts, val = zip(*rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(np.array(ts, np.int64)).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(val, pa.float64()),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        q_asof_join_nearest(str(tmp_path))
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    assert out.loc["1", "nearest_val"] == 5.0  # tie → backward
+    assert out.loc["1", "nearest_dist_s"] == 25.0
+    assert out.loc["2", "nearest_val"] == 9.0  # forward-only
+    assert out.loc["2", "nearest_dist_s"] == 80.0

@@ -625,7 +625,10 @@ def q_hourly_event_anomalies(sf_dir: str, frame: int = 24, min_w: int = 12):
     only corpus-scale work is the per-hour count (mergeable partials →
     tiny exchange); the windowed pass runs on the O(hours) aggregated
     series — post-aggregation small data, Python-int exact (no int64
-    overflow even at 10⁹ events/hour, where (w·n−s)² exceeds 2⁶³)."""
+    overflow even at 10⁹ events/hour, where (w·n−s)² exceeds 2⁶³; the
+    SQL mirror casts the products to HUGEINT for the same headroom).
+    A constant trailing window (sample sd exactly 0) flags ANY
+    deviation from its mean — the flatline-then-spike case."""
     from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
 
     ds = _events(sf_dir, ["ts"])
@@ -650,8 +653,18 @@ def q_hourly_event_anomalies(sf_dir: str, frame: int = 24, min_w: int = 12):
     )
     import ray as _ray
 
-    parts = [_ray.get(r) for r in counts.to_arrow_refs()]
-    series = pa.concat_tables([t for t in parts if t.num_rows])
+    parts = [t for t in
+             (_ray.get(r) for r in counts.to_arrow_refs()) if t.num_rows]
+    if not parts:  # empty events input: empty typed result, not a crash
+        return pa.table(
+            {
+                "hour": pa.array([], pa.timestamp("us")),
+                "n": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+                "is_anomaly": pa.array([], pa.bool_()),
+            }
+        )
+    series = pa.concat_tables(parts)
     hrs = series.column("hour_us").cast(pa.int64()).to_numpy()
     ns = series.column("n").cast(pa.int64()).to_numpy()
     o = np.argsort(hrs)
@@ -668,10 +681,13 @@ def q_hourly_event_anomalies(sf_dir: str, frame: int = 24, min_w: int = 12):
             continue
         s, q = sum(win), sum(v * v for v in win)
         var_num = w * q - s * s  # w²·(w−1)/w × sample variance ≥ 0
-        flags.append(
-            var_num > 0
-            and (w * n - s) ** 2 * (w - 1) > 4 * w * var_num
-        )
+        if var_num == 0:
+            # constant trailing window (sd == 0): ANY deviation from
+            # the (integer) mean is infinitely many sigmas out — the
+            # flatline-then-spike case a detector must catch
+            flags.append(w * n != s)
+        else:
+            flags.append((w * n - s) ** 2 * (w - 1) > 4 * w * var_num)
     return pa.table(
         {
             "hour": pa.array(hrs).cast(pa.timestamp("us")),
@@ -697,8 +713,10 @@ WITH h AS (
   WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 )
 SELECT hour, n, w,
-  CASE WHEN w >= 12 AND (w*q - s*s) > 0
-       THEN (w*n - s)*(w*n - s)*(w - 1) > 4*w*(w*q - s*s)
-       ELSE FALSE END AS is_anomaly
+  CASE WHEN w < 12 THEN FALSE
+       WHEN (w*q - s*s) = 0 THEN w*n <> s
+       ELSE CAST(w*n - s AS HUGEINT) * (w*n - s) * (w - 1)
+            > 4 * w * CAST(w*q - s*s AS HUGEINT)
+       END AS is_anomaly
 FROM wnd
 """.strip()

@@ -436,20 +436,12 @@ ORACLE_SQL["feature_ops"] = (
 )
 
 
-def q_label_next_snapshot(sf_dir: str):
-    """FORWARD as-of: each turn labelled with the earliest snapshot at
-    or after it (``snap.ts >= turn.ts``) — the training-LABEL lookup
-    that deliberately reads the future, mirror-image of the
-    leakage-safe backward feature join. One hash exchange on conv_id
-    over the aligned turns ∪ snaps union, then a single vectorized
-    forward searchsorted per partition
-    (functions/segkernels.asof_indices_forward)."""
+def _asof_aligned_union(sf_dir: str):
+    """Shared left/right alignment for the direction-variant as-of
+    queries (forward label, nearest): turns and snapshots projected to
+    one tagged schema and unioned — the single conv_id exchange input."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..functions import segkernels as sk
-    from ..stages.exchange import hash_exchange
 
     ev = _events(sf_dir)
     turns = events_to_turns(ev)
@@ -479,9 +471,64 @@ def q_label_next_snapshot(sf_dir: str):
             }
         )
 
-    unioned = turns.map_batches(
+    return turns.map_batches(
         _al_t, batch_format="pyarrow", batch_size=None
     ).union(snaps.map_batches(_al_s, batch_format="pyarrow", batch_size=None))
+
+
+def _asof_partition_prologue(tbl):
+    """Shared kernel prologue over one exchange partition of the
+    aligned union: split turn/snapshot rows, sort turns by
+    (conv, ts, order_key) deriving per-conversation turn_idx, sort
+    snapshots by (conv, ts). Returns None when the partition holds no
+    turns, else a dict of the sorted arrays every direction variant
+    needs."""
+    import numpy as np
+    import pyarrow as pa
+
+    is_snap = tbl.column("is_snap").to_numpy(zero_copy_only=False)
+    conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+    _, codes = np.unique(conv, return_inverse=True)
+    ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+    okey = tbl.column("order_key").to_numpy(zero_copy_only=False)
+    t_rows = np.flatnonzero(is_snap == 0)
+    s_rows = np.flatnonzero(is_snap == 1)
+    t_order = np.lexsort((okey[t_rows], ts[t_rows], codes[t_rows]))
+    t_sel = t_rows[t_order]
+    n_t = len(t_sel)
+    if n_t == 0:
+        return None
+    codes_t, ts_t = codes[t_sel], ts[t_sel]
+    seg_new = np.r_[True, codes_t[1:] != codes_t[:-1]]
+    starts = np.flatnonzero(seg_new)
+    lens = np.diff(np.r_[starts, n_t])
+    tix = (np.arange(n_t) - np.repeat(starts, lens)).astype(np.int32)
+    s_order = np.lexsort((ts[s_rows], codes[s_rows]))
+    s_sel = s_rows[s_order]
+    sv_all = tbl.column("snap_val").to_numpy(zero_copy_only=False)
+    return {
+        "conv_t": conv[t_sel], "codes_t": codes_t, "ts_t": ts_t,
+        "tix": tix, "codes_s": codes[s_sel], "ts_s": ts[s_sel],
+        "sv_s": sv_all[s_sel] if len(s_sel) else sv_all[:0],
+    }
+
+
+def q_label_next_snapshot(sf_dir: str):
+    """FORWARD as-of: each turn labelled with the earliest snapshot at
+    or after it (``snap.ts >= turn.ts``) — the training-LABEL lookup
+    that deliberately reads the future, mirror-image of the
+    leakage-safe backward feature join. One hash exchange on conv_id
+    over the aligned turns ∪ snaps union (shared
+    :func:`_asof_aligned_union`), then a single vectorized forward
+    searchsorted per partition
+    (functions/segkernels.asof_indices_forward)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import segkernels as sk
+    from ..stages.exchange import hash_exchange
+
+    unioned = _asof_aligned_union(sf_dir)
 
     out_schema = pa.schema(
         [
@@ -495,43 +542,26 @@ def q_label_next_snapshot(sf_dir: str):
     def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return out_schema.empty_table()
-        is_snap = tbl.column("is_snap").to_numpy(zero_copy_only=False)
-        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
-        _, codes = np.unique(conv, return_inverse=True)
-        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
-        okey = tbl.column("order_key").to_numpy(zero_copy_only=False)
-        t_rows = np.flatnonzero(is_snap == 0)
-        s_rows = np.flatnonzero(is_snap == 1)
-        t_order = np.lexsort((okey[t_rows], ts[t_rows], codes[t_rows]))
-        t_sel = t_rows[t_order]
-        codes_t, ts_t = codes[t_sel], ts[t_sel]
-        n_t = len(t_sel)
-        if n_t == 0:
+        pr = _asof_partition_prologue(tbl)
+        if pr is None:
             return out_schema.empty_table()
-        seg_new = np.r_[True, codes_t[1:] != codes_t[:-1]]
-        starts = np.flatnonzero(seg_new)
-        lens = np.diff(np.r_[starts, n_t])
-        tix = (np.arange(n_t) - np.repeat(starts, lens)).astype(np.int32)
-        s_order = np.lexsort((ts[s_rows], codes[s_rows]))
-        s_sel = s_rows[s_order]
-        codes_s, ts_s = codes[s_sel], ts[s_sel]
         a_idx, a_ok = sk.asof_indices_forward(
-            codes_t, ts_t, codes_s, ts_s, allow_exact=True
+            pr["codes_t"], pr["ts_t"], pr["codes_s"], pr["ts_s"],
+            allow_exact=True,
         )
-        sv_all = tbl.column("snap_val").to_numpy(zero_copy_only=False)
-        if len(s_sel):
-            sv_s = sv_all[s_sel]
-            nv = np.where(a_ok, sv_s[a_idx], 0.0)
+        if len(pr["codes_s"]):
+            nv = np.where(a_ok, pr["sv_s"][a_idx], 0.0)
             lead = (
-                np.where(a_ok, ts_s[a_idx], 0) - np.where(a_ok, ts_t, 0)
+                np.where(a_ok, pr["ts_s"][a_idx], 0)
+                - np.where(a_ok, pr["ts_t"], 0)
             ).astype(np.float64) / 1e6
         else:
-            nv = np.zeros(n_t)
-            lead = np.zeros(n_t)
+            nv = np.zeros(len(pr["ts_t"]))
+            lead = np.zeros(len(pr["ts_t"]))
         return pa.table(
             {
-                "conv_id": pa.array(conv[t_sel], pa.string()),
-                "turn_idx": pa.array(tix),
+                "conv_id": pa.array(pr["conv_t"], pa.string()),
+                "turn_idx": pa.array(pr["tix"]),
                 "next_val": pa.array(nv, mask=~a_ok),
                 "next_lead_s": pa.array(lead, mask=~a_ok),
             }
@@ -859,47 +889,17 @@ def q_asof_join_nearest(sf_dir: str):
     latest at-or-before vs the earliest at-or-after — with exact ties
     resolved to the backward (leakage-safe) side. Completes the
     engine's as-of family: backward (feature), forward (label),
-    tolerance-bounded, and now nearest. Same single conv_id exchange;
-    the kernel runs BOTH composite-key searchsorted lookups and picks
-    per-row by integer-µs distance — no extra shuffle over running one
-    direction."""
+    tolerance-bounded, and now nearest. Same single conv_id exchange
+    over the shared aligned union; the kernel runs BOTH composite-key
+    searchsorted lookups and picks per-row by integer-µs distance —
+    no extra shuffle over running one direction."""
     import numpy as np
     import pyarrow as pa
 
     from ..functions import segkernels as sk
     from ..stages.exchange import hash_exchange
 
-    ev = _events(sf_dir)
-    turns = events_to_turns(ev)
-    snaps = events_to_snapshots(ev)
-
-    def _al_t(tbl: pa.Table) -> pa.Table:
-        n = tbl.num_rows
-        return pa.table(
-            {
-                "conv_id": tbl.column("conv_id"),
-                "ts": tbl.column("ts"),
-                "order_key": tbl.column("order_key").cast(pa.int64()),
-                "snap_val": pa.nulls(n, pa.float64()),
-                "is_snap": pa.array(np.zeros(n, np.int8)),
-            }
-        )
-
-    def _al_s(tbl: pa.Table) -> pa.Table:
-        n = tbl.num_rows
-        return pa.table(
-            {
-                "conv_id": tbl.column("conv_id"),
-                "ts": tbl.column("ts"),
-                "order_key": pa.array(np.zeros(n, np.int64)),
-                "snap_val": tbl.column("snap_val").cast(pa.float64()),
-                "is_snap": pa.array(np.ones(n, np.int8)),
-            }
-        )
-
-    unioned = turns.map_batches(
-        _al_t, batch_format="pyarrow", batch_size=None
-    ).union(snaps.map_batches(_al_s, batch_format="pyarrow", batch_size=None))
+    unioned = _asof_aligned_union(sf_dir)
 
     out_schema = pa.schema(
         [
@@ -913,37 +913,19 @@ def q_asof_join_nearest(sf_dir: str):
     def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return out_schema.empty_table()
-        is_snap = tbl.column("is_snap").to_numpy(zero_copy_only=False)
-        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
-        _, codes = np.unique(conv, return_inverse=True)
-        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
-        okey = tbl.column("order_key").to_numpy(zero_copy_only=False)
-        t_rows = np.flatnonzero(is_snap == 0)
-        s_rows = np.flatnonzero(is_snap == 1)
-        t_order = np.lexsort((okey[t_rows], ts[t_rows], codes[t_rows]))
-        t_sel = t_rows[t_order]
-        codes_t, ts_t = codes[t_sel], ts[t_sel]
-        n_t = len(t_sel)
-        if n_t == 0:
+        pr = _asof_partition_prologue(tbl)
+        if pr is None:
             return out_schema.empty_table()
-        seg_new = np.r_[True, codes_t[1:] != codes_t[:-1]]
-        starts = np.flatnonzero(seg_new)
-        lens = np.diff(np.r_[starts, n_t])
-        tix = (np.arange(n_t) - np.repeat(starts, lens)).astype(np.int32)
-        s_order = np.lexsort((ts[s_rows], codes[s_rows]))
-        s_sel = s_rows[s_order]
-        codes_s, ts_s = codes[s_sel], ts[s_sel]
+        codes_t, ts_t = pr["codes_t"], pr["ts_t"]
         b_idx, b_ok = sk.asof_indices(
-            codes_t, ts_t, codes_s, ts_s, allow_exact=True
+            codes_t, ts_t, pr["codes_s"], pr["ts_s"], allow_exact=True
         )
         f_idx, f_ok = sk.asof_indices_forward(
-            codes_t, ts_t, codes_s, ts_s, allow_exact=True
+            codes_t, ts_t, pr["codes_s"], pr["ts_s"], allow_exact=True
         )
         any_ok = b_ok | f_ok
-        if len(s_sel):
-            sv_s = tbl.column("snap_val").to_numpy(
-                zero_copy_only=False
-            )[s_sel]
+        if len(pr["codes_s"]):
+            sv_s, ts_s = pr["sv_s"], pr["ts_s"]
             db = np.where(b_ok, ts_t - ts_s[b_idx], 0)
             df = np.where(f_ok, ts_s[f_idx] - ts_t, 0)
             # backward wins when it exists and is at least as close
@@ -954,12 +936,12 @@ def q_asof_join_nearest(sf_dir: str):
             )
             dist = np.where(use_b, db, df).astype(np.float64) / 1e6
         else:
-            nv = np.zeros(n_t)
-            dist = np.zeros(n_t)
+            nv = np.zeros(len(ts_t))
+            dist = np.zeros(len(ts_t))
         return pa.table(
             {
-                "conv_id": pa.array(conv[t_sel], pa.string()),
-                "turn_idx": pa.array(tix),
+                "conv_id": pa.array(pr["conv_t"], pa.string()),
+                "turn_idx": pa.array(pr["tix"]),
                 "nearest_val": pa.array(nv, mask=~any_ok),
                 "nearest_dist_s": pa.array(dist, mask=~any_ok),
             }
@@ -986,15 +968,18 @@ f AS (
     ON t.conv_id = s.conv_id AND t.ts <= s.ts
 )
 SELECT b.conv_id, b.turn_idx,
-  CASE WHEN bval IS NULL AND fval IS NULL THEN NULL
-       WHEN fval IS NULL THEN bval
-       WHEN bval IS NULL THEN fval
+  -- dispatch on MATCH EXISTENCE (the matched snapshot ts), never on
+  -- the value: a matched snapshot whose snap_val is NULL must still
+  -- win on distance, mirroring the engine's b_ok/f_ok logic
+  CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+       WHEN fts IS NULL THEN bval
+       WHEN bts IS NULL THEN fval
        WHEN (epoch_us(b.ts) - epoch_us(bts))
             <= (epoch_us(fts) - epoch_us(b.ts)) THEN bval
        ELSE fval END AS nearest_val,
-  CAST(CASE WHEN bval IS NULL AND fval IS NULL THEN NULL
-       WHEN fval IS NULL THEN epoch_us(b.ts) - epoch_us(bts)
-       WHEN bval IS NULL THEN epoch_us(fts) - epoch_us(b.ts)
+  CAST(CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+       WHEN fts IS NULL THEN epoch_us(b.ts) - epoch_us(bts)
+       WHEN bts IS NULL THEN epoch_us(fts) - epoch_us(b.ts)
        WHEN (epoch_us(b.ts) - epoch_us(bts))
             <= (epoch_us(fts) - epoch_us(b.ts))
             THEN epoch_us(b.ts) - epoch_us(bts)

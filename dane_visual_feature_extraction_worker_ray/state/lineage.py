@@ -56,6 +56,36 @@ def content_checksum(tbl: pa.Table) -> str:
     return f"{int(np.bitwise_xor.reduce(mixed) ^ np.uint64(tbl.num_rows)):016x}"
 
 
+def purge_mismatched_buckets(out_dir: str, fingerprint: str) -> int:
+    """Delete bucket dirs whose ``_SUCCESS.json`` is missing, unreadable,
+    or carries a DIFFERENT fingerprint. Must run at the start of every
+    write: a regenerated input can hash its rows into a subset of the
+    buckets, and the exchange's empty-partition pruning means the
+    now-empty buckets would never be overwritten — ``read_checkpointed``
+    would silently resurface the previous corpus's data from them.
+    Returns the number of dirs removed."""
+    n = 0
+    if not os.path.isdir(out_dir):
+        return n
+    for name in os.listdir(out_dir):
+        if not name.startswith("bucket=") or ".tmp." in name:
+            continue
+        d = os.path.join(out_dir, name)
+        marker = os.path.join(d, "_SUCCESS.json")
+        part = os.path.join(d, "part.parquet")
+        keep = False
+        if os.path.isfile(marker) and os.path.isfile(part):
+            try:
+                with open(marker) as f:
+                    keep = json.load(f).get("fingerprint") == fingerprint
+            except (ValueError, OSError):
+                keep = False
+        if not keep:
+            shutil.rmtree(d, ignore_errors=True)
+            n += 1
+    return n
+
+
 def list_completed_buckets(out_dir: str, fingerprint: str) -> set[int]:
     done: set[int] = set()
     if not os.path.isdir(out_dir):
@@ -106,6 +136,10 @@ def write_features_checkpointed(
     cfg = cfg or FeatureConfig()
     pcfg = pcfg or PartitionConfig()
     os.makedirs(out_dir, exist_ok=True)
+    # stale-fingerprint dirs must go even when resume=False — a
+    # regenerated input may leave some buckets empty (never
+    # overwritten), and read_checkpointed reads every bucket dir
+    purge_mismatched_buckets(out_dir, fingerprint)
     done = list_completed_buckets(out_dir, fingerprint) if resume else set()
 
     ds = turns_ds.map_batches(
@@ -313,12 +347,23 @@ def write_partitioned_checkpointed(
     the exchange assign buckets with the SAME hash
     (``bucket_of(hash64_columns(...))``) — asserted by
     ``tests/test_lineage_resume.py`` round-tripping a composite key.
+
+    Deliberately NOT unified with :func:`write_features_checkpointed`:
+    the flagship writer carries pipeline-specific provenance (per-step
+    timing tree, conversation ranges, the turn-keyed checksum) that a
+    generic key contract can't express; the shared protocol pieces —
+    purge, completed-bucket listing, atomic rename, manifest — are the
+    common helpers both call.
     """
     from ..functions.hashing import bucket_of, hash64_columns
     from ..stages.exchange import hash_exchange
 
     key_list = [key] if isinstance(key, str) else list(key)
     os.makedirs(out_dir, exist_ok=True)
+    # stale-fingerprint dirs must go even when resume=False — a
+    # regenerated input may leave some buckets empty (never
+    # overwritten), and read_checkpointed reads every bucket dir
+    purge_mismatched_buckets(out_dir, fingerprint)
     done = list_completed_buckets(out_dir, fingerprint) if resume else set()
 
     if done:

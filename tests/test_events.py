@@ -4,6 +4,7 @@ completeness."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -170,3 +171,106 @@ def test_asof_nearest_tie_goes_backward(ray_session, tmp_path):
     assert out.loc["1", "nearest_dist_s"] == 25.0
     assert out.loc["2", "nearest_val"] == 9.0  # forward-only
     assert out.loc["2", "nearest_dist_s"] == 80.0
+
+
+def test_hourly_anomalies_flatline_spike_and_empty(ray_session, tmp_path):
+    """A spike after a constant (zero-variance) window must flag; an
+    empty events table yields a typed empty result, not a crash.
+    Engine output is cross-checked against the registered oracle SQL
+    on the same fixture."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.events_queries import (
+        ORACLE_SQL,
+        q_hourly_event_anomalies,
+    )
+
+    hour = 3_600_000_000
+    rows = []
+    eid = 0
+    for h in range(14):  # 14 flat hours of exactly 5 events
+        for j in range(5):
+            rows.append((eid, h * hour + j, 1, "click")); eid += 1
+    for j in range(100):  # then a 100-event spike hour
+        rows.append((eid, 14 * hour + j, 1, "click")); eid += 1
+    ids, ts, uid, et = zip(*rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(np.array(ts, np.int64)).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(np.zeros(len(rows))),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = q_hourly_event_anomalies(str(tmp_path)).to_pandas()
+    spike = got[got.n == 100].iloc[0]
+    assert bool(spike["is_anomaly"]), "flatline-then-spike must flag"
+    assert not got[got.n == 5]["is_anomaly"].any()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    exp = con.execute(ORACLE_SQL["hourly_event_anomalies"]).fetchdf()
+    g = got.sort_values("hour").reset_index(drop=True)
+    e = exp.sort_values("hour").reset_index(drop=True)
+    assert (g["is_anomaly"] == e["is_anomaly"]).all()
+
+    # empty input: typed empty result
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    pq.write_table(t.slice(0, 0), str(empty_dir / "events.parquet"))
+    out = q_hourly_event_anomalies(str(empty_dir))
+    assert out.num_rows == 0
+    assert out.column_names == ["hour", "n", "w", "is_anomaly"]
+
+
+def test_asof_nearest_null_snap_value_still_wins_on_distance(
+    ray_session, tmp_path
+):
+    """A matched snapshot whose VALUE is null must still win on
+    distance (engine dispatches on match existence; the oracle must
+    not fall through to the farther non-null side)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.transcript_queries import (
+        ORACLE_SQL,
+        q_asof_join_nearest,
+    )
+
+    us = 1_000_000
+    # backward snap at 10s distance with NULL value; forward snap at
+    # 50s distance with value 7.0 → nearest is the NULL-valued one
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array(
+                np.array([90 * us, 150 * us, 100 * us], np.int64)
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(
+                ["signup", "signup", "click"], pa.string()
+            ),
+            "value": pa.array([None, 7.0, 0.0], pa.float64()),
+            "props": pa.array([""] * 3),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = q_asof_join_nearest(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert np.isnan(got["nearest_val"].iloc[0])
+    assert got["nearest_dist_s"].iloc[0] == 10.0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    exp = con.execute(ORACLE_SQL["asof_join_nearest"]).fetchdf()
+    assert len(exp) == 1
+    assert pd.isna(exp["nearest_val"].iloc[0])
+    assert exp["nearest_dist_s"].iloc[0] == 10.0

@@ -264,3 +264,39 @@ def test_generic_checkpointed_writer_resume_identical(ray_session, tmp_path):
         lin3["checksum"].iloc[0]
         == lin1.set_index("bucket")["checksum"][victim]
     )
+
+
+def test_regenerated_input_purges_stale_buckets(ray_session, tmp_path):
+    """A regenerated input (new fingerprint) whose keys hash into a
+    SUBSET of the buckets must not resurface the old corpus's rows
+    from the now-empty buckets (the exchange prunes empty partitions,
+    so those dirs are never overwritten — they must be purged)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dane_visual_feature_extraction_worker_ray.state.lineage import (
+        read_checkpointed,
+        write_partitioned_checkpointed,
+    )
+
+    out = str(tmp_path / "regen_out")
+    corpus_a = pa.table(
+        {"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+         "v": pa.array(np.arange(40, dtype=np.int64))}
+    )
+    write_partitioned_checkpointed(
+        rd.from_arrow(corpus_a), "doc_id", 8, out, fingerprint="fpA"
+    )
+    assert len(read_checkpointed(out)) == 40
+
+    # regenerated corpus: 3 rows — most buckets now legitimately empty
+    corpus_b = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "v": pa.array([100, 101, 102], pa.int64())}
+    )
+    write_partitioned_checkpointed(
+        rd.from_arrow(corpus_b), "doc_id", 8, out, fingerprint="fpB"
+    )
+    got = read_checkpointed(out).to_pandas().sort_values("doc_id")
+    assert len(got) == 3, f"stale rows resurfaced: {len(got)}"
+    assert got["v"].tolist() == [100, 101, 102]

@@ -56,3 +56,29 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
 }
 ORACLE_SQL: dict[str, str] = {}
+
+
+def q_media_tar_ingest(sf_dir: str):
+    """S4 (tar.gz extraction) run for real in the driver gate: the
+    seeded media corpus is packed into ``.tar.gz`` archives (stable
+    bytes — gzip mtime pinned), streamed back through
+    ``sources/tar.read_media_tarballs`` (in-memory stdlib ``tarfile``
+    inside map tasks — no disk staging, unlike the reference's
+    ``extractall``, io_util.py:299-302), and projected to the metadata
+    columns. Rows-only (no media table in the oracle views); the
+    bit-exact round trip vs the source table is asserted in
+    tests/test_multimodal.py."""
+    import os
+    import tempfile
+
+    from ..sources.tar import read_media_tarballs, write_media_tarballs
+
+    tbl = synthesize_media_table(n_assets=8, frames_per_asset=12)
+    out_dir = os.path.join(tempfile.gettempdir(), "graft_media_tars")
+    paths = write_media_tarballs(tbl, out_dir, assets_per_tar=2)
+    return read_media_tarballs(paths).select_columns(
+        ["asset_id", "ts", "modality", "width", "height", "sample_rate"]
+    )
+
+
+QUERIES["media_tar_ingest"] = q_media_tar_ingest

@@ -178,3 +178,57 @@ def test_resource_kwargs_reach_map_batches(monkeypatch):
     )
     assert captured["num_gpus"] == 1
     assert captured["resources"] == {"accel": 2}
+
+
+def test_tar_media_roundtrip_and_features(ray_session, tmp_path):
+    """S4 made real: pack the synthetic media corpus into tar.gz
+    archives, stream them back through the Ray-native in-memory
+    extractor, and verify the table round-trips bit-exact — then run
+    the media feature extractor over the tar-sourced table."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dane_visual_feature_extraction_worker_ray.sources.tar import (
+        read_media_tarballs,
+        write_media_tarballs,
+    )
+    from dane_visual_feature_extraction_worker_ray.stages.multimodal import (
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    tbl = synthesize_media_table(n_assets=5, frames_per_asset=6)
+    paths = write_media_tarballs(tbl, str(tmp_path / "tars"), assets_per_tar=2)
+    assert len(paths) == 3
+
+    got = (
+        read_media_tarballs(paths)
+        .to_pandas()
+        .sort_values(["asset_id", "ts", "modality"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        tbl.to_pandas()
+        .sort_values(["asset_id", "ts", "modality"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ["asset_id", "ts", "modality", "width", "height", "sample_rate"]:
+        assert (got[c].values == exp[c].values).all(), c
+    assert all(a == b for a, b in zip(got["payload"], exp["payload"]))
+
+    feats = extract_media_features(read_media_tarballs(paths)).to_pandas()
+    assert len(feats) > 0
+
+
+def test_tar_member_name_parse_rejects_garbage():
+    import pytest
+
+    from dane_visual_feature_extraction_worker_ray.sources.tar import (
+        parse_member_name,
+    )
+
+    with pytest.raises(ValueError):
+        parse_member_name("not-a-media-member.txt")
+    with pytest.raises(ValueError):
+        parse_member_name("a/image/12_34.bin")

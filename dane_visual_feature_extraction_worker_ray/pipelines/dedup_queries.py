@@ -324,3 +324,68 @@ SELECT a.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
   COALESCE(h.n_hits, 0) > 0 AS contaminated
 FROM aug a LEFT JOIN hits h USING (doc_id)
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# edit-distance (Levenshtein) near-dups — fuzzy-string dedup family
+
+EDIT_PLANT_OFFSET = 20_000_000
+EDIT_MAX_DIST = 2
+EDIT_PREFIX = 60
+
+
+def q_edit_distance_near_dups(sf_dir: str):
+    """Same-source pairs within 2 Levenshtein edits on the 60-codepoint
+    text prefix, over the corpus augmented with planted one-edit
+    mutants ('Z' replacing each planted doc's first character) — the
+    transcription-jitter dedup that exact hashing and shingle sketches
+    both miss. The metric is exact (full DP, no sketch), so the DuckDB
+    ``levenshtein()`` self-join oracle matches hash-for-hash; planted
+    mutants guarantee the result is non-vacuous at every sf tier, and
+    any natural jitter pairs surface identically on both sides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.dedup import edit_distance_pairs
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def _plant(tbl: pa.Table) -> pa.Table:
+        sel = pc.less(tbl.column("doc_id"), N_PLANT)
+        m = tbl.filter(sel)
+        mut = pa.table(
+            {
+                "doc_id": pc.add(m.column("doc_id"), EDIT_PLANT_OFFSET),
+                "text": pc.binary_join_element_wise(
+                    "Z", pc.utf8_slice_codeunits(m.column("text"), 1), ""
+                ),
+                "source": m.column("source"),
+            }
+        )
+        return pa.concat_tables([tbl, mut.cast(tbl.schema)])
+
+    aug = docs.map_batches(_plant, batch_format="pyarrow")
+    return edit_distance_pairs(
+        aug, max_dist=EDIT_MAX_DIST, prefix_len=EDIT_PREFIX
+    )
+
+
+QUERIES["edit_distance_near_dups"] = q_edit_distance_near_dups
+ORACLE_SQL["edit_distance_near_dups"] = f"""
+WITH aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {EDIT_PLANT_OFFSET}, 'Z' || substr(text, 2), source
+  FROM documents WHERE doc_id < {N_PLANT}
+), p AS (
+  SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS pfx, source FROM aug
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= {EDIT_MAX_DIST}
+""".strip()

@@ -720,3 +720,139 @@ SELECT hour, n, w,
        END AS is_anomaly
 FROM wnd
 """.strip()
+
+
+_HOUR_US = 3_600_000_000
+
+
+def q_hourly_dense_counts(sf_dir: str):
+    """Dense time-series resample: per-(event_type, hour) event counts
+    over the FULL global hour range, with explicit zero rows for silent
+    hours — the gap-fill / row-GENERATION operator (aligned dense series
+    are what windowed stats and anomaly scans need; observed-hours-only
+    aggregates silently skip gaps, cf. ``hourly_event_anomalies`` which
+    windows over observed hours only).
+
+    Scale shape: mergeable per-batch (event_type, hour) count partials →
+    one aggregated table bounded by n_types × n_hours (NOT corpus size;
+    materializing it is safe at any corpus scale and is reused by the
+    bounds pass) → global [min, max] hour from a 2-scalar reduction →
+    per-type dense expansion via ``np.arange`` on integer-µs hours,
+    distributed on the event_type-keyed exchange so a wide series
+    (many keys × long span) never lands on one node. Raw events never
+    shuffle. Hour truncation is ``pc.floor_temporal`` — bit-identical
+    to DuckDB ``date_trunc('hour', ts)`` for µs timestamps."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.exchange import hash_grouped_map
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "hour": pc.floor_temporal(tbl.column("ts"), unit="hour"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["event_type", "hour"], [("n", "sum")]
+        )
+
+    counts = hash_grouped_aggregate(
+        ev.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["event_type", "hour"],
+        [("n", "sum")],
+        num_buckets=8,
+    ).materialize()  # bounded by n_types × n_hours — tiny by construction
+
+    # global hour bounds: 2 scalars off the already-aggregated table
+    parts = [
+        t
+        for t in ray.get(counts.to_arrow_refs())
+        if t.num_rows > 0
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "hour": pa.array([], pa.timestamp("us")),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    bounds = group_aggregate_table(
+        pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "_k": pa.array([0], pa.int64()),
+                        "h0": pa.array(
+                            [pc.min(t.column("hour").cast(pa.int64())).as_py()],
+                            pa.int64(),
+                        ),
+                        "h1": pa.array(
+                            [pc.max(t.column("hour").cast(pa.int64())).as_py()],
+                            pa.int64(),
+                        ),
+                    }
+                )
+                for t in parts
+            ]
+        ),
+        ["_k"],
+        [("h0", "min"), ("h1", "max")],
+    )
+    h0 = int(bounds.column("h0")[0].as_py())
+    h1 = int(bounds.column("h1")[0].as_py())
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("hour", pa.timestamp("us")),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def _expand(tbl: pa.Table) -> pa.Table:
+        et = tbl.column("event_type")[0].as_py()
+        h = tbl.column("hour").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = tbl.column("n").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hours = np.arange(h0, h1 + _HOUR_US, _HOUR_US, dtype=np.int64)
+        dense = np.zeros(len(hours), np.int64)
+        dense[(h - h0) // _HOUR_US] = n
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(hours), pa.string()),
+                "hour": pa.array(hours).cast(pa.timestamp("us")),
+                "n": pa.array(dense),
+            }
+        )
+
+    return hash_grouped_map(
+        counts, "event_type", _expand, num_partitions=8,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["hourly_dense_counts"] = q_hourly_dense_counts
+ORACLE_SQL["hourly_dense_counts"] = """
+WITH b AS (
+  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b),
+                INTERVAL 1 HOUR)) AS hour
+), c AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, hours.hour AS hour,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM t CROSS JOIN hours
+LEFT JOIN c ON c.event_type = t.event_type AND c.hour = hours.hour
+""".strip()

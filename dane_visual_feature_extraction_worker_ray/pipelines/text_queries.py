@@ -1306,3 +1306,150 @@ FROM (
   FROM toks GROUP BY tok), tot
 WHERE rk <= 20
 """.strip()
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75  # 1 - b = 0.25, written as the literal 0.25 on BOTH sides
+
+
+def q_bm25_scores(sf_dir: str):
+    """Okapi BM25 lexical scoring against the fixed TFIDF_TERMS query
+    set — tfidf_scores plus document-length normalization, the standard
+    retrieval ranking a pre-training curation pipeline uses to mine
+    topical documents.
+
+    Two streaming passes (same shape as tfidf_scores): (1) mergeable
+    per-batch corpus statistics — per-term document frequencies, doc
+    count, total token count → 5 scalars broadcast via ``ray.put``;
+    (2) per-doc term counts + doc length → score. IEEE-parity is
+    engineered, not hoped for: a rational idf (no ``ln`` — libm vs
+    DuckDB rounding is not bit-stable), every constant written as the
+    same literal on both sides (``2.2``, ``1.2``, ``0.25``, ``0.75``,
+    ``0.5``), one division per factor, and a fixed term order with
+    left-associated accumulation so the doubles match the
+    identically-shaped SQL expression bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..stages.groupagg import group_aggregate_table
+
+    docs = _docs(sf_dir)
+
+    def _tf_dl(texts):
+        """((n_docs, n_terms) term counts, (n_docs,) token counts)."""
+        ex = texts.fillna("").str.split().explode()
+        mask = ex.notna()
+        row = ex.index.to_numpy()[mask].astype(np.int64)
+        toks = ex[mask]
+        tf = np.zeros((len(texts), len(TFIDF_TERMS)), np.int64)
+        for j, term in enumerate(TFIDF_TERMS):
+            hits = (toks == term).to_numpy()
+            tf[:, j] = np.bincount(
+                row, weights=hits.astype(np.float64), minlength=len(texts)
+            ).astype(np.int64)
+        dl = np.bincount(row, minlength=len(texts)).astype(np.int64)
+        return tf, dl
+
+    def _stats_partial(tbl: pa.Table) -> pa.Table:
+        tf, dl = _tf_dl(tbl.column("text").to_pandas())
+        cols = {"_k": pa.array(np.zeros(1, np.int64))}
+        for j, term in enumerate(TFIDF_TERMS):
+            cols[f"df_{term}"] = pa.array(
+                [int((tf[:, j] > 0).sum())], pa.int64()
+            )
+        cols["nd"] = pa.array([tbl.num_rows], pa.int64())
+        cols["st"] = pa.array([int(dl.sum())], pa.int64())
+        return pa.table(cols)
+
+    parts = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in docs.map_batches(
+                _stats_partial, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        ]
+    )
+    tot = group_aggregate_table(
+        parts,
+        ["_k"],
+        [(f"df_{t}", "sum") for t in TFIDF_TERMS]
+        + [("nd", "sum"), ("st", "sum")],
+    )
+    dfs = np.array(
+        [int(tot.column(f"df_{t}")[0].as_py()) for t in TFIDF_TERMS],
+        np.int64,
+    )
+    nd = int(tot.column("nd")[0].as_py())
+    st = int(tot.column("st")[0].as_py())
+    stats_ref = ray.put((dfs, nd, st))
+
+    def _score(tbl: pa.Table) -> pa.Table:
+        d, n_docs, sum_dl = ray.get(stats_ref)
+        tf, dl = _tf_dl(tbl.column("text").to_pandas())
+        avgdl = float(sum_dl) / float(n_docs)
+        dlf = dl.astype(np.float64)
+        score = np.zeros(tbl.num_rows, np.float64)
+        for j in range(len(TFIDF_TERMS)):
+            idf = (float(n_docs - d[j]) + 0.5) / (float(d[j]) + 0.5)
+            num = tf[:, j].astype(np.float64) * 2.2
+            den = tf[:, j].astype(np.float64) + 1.2 * (
+                0.25 + 0.75 * (dlf / avgdl)
+            )
+            score = score + idf * num / den
+        cols = {"doc_id": tbl.column("doc_id"), "dl": pa.array(dl)}
+        for j, term in enumerate(TFIDF_TERMS):
+            cols[f"tf_{term}"] = pa.array(tf[:, j])
+        cols["score"] = pa.array(score)
+        return pa.table(cols)
+
+    return docs.map_batches(_score, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["bm25_scores"] = q_bm25_scores
+
+
+def _bm25_sql() -> str:
+    tf_exprs = ",\n  ".join(
+        "CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf_{t}".format(
+            t=t
+        )
+        for t in TFIDF_TERMS
+    )
+    df_ctes = ",\n".join(
+        "df_{t} AS (SELECT count(*) AS d FROM toks "
+        "WHERE list_contains(tk, '{t}'))".format(t=t)
+        for t in TFIDF_TERMS
+    )
+    contribs = " + ".join(
+        "(CAST((SELECT nd FROM tot) - (SELECT d FROM df_{t}) AS DOUBLE) + 0.5)"
+        " / (CAST((SELECT d FROM df_{t}) AS DOUBLE) + 0.5)"
+        " * (CAST(tf_{t} AS DOUBLE) * 2.2)"
+        " / (CAST(tf_{t} AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+        " (CAST(dl AS DOUBLE) / (SELECT ad FROM tot))))".format(t=t)
+        for t in TFIDF_TERMS
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+{df_ctes},
+tot AS (
+  SELECT count(*) AS nd,
+    CAST(sum(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ad
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+  {tf_exprs}
+  FROM toks
+)
+SELECT doc_id, dl, {', '.join('tf_' + t for t in TFIDF_TERMS)},
+  {contribs} AS score
+FROM tf
+""".strip()
+
+
+ORACLE_SQL["bm25_scores"] = _bm25_sql()

@@ -427,3 +427,79 @@ def test_contamination_flags_edges():
         ).to_pandas()
     )
     assert not out2["contaminated"].any()
+
+
+# --------------------------------------------------------------------------
+# edit-distance near-dup pairs
+
+
+def _lev_ref(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    D = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev_diag, D[0] = D[0], i
+        for j in range(1, lb + 1):
+            prev_diag, D[j] = D[j], min(
+                D[j] + 1, D[j - 1] + 1, prev_diag + (a[i - 1] != b[j - 1])
+            )
+    return D[lb]
+
+
+def test_levenshtein_vec_matches_reference():
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        _levenshtein_pairs_vec,
+    )
+
+    rng = np.random.default_rng(11)
+    strs = ["", "a", "ab", "kitten", "sitting", "flaw", "lawn", "résumé",
+            "resume", "ζωή", "zzzz"]
+    for _ in range(80):
+        strs.append(
+            "".join(rng.choice(list("abcd")) for _ in range(rng.integers(0, 14)))
+        )
+    L = 16
+    n = len(strs)
+    cp = np.zeros((n, L), np.uint32)
+    lens = np.zeros(n, np.int64)
+    for i, t in enumerate(strs):
+        u = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+        lens[i] = len(u)
+        cp[i, : len(u)] = u
+    ia, ib = np.triu_indices(n, k=1)
+    got = _levenshtein_pairs_vec(cp, lens, ia, ib)
+    exp = np.array([_lev_ref(strs[x], strs[y]) for x, y in zip(ia, ib)])
+    assert (got == exp).all()
+
+
+def test_edit_distance_pairs_finds_planted_jitter():
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        edit_distance_pairs,
+    )
+
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog", "s1"),
+        (1, "the quick brown fox jumps over the lazy dot", "s1"),  # 1 edit
+        (2, "an entirely different document about parquet files", "s1"),
+        (3, "the quick brown fox jumps over the lazy dog", "s2"),  # cross-src
+        (4, "streaming execution with backpressure and spilling", "s2"),
+        (5, "streaming execution with backpressure and spilling!", "s2"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in base], pa.int64()),
+                "text": pa.array([r[1] for r in base]),
+                "source": pa.array([r[2] for r in base]),
+            }
+        )
+    )
+    out = edit_distance_pairs(ds, max_dist=2, prefix_len=60).to_pandas()
+    got = {(a, b): d for a, b, d in zip(out.doc_a, out.doc_b, out.dist)}
+    # same-source jitter pairs surface with exact distances
+    assert got[(0, 1)] == 1
+    assert got[(4, 5)] == 1
+    # identical text in DIFFERENT sources is outside the candidate
+    # policy (documented partitioning assumption)
+    assert (0, 3) not in got and (1, 3) not in got
+    assert all(d <= 2 for d in got.values())
+    assert (2, 0) not in got and (0, 2) not in got

@@ -274,3 +274,35 @@ def test_asof_nearest_null_snap_value_still_wins_on_distance(
     assert len(exp) == 1
     assert pd.isna(exp["nearest_val"].iloc[0])
     assert exp["nearest_dist_s"].iloc[0] == 10.0
+
+
+def test_hourly_dense_counts_gap_fill(ray_session, tmp_path):
+    from dane_visual_feature_extraction_worker_ray.pipelines.events_queries import (
+        q_hourly_dense_counts,
+    )
+
+    H = 3_600_000_000
+    rows = [
+        # click: hours 0 and 3 observed; hours 1, 2 are gaps
+        (1, "click", 10),
+        (1, "click", 20),
+        (1, "click", 3 * H + 5),
+        # view: only hour 1 observed — zero-filled over the GLOBAL span
+        (2, "view", H + 7),
+    ]
+    sf = _write(tmp_path, rows)
+    got = (
+        q_hourly_dense_counts(sf)
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    # global span = hours 0..3 → 4 hours × 2 types = 8 dense rows
+    assert len(got) == 8
+    assert (got.groupby("event_type").size() == 4).all()
+    click = got[got.event_type == "click"].n.tolist()
+    view = got[got.event_type == "view"].n.tolist()
+    assert click == [2, 0, 0, 1]
+    assert view == [0, 1, 0, 0]
+    hours = got[got.event_type == "click"].hour.astype("int64").tolist()
+    assert hours == [0, H, 2 * H, 3 * H]

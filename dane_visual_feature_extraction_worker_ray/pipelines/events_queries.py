@@ -856,3 +856,85 @@ SELECT t.event_type, hours.hour AS hour,
 FROM t CROSS JOIN hours
 LEFT JOIN c ON c.event_type = t.event_type AND c.hour = hours.hour
 """.strip()
+
+
+def q_scd2_intervals(sf_dir: str):
+    """Slowly-changing-dimension (type-2) interval build: treat the
+    event stream as a change log and turn each (user_id, event_type)
+    change into a validity interval — ``valid_from`` = the change's
+    ts, ``valid_to`` = the NEXT change's ts for the same key (NULL on
+    the current row), ``is_current`` marking the open interval. The
+    standard snapshot-table constructor every warehouse/history join
+    needs (the as-of join's right side IS such a table).
+
+    Scale shape: one hash exchange on ``user_id`` (all of a user's
+    history co-located, same partitioning key as the funnel/pivot
+    suite), then a whole-partition vectorized kernel — a single
+    lexsort by (user, type, ts, event_id) and a shifted-compare lead;
+    no per-group Python dispatch, no global sort. Ties on ts are broken
+    by event_id identically in the SQL window's ORDER BY, so the lead
+    is deterministic on both sides. Timestamps stay integer-µs
+    end-to-end; ``value`` passes through untouched (no arithmetic → no
+    IEEE concerns)."""
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import hash_exchange
+
+    ev = _events(
+        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("valid_from", pa.timestamp("us")),
+            ("valid_to", pa.timestamp("us")),
+            ("is_current", pa.bool_()),
+        ]
+    )
+
+    def _kernel(p: int, tbl: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_arrow_threads
+
+        pin_arrow_threads()
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        ts = (
+            tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        codes = np.unique(et, return_inverse=True)[1]
+        o = np.lexsort((eid, ts, codes, uid))
+        uid, eid, ts, codes = uid[o], eid[o], ts[o], codes[o]
+        same_key = np.zeros(len(uid), dtype=bool)
+        if len(uid) > 1:
+            same_key[:-1] = (uid[1:] == uid[:-1]) & (codes[1:] == codes[:-1])
+        valid_to = np.zeros(len(uid), np.int64)
+        if len(uid) > 1:
+            valid_to[:-1] = ts[1:]
+        vt = pa.array(valid_to, pa.int64()).cast(pa.timestamp("us"))
+        vt = pc.if_else(pa.array(same_key), vt, pa.nulls(len(uid), pa.timestamp("us")))
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "event_type": tbl.column("event_type").take(pa.array(o)),
+                "value": tbl.column("value").take(pa.array(o)),
+                "valid_from": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                "valid_to": vt,
+                "is_current": pa.array(~same_key),
+            }
+        )
+
+    return hash_exchange(ev, ["user_id"], 16, _kernel, out_schema)
+
+
+QUERIES["scd2_intervals"] = q_scd2_intervals
+ORACLE_SQL["scd2_intervals"] = """
+SELECT user_id, event_type, value, ts AS valid_from,
+  lead(ts) OVER w AS valid_to,
+  lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+""".strip()

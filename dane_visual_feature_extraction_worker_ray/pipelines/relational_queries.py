@@ -1288,3 +1288,116 @@ SELECT 'l_tax', CAST(count(*) AS BIGINT),
   CAST(count(*) - count(l_tax) AS BIGINT),
   min(l_tax), max(l_tax) FROM lineitem
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# CUBE / grouping-sets rollup from ONE pass of partials
+
+
+def q_revenue_cube(sf_dir: str):
+    """Revenue CUBE over (l_returnflag, l_linestatus): all four
+    grouping sets — (flag, status), (flag), (status), () — from a
+    SINGLE streaming pass. The fact table is aggregated once to the
+    finest granularity (mergeable int-cent partials → tiny exchange →
+    table bounded by |flags| × |status|, ~6 rows at any corpus scale);
+    the coarser sets are re-aggregations of that bounded table on the
+    driver — rolling up 6 rows, never re-scanning the corpus. Rolled-up
+    dimensions are NULL, exactly as ``GROUP BY CUBE`` emits them.
+
+    Parity: integer-cent revenue sums with ONE final IEEE division;
+    sum_qty stays int64 end-to-end (re-summing partials is exact, so
+    driver-side rollup == direct SQL rollup bit-for-bit)."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        qty = tbl.column("l_quantity").cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": tbl.column("l_returnflag"),
+                "l_linestatus": tbl.column("l_linestatus"),
+                "qty": pa.array(qty),
+                "price_c": pa.array(_cents(tbl.column("l_extendedprice"))),
+                "n": pa.array(np.ones(tbl.num_rows, dtype=np.int64)),
+            }
+        )
+        from ..stages.groupagg import group_aggregate_table
+
+        return group_aggregate_table(
+            t,
+            ["l_returnflag", "l_linestatus"],
+            [("qty", "sum"), ("price_c", "sum"), ("n", "sum")],
+        )
+
+    fine = hash_grouped_aggregate(
+        li.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["l_returnflag", "l_linestatus"],
+        [("qty", "sum"), ("price_c", "sum"), ("n", "sum")],
+        num_buckets=4,
+    )
+    # bounded materialization: |flags| × |status| rows total
+    parts = [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows > 0]
+    full = pa.concat_tables(parts) if parts else pa.table(
+        {
+            "l_returnflag": pa.array([], pa.string()),
+            "l_linestatus": pa.array([], pa.string()),
+            "qty": pa.array([], pa.int64()),
+            "price_c": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    from ..stages.groupagg import group_aggregate_table
+
+    aggs = [("qty", "sum"), ("price_c", "sum"), ("n", "sum")]
+    vals = ["qty", "price_c", "n"]
+    out_parts = []
+    for keys in (["l_returnflag", "l_linestatus"], ["l_returnflag"],
+                 ["l_linestatus"], []):
+        if keys:
+            g = group_aggregate_table(full, keys, aggs)
+        else:
+            tmp = full.append_column(
+                "_k", pa.array(np.zeros(full.num_rows, np.int64))
+            )
+            g = group_aggregate_table(tmp, ["_k"], aggs).drop_columns(["_k"])
+        cols = {}
+        nulls = pa.nulls(g.num_rows, pa.string())
+        for dim in ("l_returnflag", "l_linestatus"):
+            cols[dim] = g.column(dim) if dim in keys else nulls
+        for v in vals:
+            cols[v] = g.column(v)
+        out_parts.append(pa.table(cols))
+    cube = pa.concat_tables(out_parts)
+    return pa.table(
+        {
+            "l_returnflag": cube.column("l_returnflag"),
+            "l_linestatus": cube.column("l_linestatus"),
+            "sum_qty": cube.column("qty"),
+            "revenue": pa.array(
+                cube.column("price_c").cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+                / 100.0
+            ),
+            "n": cube.column("n"),
+        }
+    )
+
+
+QUERIES["revenue_cube"] = q_revenue_cube
+ORACLE_SQL["revenue_cube"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100.0
+    AS revenue,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""".strip()

@@ -306,3 +306,40 @@ def test_hourly_dense_counts_gap_fill(ray_session, tmp_path):
     assert view == [0, 1, 0, 0]
     hours = got[got.event_type == "click"].hour.astype("int64").tolist()
     assert hours == [0, H, 2 * H, 3 * H]
+
+
+def test_scd2_intervals_chains_and_ties(ray_session, tmp_path):
+    from dane_visual_feature_extraction_worker_ray.pipelines.events_queries import (
+        q_scd2_intervals,
+    )
+
+    rows = [
+        # user 1 click chain: 10 -> 30 -> 30 (tie broken by event_id)
+        (1, "click", 10),
+        (1, "click", 30),
+        (1, "click", 30),
+        # user 1 view: singleton -> open interval
+        (1, "view", 20),
+        # user 2 click: independent chain
+        (2, "click", 15),
+    ]
+    sf = _write(tmp_path, rows)
+    out = (
+        q_scd2_intervals(sf)
+        .to_pandas()
+        .sort_values(["user_id", "event_type", "valid_from"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5
+    c1 = out[(out.user_id == 1) & (out.event_type == "click")]
+    vf = c1["valid_from"].astype("int64").tolist()
+    assert vf == [10, 30, 30]
+    vt = c1["valid_to"].tolist()
+    assert vt[0].value == 30_000 and vt[1].value == 30_000  # ns
+    assert pd.isna(vt[2])
+    assert c1["is_current"].tolist() == [False, False, True]
+    v1 = out[(out.user_id == 1) & (out.event_type == "view")]
+    assert v1["is_current"].tolist() == [True]
+    # exactly one current row per (user, type)
+    cur = out.groupby(["user_id", "event_type"])["is_current"].sum()
+    assert (cur == 1).all()

@@ -1401,3 +1401,98 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# iterative graph analytics: weighted PageRank over the co-purchase graph
+
+
+PR_ITERS = 3
+PR_SCALE = 10**12
+PR_BASE = (PR_SCALE * 15) // 100  # (scale·(dd-dn))//dd, dn/dd = 85/100
+
+
+def q_part_pagerank(sf_dir: str):
+    """Weighted PageRank over the part co-purchase graph (parts are
+    linked when they appear in the same order; parallel edges across
+    orders become integer weights). Graph build + ``PR_ITERS`` rounds
+    of integer fixed-point propagation — two hash exchanges per round,
+    bit-identical to the unrolled SQL iteration because every floor
+    division sits at the same spot on both sides and int64 sums are
+    order-independent (see ``stages/pagerank.py``)."""
+    from ..stages.pagerank import cooccurrence_edges, pagerank_fixed_point
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+
+    def _node_partial(t: pa.Table) -> pa.Table:
+        from ..stages.groupagg import group_aggregate_table
+
+        return group_aggregate_table(
+            pa.table(
+                {
+                    "node": t.column("l_partkey").cast(pa.int64()),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            ["node"],
+            [("one", "min")],
+        )
+
+    nodes = hash_grouped_aggregate(
+        li.map_batches(_node_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["node"],
+        [("one", "min")],
+        num_buckets=8,
+    ).map_batches(
+        lambda t: t.select(["node"]), batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    out = pagerank_fixed_point(
+        edges, nodes, iters=PR_ITERS, scale=PR_SCALE, num_partitions=8
+    )
+    return out.map_batches(
+        lambda t: pa.table({"node": t.column("node"), "pr": t.column("rank")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+QUERIES["part_pagerank"] = q_part_pagerank
+
+
+def _pagerank_sql() -> str:
+    iter_tmpl = """
+r{K} AS (
+  SELECT n.node,
+    CAST({BASE} + COALESCE(CAST(
+      sum(((85 * (p.r // o.ow)) // 100) * e.w) AS BIGINT), 0) AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN ow o ON o.src = e.src
+  LEFT JOIN r{P} p ON p.node = e.src
+  GROUP BY n.node
+)"""
+    iters = ",".join(
+        iter_tmpl.format(K=k, P=k - 1, BASE=PR_BASE)
+        for k in range(1, PR_ITERS + 1)
+    )
+    return f"""
+WITH po AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+            FROM lineitem),
+edges AS (
+  SELECT a.item AS src, b.item AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM po a JOIN po b ON a.g = b.g AND a.item <> b.item
+  GROUP BY 1, 2
+),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+{iters}
+SELECT node, r AS pr FROM r{PR_ITERS}
+""".strip()
+
+
+ORACLE_SQL["part_pagerank"] = _pagerank_sql()

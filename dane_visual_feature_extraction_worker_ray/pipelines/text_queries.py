@@ -1453,3 +1453,138 @@ FROM tf
 
 
 ORACLE_SQL["bm25_scores"] = _bm25_sql()
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style intra-document repetition signals — the quality
+    filters a pre-training curation pipeline runs to drop boilerplate
+    and degenerate generations: per doc, token/distinct-token counts,
+    the most-frequent-token and most-frequent-bigram multiplicities,
+    and the two repetition fractions built from them
+    (``dup_tok_frac = (n_tokens - n_distinct) / n_tokens``,
+    ``top_bigram_frac = top_bigram_n / (n_tokens - 1)``).
+
+    Stateless per-batch map — embarrassingly parallel, no shuffle.
+    Inside a batch everything is one factorize + two lexsort run-counts
+    (tokens, then adjacent bigrams); no Python loop over docs. All
+    counts are int64; each fraction is a single IEEE division with the
+    identical CASE guard on both sides, so parity is exact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    docs = _docs(sf_dir)
+
+    def _rep(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        texts = tbl.column("text").to_pandas().fillna("")
+        ex = texts.str.split().explode()
+        mask = ex.notna()
+        rows = ex.index.to_numpy()[mask.to_numpy()].astype(np.int64)
+        toks = ex[mask]
+        n_tok = np.bincount(rows, minlength=n).astype(np.int64)
+        codes = pd.factorize(toks, sort=False)[0].astype(np.int64)
+        n_distinct = np.zeros(n, np.int64)
+        max_tok = np.zeros(n, np.int64)
+        if len(rows):
+            o = np.lexsort((codes, rows))
+            r, c = rows[o], codes[o]
+            new = np.r_[True, (r[1:] != r[:-1]) | (c[1:] != c[:-1])]
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.r_[starts, len(r)])
+            r_run = r[starts]
+            n_distinct = np.bincount(r_run, minlength=n).astype(np.int64)
+            np.maximum.at(max_tok, r_run, cnt)
+        top_bi = np.zeros(n, np.int64)
+        if len(rows) > 1:
+            adj = rows[1:] == rows[:-1]  # explode preserves in-doc order
+            br = rows[:-1][adj]
+            b1 = codes[:-1][adj]
+            b2 = codes[1:][adj]
+            if len(br):
+                o = np.lexsort((b2, b1, br))
+                rr, x1, x2 = br[o], b1[o], b2[o]
+                new = np.r_[
+                    True,
+                    (rr[1:] != rr[:-1]) | (x1[1:] != x1[:-1])
+                    | (x2[1:] != x2[:-1]),
+                ]
+                starts = np.flatnonzero(new)
+                cnt = np.diff(np.r_[starts, len(rr)])
+                np.maximum.at(top_bi, rr[starts], cnt)
+        ntf = n_tok.astype(np.float64)
+        dup_frac = np.where(
+            n_tok >= 1, (n_tok - n_distinct).astype(np.float64) / ntf, np.nan
+        )
+        bi_frac = np.where(
+            n_tok >= 2, top_bi.astype(np.float64) / (ntf - 1.0), np.nan
+        )
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": pa.array(n_tok),
+                "n_distinct": pa.array(n_distinct),
+                "max_tok_n": pa.array(max_tok),
+                "top_bigram_n": pa.array(top_bi),
+                "dup_tok_frac": pa.array(dup_frac).cast(pa.float64()),
+                "top_bigram_frac": pa.array(bi_frac).cast(pa.float64()),
+            }
+        )
+
+    out = docs.map_batches(_rep, batch_format="pyarrow", batch_size=None)
+
+    def _nullify(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # NaN -> NULL so the frame matches SQL's CASE ... ELSE NULL
+        cols = {c: tbl.column(c) for c in tbl.column_names}
+        for c in ("dup_tok_frac", "top_bigram_frac"):
+            v = tbl.column(c)
+            cols[c] = pc.if_else(pc.is_nan(v), pa.nulls(tbl.num_rows, pa.float64()), v)
+        return pa.table(cols)
+
+    return out.map_batches(_nullify, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["doc_repetition"] = q_doc_repetition
+ORACLE_SQL["doc_repetition"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(tk) AS tok,
+         unnest(range(len(tk))) AS i
+  FROM toks
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok
+), per_tok AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS max_tok_n,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM tc GROUP BY doc_id
+), bi AS (
+  SELECT a.doc_id, a.tok AS t1, b.tok AS t2, count(*) AS c
+  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY a.doc_id, a.tok, b.tok
+), per_bi AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+  FROM bi GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(pt.n_tokens, 0) AS n_tokens,
+  COALESCE(pt.n_distinct, 0) AS n_distinct,
+  COALESCE(pt.max_tok_n, 0) AS max_tok_n,
+  COALESCE(pb.top_bigram_n, 0) AS top_bigram_n,
+  CASE WHEN COALESCE(pt.n_tokens, 0) >= 1 THEN
+    CAST(pt.n_tokens - pt.n_distinct AS DOUBLE)
+      / CAST(pt.n_tokens AS DOUBLE)
+  ELSE NULL END AS dup_tok_frac,
+  CASE WHEN COALESCE(pt.n_tokens, 0) >= 2 THEN
+    CAST(COALESCE(pb.top_bigram_n, 0) AS DOUBLE)
+      / (CAST(pt.n_tokens AS DOUBLE) - 1.0)
+  ELSE NULL END AS top_bigram_frac
+FROM documents d
+LEFT JOIN per_tok pt USING (doc_id)
+LEFT JOIN per_bi pb USING (doc_id)
+""".strip()

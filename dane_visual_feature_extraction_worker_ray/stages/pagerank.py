@@ -1,0 +1,289 @@
+"""Distributed weighted PageRank in exact integer fixed-point.
+
+The iterative-graph family next to connected components
+(``stages/dedup.connected_components_labels``): where CC propagates a
+min-label to a fixpoint, PageRank propagates rank MASS for a fixed
+number of rounds. Same execution shape — two hash exchanges per round
+(ranks joined onto edges at the source endpoint, contribution messages
+combined at the destination), everything hash-partitioned, the driver
+never sees a corpus-scale row set.
+
+Arithmetic is integer fixed-point (ranks scaled by ``scale``), with
+the floor divisions placed at exactly the same spots a SQL oracle can
+reproduce (``((dn * (r // ow)) // dd) * w``): sums of int64 are
+order-independent, so the result is bit-identical to an unrolled SQL
+iteration regardless of partitioning — no IEEE accumulation-order
+hazards, the same engineering as the integer-cent money math. The
+quantization error vs real-valued PageRank is O(1/scale) per term
+(``r // ow`` floors once per source, the damping division floors once
+per edge); ranking order is unaffected for any realistic ``scale``.
+
+Semantics: simplified PageRank — dangling mass (nodes with no
+out-edges) is dropped rather than redistributed, exactly what the
+mirrored SQL computes. Overflow bound: ``dn * (r // ow)`` then
+``* w`` requires ``dn * scale_mass`` and ``base * w_max`` within
+int64; with the default ``scale=1e12`` there is headroom for graphs
+up to ~1e5 nodes of fully-concentrated mass — raise/lower ``scale``
+to trade precision for headroom.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pagerank_fixed_point(
+    edges_ds,
+    nodes_ds,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    num_partitions: int = 16,
+):
+    """Iterate ``r'(v) = base + Σ_{(u→v)} ((dn·(r(u)//ow(u)))//dd)·w``
+    for ``iters`` rounds from ``r0 = scale``, where ``ow(u)`` is u's
+    total out-weight and ``base = (scale·(dd-dn))//dd``.
+
+    ``edges_ds``: columns ``src``, ``dst``, ``w`` (int64; parallel
+    edges allowed — they are pre-summed). ``nodes_ds``: column
+    ``node`` (int64, distinct; isolated nodes keep ``base`` after
+    round 1). Returns a Dataset ``(node, rank)``.
+
+    Out-weights are NOT a separate join: edges are exchanged keyed by
+    ``src``, so each partition holds every out-edge of its sources and
+    derives ``ow`` locally with a run-sum.
+    """
+    dn, dd = damping_num, damping_den
+    base = (scale * (dd - dn)) // dd
+
+    from .groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    def _edge_partial(t: pa.Table) -> pa.Table:
+        return group_aggregate_table(
+            pa.table(
+                {
+                    "src": t.column("src").cast(pa.int64()),
+                    "dst": t.column("dst").cast(pa.int64()),
+                    "w": t.column("w").cast(pa.int64()),
+                }
+            ),
+            ["src", "dst"],
+            [("w", "sum")],
+        )
+
+    edges = hash_grouped_aggregate(
+        edges_ds.map_batches(
+            _edge_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["src", "dst"],
+        [("w", "sum")],
+        num_buckets=num_partitions,
+    ).materialize()  # static across rounds
+
+    ranks = nodes_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "rank": pa.array(
+                    np.full(t.num_rows, scale, np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    msg_schema = pa.schema([("dst", pa.int64()), ("c", pa.int64())])
+    rank_schema = pa.schema([("node", pa.int64()), ("rank", pa.int64())])
+
+    def _phase1(p: int, tbl: pa.Table) -> pa.Table:
+        # side 0 = edge (key=src, dst, w); side 1 = rank (key=node, w=r)
+        from ..functions.runtime import pin_arrow_threads
+
+        pin_arrow_threads()
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+        w = tbl.column("w").to_numpy(zero_copy_only=False)
+        emask = side == 0
+        src_e, dst_e, w_e = key[emask], dst[emask], w[emask]
+        rkeys, rvals = key[~emask], w[~emask]
+        if len(src_e) == 0 or len(rkeys) == 0:
+            return msg_schema.empty_table()
+        o = np.argsort(src_e, kind="stable")
+        src_e, dst_e, w_e = src_e[o], dst_e[o], w_e[o]
+        # out-weight per source: run-sum over the src-sorted edges
+        new = np.r_[True, src_e[1:] != src_e[:-1]]
+        gidx = np.cumsum(new) - 1
+        ow = np.zeros(gidx[-1] + 1, np.int64)
+        np.add.at(ow, gidx, w_e)
+        ro = np.argsort(rkeys, kind="stable")
+        rkeys, rvals = rkeys[ro], rvals[ro]
+        pos = np.searchsorted(rkeys, src_e[new])
+        # every source is a node and ranks cover all nodes
+        q = rvals[pos] // ow  # per-source floored mass share
+        c = ((dn * q[gidx]) // dd) * w_e
+        return group_aggregate_table(
+            pa.table({"dst": pa.array(dst_e), "c": pa.array(c)}),
+            ["dst"],
+            [("c", "sum")],
+        )
+
+    def _phase2(p: int, tbl: pa.Table) -> pa.Table:
+        # side 0 = message (key=dst, c); side 1 = node (key, c=0)
+        from ..functions.runtime import pin_arrow_threads
+
+        pin_arrow_threads()
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        key = tbl.column("key").to_numpy(zero_copy_only=False)
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
+        nmask = side == 1
+        nodes = np.sort(key[nmask])
+        if len(nodes) == 0:
+            # a message's dst is always a node and ranks ride the same
+            # partitioner, so this only happens on an all-empty split
+            return rank_schema.empty_table()
+        total = np.full(len(nodes), base, np.int64)
+        mk, mc = key[~nmask], c[~nmask]
+        if len(mk):
+            pos = np.searchsorted(nodes, mk)
+            np.add.at(total, pos, mc)
+        return pa.table({"node": pa.array(nodes), "rank": pa.array(total)})
+
+    from .exchange import hash_exchange
+
+    for _ in range(iters):
+        in1 = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("src"),
+                    "dst": t.column("dst"),
+                    "w": t.column("w"),
+                    "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).union(
+            ranks.map_batches(
+                lambda t: pa.table(
+                    {
+                        "key": t.column("node"),
+                        "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                        "w": t.column("rank"),
+                        "side": pa.array(np.ones(t.num_rows, np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+        # phase-1 outputs stream straight into the phase-2 exchange
+        # (empty-safe) — no driver barrier between the two exchanges
+        msgs = hash_exchange(
+            in1, "key", num_partitions, _phase1, empty_schema=msg_schema,
+            prune_empty_sync=False,
+        )
+        in2 = msgs.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("dst"),
+                    "c": t.column("c"),
+                    "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).union(
+            ranks.map_batches(
+                lambda t: pa.table(
+                    {
+                        "key": t.column("node"),
+                        "c": pa.array(np.zeros(t.num_rows, np.int64)),
+                        "side": pa.array(np.ones(t.num_rows, np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+        ranks = hash_exchange(
+            in2, "key", num_partitions, _phase2, empty_schema=rank_schema
+        )
+    return ranks
+
+
+def cooccurrence_edges(
+    ds,
+    group_col: str,
+    item_col: str,
+    num_partitions: int = 16,
+):
+    """Co-occurrence graph construction: for every group (order,
+    basket, document …) emit a directed edge between every ordered
+    pair of DISTINCT items it contains; parallel edges across groups
+    are summed into an integer weight ``w``.
+
+    One hash exchange on ``group_col`` co-locates each group, then the
+    pair expansion is fully vectorized (run-length product-index
+    decomposition — no Python loop over groups). A group with k items
+    emits k·(k-1) pairs: bound k upstream if groups can be huge (the
+    documented hot-key assumption; TPC-H-ish orders hold ≤ ~7 items).
+    Returns ``(src, dst, w)`` aggregated across groups.
+    """
+    from .exchange import hash_exchange
+    from .groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    pair_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("w", pa.int64())]
+    )
+
+    def _pairs(p: int, tbl: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_arrow_threads
+
+        pin_arrow_threads()
+        g = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        it = tbl.column(item_col).to_numpy(zero_copy_only=False)
+        o = np.lexsort((it, g))
+        g, it = g[o], it[o]
+        keep = np.r_[True, (g[1:] != g[:-1]) | (it[1:] != it[:-1])]
+        g, it = g[keep], it[keep]  # distinct (group, item)
+        new = np.r_[True, g[1:] != g[:-1]]
+        starts = np.flatnonzero(new)
+        k = np.diff(np.r_[starts, len(g)])
+        tot = k * (k - 1)
+        n_pairs = int(tot.sum())
+        if n_pairs == 0:
+            return pair_schema.empty_table()
+        wi = np.arange(n_pairs, dtype=np.int64) - np.repeat(
+            np.cumsum(tot) - tot, tot
+        )
+        run = np.repeat(np.arange(len(k), dtype=np.int64), tot)
+        k_rep = k[run]
+        i = wi // (k_rep - 1)
+        jj = wi % (k_rep - 1)
+        j = jj + (jj >= i)
+        src = it[starts[run] + i]
+        dst = it[starts[run] + j]
+        return group_aggregate_table(
+            pa.table(
+                {
+                    "src": pa.array(src),
+                    "dst": pa.array(dst),
+                    "w": pa.array(np.ones(n_pairs, np.int64)),
+                }
+            ),
+            ["src", "dst"],
+            [("w", "sum")],
+        )
+
+    partials = hash_exchange(
+        ds, group_col, num_partitions, _pairs, empty_schema=pair_schema,
+        prune_empty_sync=False,
+    )
+    return hash_grouped_aggregate(
+        partials, ["src", "dst"], [("w", "sum")],
+        num_buckets=num_partitions,
+    )

@@ -339,3 +339,58 @@ def test_doc_freq_score_model_and_oov():
     assert out.loc[0, "freq_score"] == 12 / 3
     assert out.loc[1, "freq_sum"] == 0  # OOV tokens count 0
     assert out.loc[1, "freq_score"] == 0.0
+
+
+def test_doc_repetition_degenerate_docs(ray_session, tmp_path):
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.text_queries import (
+        ORACLE_SQL,
+        q_doc_repetition,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a a a a",              # all-same token
+                    "x y x y x y",          # repeated bigram chain
+                    "",                     # empty
+                    "solo",                 # single token
+                    "all distinct tokens here",
+                ]
+            ),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["s"] * 5),
+            "n_chars": pa.array([0] * 5, pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (
+        q_doc_repetition(str(tmp_path))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[0, "n_tokens"] == 4 and got.loc[0, "n_distinct"] == 1
+    assert got.loc[0, "max_tok_n"] == 4 and got.loc[0, "top_bigram_n"] == 3
+    assert got.loc[0, "dup_tok_frac"] == 3.0 / 4.0
+    assert got.loc[0, "top_bigram_frac"] == 1.0
+    assert got.loc[1, "top_bigram_n"] == 3  # "x y" x3 beats "y x" x2
+    assert got.loc[2, "n_tokens"] == 0
+    assert pd.isna(got.loc[2, "dup_tok_frac"])
+    assert got.loc[3, "n_tokens"] == 1 and pd.isna(got.loc[3, "top_bigram_frac"])
+    assert got.loc[4, "dup_tok_frac"] == 0.0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = (
+        con.execute(ORACLE_SQL["doc_repetition"]).df()
+        .set_index("doc_id").sort_index()
+    )
+    for c in got.columns:
+        ga, ea = got[c].astype("float64"), exp[c].astype("float64")
+        assert ((ga == ea) | (ga.isna() & ea.isna())).all(), c

@@ -1496,3 +1496,166 @@ SELECT node, r AS pr FROM r{PR_ITERS}
 
 
 ORACLE_SQL["part_pagerank"] = _pagerank_sql()
+
+
+PO_EDGES_SQL = """
+po AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+po_edges AS (
+  SELECT a.item AS src, b.item AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM po a JOIN po b ON a.g = b.g AND a.item <> b.item
+  GROUP BY 1, 2
+)""".strip()
+
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count of the part co-purchase graph — the
+    clustering-structure scalar next to ``part_pagerank``. Node-
+    iterator wedge generation + edge-closure check, two hash
+    exchanges, one int64 per partition to the driver
+    (``stages/pagerank.triangle_count``)."""
+    from ..stages.pagerank import cooccurrence_edges, triangle_count
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               num_partitions=8)
+    return triangle_count(edges, num_partitions=8)
+
+
+QUERIES["triangle_count"] = q_triangle_count
+ORACLE_SQL["triangle_count"] = f"""
+WITH {PO_EDGES_SQL},
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM po_edges)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+""".strip()
+
+
+TOP_PAIRS_K = 20
+
+
+def q_copurchase_top_pairs(sf_dir: str):
+    """Market-basket mining: the TOP_PAIRS_K most co-purchased part
+    pairs by support. The co-occurrence edge build is the shuffle;
+    the top-k itself never shuffles — per-batch top-k PARTIALS (sort
+    one batch, head k) → a driver-side merge of ≤ k × n_blocks rows →
+    final head k. Total order (w DESC, src, dst) makes the cutoff
+    deterministic on both sides."""
+    import ray
+
+    from ..stages.pagerank import cooccurrence_edges
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               num_partitions=8)
+
+    def _partial_topk(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        keep = s < d  # canonical orientation (weights are symmetric)
+        s, d, w = s[keep], d[keep], w[keep]
+        o = np.lexsort((d, s, -w))[:TOP_PAIRS_K]
+        return pa.table(
+            {"src": pa.array(s[o]), "dst": pa.array(d[o]),
+             "w": pa.array(w[o])}
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            edges.map_batches(
+                _partial_topk, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    if not parts:
+        return pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+             "w": pa.array([], pa.int64())}
+        )
+    m = pa.concat_tables(parts)  # ≤ k × n_blocks rows
+    s = m.column("src").to_numpy(zero_copy_only=False)
+    d = m.column("dst").to_numpy(zero_copy_only=False)
+    w = m.column("w").to_numpy(zero_copy_only=False)
+    o = np.lexsort((d, s, -w))[:TOP_PAIRS_K]
+    return pa.table(
+        {"src": pa.array(s[o]), "dst": pa.array(d[o]), "w": pa.array(w[o])}
+    )
+
+
+QUERIES["copurchase_top_pairs"] = q_copurchase_top_pairs
+ORACLE_SQL["copurchase_top_pairs"] = f"""
+WITH {PO_EDGES_SQL}
+SELECT src, dst, w FROM po_edges
+WHERE src < dst
+ORDER BY w DESC, src, dst
+LIMIT {TOP_PAIRS_K}
+""".strip()
+
+
+def q_copurchase_degree_hist(sf_dir: str):
+    """Degree distribution of the co-purchase graph: nodes per distinct-
+    neighbor count. Two cascaded mergeable aggregations (per-src
+    neighbor counts, then nodes per degree) — each a partial-then-final
+    hash aggregate; nothing wide ever lands on one task."""
+    from ..stages.groupagg import group_aggregate_table
+    from ..stages.pagerank import cooccurrence_edges
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               num_partitions=8)
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        # edges are distinct (src, dst): rows per src = distinct nbrs
+        return group_aggregate_table(
+            pa.table(
+                {
+                    "src": t.column("src"),
+                    "degree": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            ["src"],
+            [("degree", "sum")],
+        )
+
+    deg = hash_grouped_aggregate(
+        edges.map_batches(_deg_partial, batch_format="pyarrow",
+                          batch_size=None),
+        ["src"],
+        [("degree", "sum")],
+        num_buckets=8,
+    )
+
+    def _hist_partial(t: pa.Table) -> pa.Table:
+        return group_aggregate_table(
+            pa.table(
+                {
+                    "degree": t.column("degree"),
+                    "n_nodes": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            ["degree"],
+            [("n_nodes", "sum")],
+        )
+
+    return hash_grouped_aggregate(
+        deg.map_batches(_hist_partial, batch_format="pyarrow",
+                        batch_size=None),
+        ["degree"],
+        [("n_nodes", "sum")],
+        num_buckets=4,
+    )
+
+
+QUERIES["copurchase_degree_hist"] = q_copurchase_degree_hist
+ORACLE_SQL["copurchase_degree_hist"] = f"""
+WITH {PO_EDGES_SQL},
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+        FROM po_edges GROUP BY src)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+""".strip()

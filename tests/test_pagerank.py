@@ -98,3 +98,56 @@ def test_cooccurrence_edges_distinct_and_weighted(ray_session):
     assert got == {
         (1, 2): 2, (2, 1): 2, (1, 3): 1, (3, 1): 1, (2, 3): 1, (3, 2): 1,
     }
+
+
+def test_triangle_count_known_graphs(ray_session):
+    from dane_visual_feature_extraction_worker_ray.stages.pagerank import (
+        triangle_count,
+    )
+
+    def run(pairs):
+        t = pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+                "w": pa.array(np.ones(len(pairs), np.int64)),
+            }
+        )
+        out = triangle_count(rd.from_arrow(t), num_partitions=4).to_pandas()
+        return int(out["n_triangles"].iloc[0])
+
+    # K4: 4 triangles — given as DIRECTED duplicates + a self loop,
+    # which canonicalization must collapse/drop
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert run(k4 + [(2, 2)]) == 4
+    # path 0-1-2-3: none
+    assert run([(0, 1), (1, 2), (2, 3)]) == 0
+    # two triangles sharing an edge: 0-1-2 and 1-2-3
+    assert run([(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]) == 2
+
+
+def test_triangle_count_matches_brute_random(ray_session):
+    from dane_visual_feature_extraction_worker_ray.stages.pagerank import (
+        triangle_count,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 30
+    pairs = set()
+    for _ in range(140):
+        a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    adj = np.zeros((n, n), bool)
+    for a, b in pairs:
+        adj[a, b] = adj[b, a] = True
+    brute = int(np.trace(adj.astype(np.int64) @ adj @ adj) // 6)
+    t = pa.table(
+        {
+            "src": pa.array([p[0] for p in pairs], pa.int64()),
+            "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            "w": pa.array(np.ones(len(pairs), np.int64)),
+        }
+    )
+    out = triangle_count(rd.from_arrow(t), num_partitions=4).to_pandas()
+    assert int(out["n_triangles"].iloc[0]) == brute

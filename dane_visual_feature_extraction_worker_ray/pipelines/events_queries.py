@@ -938,3 +938,140 @@ SELECT user_id, event_type, value, ts AS valid_from,
 FROM events
 WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
 """.strip()
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def q_session_overlap_pairs(sf_dir: str):
+    """Concurrent-activity mining: every pair of user sessions whose
+    time spans overlap, with the intersection start and length — the
+    interval × interval OVERLAP join
+    (``stages/interval_join.interval_overlap_join``) exercised by the
+    driver gate (the point-in-interval variant is covered by
+    ``error_window_events``).
+
+    Spans are gap-sessionized per user (same 30-min rule as the
+    flagship sessionizer) on one user_id exchange, then self-joined
+    through the bucket-replication overlap shuffle; the canonical
+    ``(user, sid) <`` filter keeps each unordered pair once. Session
+    intervals are CLOSED ([first_ts, last_ts]); the exclusive-end
+    contract gets ``en + 1`` µs, so the emitted length is
+    ``least(en) - greatest(st) + 1`` — mirrored exactly in SQL."""
+    from ..functions.segkernels import sessionize
+    from ..stages.exchange import hash_exchange
+    from ..stages.interval_join import interval_overlap_join
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    span_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("sid", pa.int64()),
+            ("st", pa.int64()),
+            ("en_ex", pa.int64()),
+        ]
+    )
+
+    def _spans(p: int, tbl: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_arrow_threads
+
+        pin_arrow_threads()
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        o = np.lexsort((eid, ts, uid))
+        uid, ts = uid[o], ts[o]
+        new_u = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(new_u) - 1
+        sid, _ = sessionize(ts, seg, SESSION_GAP_US)
+        new_s = new_u | np.r_[False, sid[1:] != sid[:-1]]
+        starts = np.flatnonzero(new_s)
+        ends = np.r_[starts[1:], len(ts)] - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "sid": pa.array(sid[starts]),
+                "st": pa.array(ts[starts]),
+                "en_ex": pa.array(ts[ends] + 1),
+            }
+        )
+
+    spans = hash_exchange(
+        ev, ["user_id"], 16, _spans, empty_schema=span_schema
+    ).materialize()  # consumed twice by the self-join
+
+    def _left(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_a": t.column("user_id"), "sess_a": t.column("sid"),
+             "st": t.column("st"), "en_ex": t.column("en_ex")}
+        )
+
+    def _right(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_b": t.column("user_id"), "sess_b": t.column("sid"),
+             "st": t.column("st"), "en_ex": t.column("en_ex")}
+        )
+
+    joined = interval_overlap_join(
+        spans.map_batches(_left, batch_format="pyarrow", batch_size=None),
+        spans.map_batches(_right, batch_format="pyarrow", batch_size=None),
+        "st", "en_ex", "st", "en_ex",
+        ["user_a", "sess_a"], ["user_b", "sess_b"],
+        bucket_width=3_600_000_000,  # ~1 h: near the typical span
+        num_partitions=16,
+    )
+
+    def _canon(t: pa.Table) -> pa.Table:
+        ua = t.column("user_a").to_numpy(zero_copy_only=False)
+        ub = t.column("user_b").to_numpy(zero_copy_only=False)
+        sa = t.column("sess_a").to_numpy(zero_copy_only=False)
+        sb = t.column("sess_b").to_numpy(zero_copy_only=False)
+        keep = (ua < ub) | ((ua == ub) & (sa < sb))
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_a": t.column("user_a"),
+                "sess_a": t.column("sess_a"),
+                "user_b": t.column("user_b"),
+                "sess_b": t.column("sess_b"),
+                "ov_start_us": t.column("ov_start"),
+                "ov_us": pa.array(
+                    t.column("ov_end").to_numpy(zero_copy_only=False)
+                    - t.column("ov_start").to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+
+    return joined.map_batches(_canon, batch_format="pyarrow",
+                              batch_size=None)
+
+
+QUERIES["session_overlap_pairs"] = q_session_overlap_pairs
+ORACLE_SQL["session_overlap_pairs"] = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+    THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM g
+), spans AS (
+  SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+  FROM s GROUP BY 1, 2
+)
+SELECT a.user_id AS user_a, CAST(a.sid AS BIGINT) AS sess_a,
+       b.user_id AS user_b, CAST(b.sid AS BIGINT) AS sess_b,
+       greatest(epoch_us(a.st), epoch_us(b.st)) AS ov_start_us,
+       least(epoch_us(a.en), epoch_us(b.en))
+         - greatest(epoch_us(a.st), epoch_us(b.st)) + 1 AS ov_us
+FROM spans a JOIN spans b
+  ON (a.user_id, a.sid) < (b.user_id, b.sid)
+ AND a.st <= b.en AND b.st <= a.en
+""".strip()

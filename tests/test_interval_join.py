@@ -121,3 +121,79 @@ def test_interval_join_validation(ray_session):
             point_ts_col="ts", start_col="start", end_col="end",
             point_cols=["pid"], interval_cols=[], bucket_width=0,
         )
+
+
+# --------------------------------------------------------------------------
+# interval × interval overlap join
+
+
+def _mk_intervals(rows, id_name):
+    return rd.from_arrow(
+        pa.table(
+            {
+                id_name: pa.array([r[0] for r in rows], pa.int64()),
+                "st": pa.array([r[1] for r in rows], pa.int64()),
+                "en": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def _overlap_run(left, right, W):
+    from dane_visual_feature_extraction_worker_ray.stages.interval_join import (
+        interval_overlap_join,
+    )
+
+    out = interval_overlap_join(
+        _mk_intervals(left, "lid"), _mk_intervals(right, "rid"),
+        "st", "en", "st", "en", ["lid"], ["rid"],
+        bucket_width=W, num_partitions=4,
+    ).to_pandas()
+    return {
+        (l, r): (s, e)
+        for l, r, s, e in zip(out.lid, out.rid, out.ov_start, out.ov_end)
+    }
+
+
+def test_overlap_join_boundaries(ray_session):
+    # exclusive ends: [0,10) and [10,20) do NOT overlap; [0,11) does
+    left = [(1, 0, 10), (2, 0, 11), (3, 5, 6)]
+    right = [(7, 10, 20), (8, 0, 100)]
+    got = _overlap_run(left, right, W=8)
+    assert (1, 7) not in got
+    assert got[(2, 7)] == (10, 11)
+    assert got[(1, 8)] == (0, 10)
+    assert got[(2, 8)] == (0, 11)
+    assert got[(3, 8)] == (5, 6)
+    assert len(got) == 4
+
+
+def test_overlap_join_random_vs_brute_each_pair_once(ray_session):
+    rng = np.random.default_rng(23)
+    left = [
+        (i, int(s := rng.integers(0, 2000)), int(s + rng.integers(1, 300)))
+        for i in range(120)
+    ]
+    right = [
+        (i, int(s := rng.integers(0, 2000)), int(s + rng.integers(1, 300)))
+        for i in range(110)
+    ]
+    for W in (7, 100, 5000):  # smaller, comparable, larger than spans
+        out = _overlap_run(left, right, W)
+        brute = {
+            (l, r): (max(ls, rs), min(le, re))
+            for l, ls, le in left
+            for r, rs, re in right
+            if max(ls, rs) < min(le, re)
+        }
+        assert out == brute, f"W={W}"
+
+
+def test_overlap_join_self_join_orientations(ray_session):
+    # self-join emits identity + both orientations; canonical filter
+    # downstream keeps exactly one per unordered pair
+    rows = [(1, 0, 10), (2, 5, 15), (3, 20, 30)]
+    got = _overlap_run(rows, rows, W=8)
+    assert got[(1, 1)] == (0, 10) and got[(2, 1)] == got[(1, 2)] == (5, 10)
+    uno = {(a, b) for (a, b) in got if a < b}
+    assert uno == {(1, 2)}

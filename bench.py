@@ -272,6 +272,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     )
     timed("dedup_exact", lambda: dedup_queries.q_dedup_exact(sf_dir))
     timed("knn_topk", lambda: similarity_queries.q_knn_topk(sf_dir))
+    timed(
+        "part_pagerank",
+        lambda: relational_queries.q_part_pagerank(sf_dir),
+    )
 
     total = round(sum(timings.values()), 3)
     flagship_s = timings["synthetic_flagship"]

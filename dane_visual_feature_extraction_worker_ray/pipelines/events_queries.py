@@ -1075,3 +1075,102 @@ FROM spans a JOIN spans b
   ON (a.user_id, a.sid) < (b.user_id, b.sid)
  AND a.st <= b.en AND b.st <= a.en
 """.strip()
+
+
+def q_event_type_dow_cells(sf_dir: str):
+    """Independence diagnostics: the event_type × day-of-week
+    contingency table with expected counts and per-cell chi²
+    contributions — the drift/bias scan a data-quality gate runs
+    before training (is event mix independent of weekday?).
+
+    The corpus is reduced ONCE to mergeable (type, dow) count partials
+    (bounded by 5×7 cells — never corpus-scale); row/column marginals
+    and the cells are then pure arithmetic on that bounded table.
+    Per-cell chi² is emitted instead of the summed statistic
+    deliberately: a sum of float contributions is accumulation-order-
+    dependent, per-cell values are each ONE identical expression shape
+    on both sides (`exp = (r·c)/N` one division; `(o-exp)²/exp`) —
+    exact IEEE parity. dow is Monday=0 (pyarrow ``day_of_week`` ==
+    DuckDB ``isodow - 1``)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "dow": pc.cast(
+                    pc.day_of_week(tbl.column("ts")), pa.int64()
+                ),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["event_type", "dow"], [("n", "sum")]
+        )
+
+    cells = hash_grouped_aggregate(
+        ev.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["event_type", "dow"],
+        [("n", "sum")],
+        num_buckets=4,
+    )
+    parts = [t for t in ray.get(cells.to_arrow_refs()) if t.num_rows > 0]
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "dow": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "expected": pa.array([], pa.float64()),
+            "chi2_cell": pa.array([], pa.float64()),
+        }
+    )
+    if not parts:
+        return empty
+    full = pa.concat_tables(parts)  # bounded: |types| × 7 rows
+    et = full.column("event_type").to_numpy(zero_copy_only=False)
+    dow = full.column("dow").to_numpy(zero_copy_only=False)
+    n = full.column("n").to_numpy(zero_copy_only=False)
+    types, ti = np.unique(et, return_inverse=True)
+    days, di = np.unique(dow, return_inverse=True)
+    r = np.zeros(len(types), np.int64)
+    c = np.zeros(len(days), np.int64)
+    np.add.at(r, ti, n)
+    np.add.at(c, di, n)
+    N = float(n.sum())
+    exp = (r[ti] * c[di]).astype(np.float64) / N
+    o = n.astype(np.float64)
+    chi2 = (o - exp) * (o - exp) / exp
+    return pa.table(
+        {
+            "event_type": full.column("event_type"),
+            "dow": full.column("dow"),
+            "n": full.column("n"),
+            "expected": pa.array(exp),
+            "chi2_cell": pa.array(chi2),
+        }
+    )
+
+
+QUERIES["event_type_dow_cells"] = q_event_type_dow_cells
+ORACLE_SQL["event_type_dow_cells"] = """
+WITH cells AS (
+  SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS r FROM cells
+         GROUP BY 1),
+c AS (SELECT dow, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS N FROM cells)
+SELECT cells.event_type, cells.dow, cells.n,
+  CAST(r.r * c.c AS DOUBLE) / tot.N AS expected,
+  (CAST(cells.n AS DOUBLE) - CAST(r.r * c.c AS DOUBLE) / tot.N)
+    * (CAST(cells.n AS DOUBLE) - CAST(r.r * c.c AS DOUBLE) / tot.N)
+    / (CAST(r.r * c.c AS DOUBLE) / tot.N) AS chi2_cell
+FROM cells
+JOIN r USING (event_type) JOIN c USING (dow), tot
+""".strip()

@@ -1588,3 +1588,82 @@ FROM documents d
 LEFT JOIN per_tok pt USING (doc_id)
 LEFT JOIN per_bi pb USING (doc_id)
 """.strip()
+
+
+def q_token_dictionary(sf_dir: str):
+    """Distributed dictionary encoding: assign every distinct token a
+    dense contiguous id by lexicographic order — the vocabulary-build
+    primitive (tokenizer tables, categorical encoders, embedding row
+    ids) that needs a GLOBAL rank, not a hash.
+
+    Two mergeable stages: per-batch distinct partials → token-hash
+    exchange (exact global distinct, each token once) → the sample-
+    based RANGE-partitioned sort (``stages/sort.sort_by``) whose
+    per-partition counts give exact prefix offsets, so ``tok_id`` is
+    the true global rank with no single-node sort. Matches SQL
+    ``dense_rank() OVER (ORDER BY tok) - 1`` exactly (ids are
+    contiguous 0..V-1 because the input is distinct)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+    from ..stages.sort import sort_by
+
+    docs = _docs(sf_dir)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pandas().fillna("")
+        ex = texts.str.split().explode()
+        toks = ex[ex.notna()]
+        u = pd.unique(toks)
+        return pa.table(
+            {
+                "tok": pa.array(u, pa.string()),
+                "one": pa.array(np.ones(len(u), np.int64)),
+            }
+        )
+
+    distinct = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["tok"],
+        [("one", "min")],
+        num_buckets=8,
+    ).map_batches(
+        lambda t: t.select(["tok"]), batch_format="pyarrow",
+        batch_size=None,
+    )
+    ranked = sort_by(
+        distinct, [("tok", "ascending")], num_partitions=8,
+        rank_col="tok_id",
+    )
+
+    def _zero_base(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "tok": t.column("tok"),
+                "tok_id": pc.subtract(
+                    t.column("tok_id").cast(pa.int64()), 1
+                ),
+            }
+        )
+
+    return ranked.map_batches(_zero_base, batch_format="pyarrow",
+                              batch_size=None)
+
+
+QUERIES["token_dictionary"] = q_token_dictionary
+ORACLE_SQL["token_dictionary"] = r"""
+WITH toks AS (
+  SELECT DISTINCT unnest(
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+  ) AS tok
+  FROM documents
+)
+SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT)
+  AS tok_id
+FROM toks
+""".strip()

@@ -345,7 +345,9 @@ def triangle_count(
         batch_size=None,
     ).materialize()  # reused by both rounds
 
-    wedge_schema = pa.schema([("v", pa.int64()), ("w", pa.int64())])
+    wedge_schema = pa.schema(
+        [("v", pa.int64()), ("w", pa.int64()), ("c", pa.int64())]
+    )
 
     def _wedges(p: int, tbl: pa.Table) -> pa.Table:
         from ..functions.runtime import pin_arrow_threads
@@ -373,7 +375,20 @@ def triangle_count(
         keep = i < j  # b sorted within a run → S[i] < S[j]
         v = b[starts[run[keep]] + i[keep]]
         w = b[starts[run[keep]] + j[keep]]
-        return pa.table({"v": pa.array(v), "w": pa.array(w)})
+        # combine repeated wedges (different a, same (v,w) — exactly
+        # the common-neighbor multiplicity the closure check sums), so
+        # the exchange ships (v, w, count) instead of one row per wedge
+        return group_aggregate_table(
+            pa.table(
+                {
+                    "v": pa.array(v),
+                    "w": pa.array(w),
+                    "c": pa.array(np.ones(len(v), np.int64)),
+                }
+            ),
+            ["v", "w"],
+            [("c", "sum")],
+        )
 
     wedges = hash_exchange(
         edges, "a", num_partitions, _wedges, empty_schema=wedge_schema,
@@ -389,15 +404,17 @@ def triangle_count(
         side = tbl.column("side").to_numpy(zero_copy_only=False)
         v = tbl.column("v").to_numpy(zero_copy_only=False)
         w = tbl.column("w").to_numpy(zero_copy_only=False)
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
         o = np.lexsort((side, w, v))  # edges (side 0) first in each run
-        v, w, side = v[o], w[o], side[o]
+        v, w, side, c = v[o], w[o], side[o], c[o]
         new = np.r_[True, (v[1:] != v[:-1]) | (w[1:] != w[:-1])]
         run = np.cumsum(new) - 1
         n_runs = run[-1] + 1 if len(run) else 0
         has_edge = np.zeros(n_runs, bool)
         starts = np.flatnonzero(new)
         has_edge[run[starts]] = side[starts] == 0
-        msgs = np.bincount(run[side == 1], minlength=n_runs)
+        mm = side == 1
+        msgs = np.bincount(run[mm], weights=c[mm], minlength=n_runs)
         total = int(msgs[has_edge].sum())
         return pa.table({"n_triangles": pa.array([total], pa.int64())})
 
@@ -413,6 +430,7 @@ def triangle_count(
                 {
                     "v": t.column("a"),
                     "w": t.column("b"),
+                    "c": pa.array(np.zeros(t.num_rows, np.int64)),
                     "side": pa.array(np.zeros(t.num_rows, np.int8)),
                 }
             ),

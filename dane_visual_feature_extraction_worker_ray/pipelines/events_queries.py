@@ -1174,3 +1174,90 @@ SELECT cells.event_type, cells.dow, cells.n,
 FROM cells
 JOIN r USING (event_type) JOIN c USING (dow), tot
 """.strip()
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_longest_daily_streak(sf_dir: str):
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE
+    active days (an engagement metric the SQL idiom computes with the
+    ``day - row_number()`` trick). Engine shape: per-batch distinct
+    (user, day) partials shrink the stream to at most users×days rows
+    per block, then ONE user-keyed exchange; the kernel lexsorts,
+    dedupes cross-batch day duplicates, and finds maximal runs where
+    adjacent days differ by exactly one — all shifted compares, no
+    per-user Python. Days are integer epoch-days (UTC floor), exactly
+    DuckDB's ``date_trunc('day', ts)``."""
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import hash_exchange
+    from ..stages.groupagg import group_aggregate_table
+
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "day": pa.array(
+                    tbl.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                    // _DAY_US
+                ),
+                "one": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["user_id", "day"], [("one", "min")]
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("max_streak", pa.int64())]
+    )
+
+    def _kernel(p: int, tbl: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_arrow_threads
+
+        pin_arrow_threads()
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        day = tbl.column("day").to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, uid))
+        uid, day = uid[o], day[o]
+        keep = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])]
+        uid, day = uid[keep], day[keep]  # distinct (user, day)
+        # a new streak starts at a user change or a day gap != 1
+        new = np.r_[True, (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(day)])
+        s_uid = uid[starts]
+        users = np.unique(s_uid)
+        mx = np.zeros(len(users), np.int64)
+        np.maximum.at(mx, np.searchsorted(users, s_uid), lens)
+        return pa.table(
+            {"user_id": pa.array(users), "max_streak": pa.array(mx)}
+        )
+
+    return hash_exchange(
+        ev.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"], 16, _kernel, out_schema,
+    )
+
+
+QUERIES["longest_daily_streak"] = q_longest_daily_streak
+ORACLE_SQL["longest_daily_streak"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), g AS (
+  SELECT user_id, day,
+    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS INTEGER) AS grp
+  FROM d
+), s AS (
+  SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2
+)
+SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+FROM s GROUP BY user_id
+""".strip()

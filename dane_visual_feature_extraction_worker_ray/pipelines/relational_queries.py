@@ -1659,3 +1659,80 @@ deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
 SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY degree
 """.strip()
+
+
+def q_pareto_orders(sf_dir: str):
+    """Pareto frontier (skyline) of orders maximizing ``o_totalprice``
+    while minimizing ``o_orderdate`` — the multi-objective shortlist
+    query (best price for the earliest date, no row dominated on both
+    axes). A row is dominated iff some row is ≥ on price and ≤ on
+    date with at least one strict.
+
+    Distributed shape: the skyline operator's defining property is
+    ``skyline(S) ⊆ skyline(batch)`` for every batch — so a per-batch
+    LOCAL skyline pass shrinks the corpus to near-nothing (expected
+    O(log n) survivors per batch on anti-correlated-free data), and
+    one driver-side re-application over the concatenated survivors is
+    exact. No shuffle at all. The kernel is one sort + two
+    prefix-minima (strictly-higher-price and ≥-price date minima) —
+    no pairwise scan."""
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def _skyline(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        p = tbl.column("o_totalprice").cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = tbl.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        o = np.lexsort((d, -p))  # price desc, date asc
+        ps, ds = p[o], d[o]
+        # price-group boundaries in the sorted view
+        new_grp = np.r_[True, ps[1:] != ps[:-1]]
+        gidx = np.cumsum(new_grp) - 1
+        n_grp = gidx[-1] + 1
+        # min date per price group, then prefix minima down the groups
+        gmin = np.full(n_grp, np.iinfo(np.int64).max)
+        np.minimum.at(gmin, gidx, ds)
+        incl = np.minimum.accumulate(gmin)  # min d among p >= group's p
+        strict = np.empty(n_grp, np.int64)  # min d among p > group's p
+        strict[0] = np.iinfo(np.int64).max
+        strict[1:] = incl[:-1]
+        dominated = (strict[gidx] <= ds) | (incl[gidx] < ds)
+        keep_sorted = ~dominated
+        keep = np.zeros(len(p), bool)
+        keep[o[keep_sorted]] = True
+        return tbl.filter(pa.array(keep))
+
+    local = orders.map_batches(
+        _skyline, batch_format="pyarrow", batch_size=None
+    )
+    parts = [t for t in ray.get(local.to_arrow_refs()) if t.num_rows > 0]
+    if not parts:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+            }
+        )
+    return _skyline(pa.concat_tables(parts))
+
+
+QUERIES["pareto_orders"] = q_pareto_orders
+ORACLE_SQL["pareto_orders"] = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders a
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE b.o_totalprice >= a.o_totalprice
+    AND b.o_orderdate <= a.o_orderdate
+    AND (b.o_totalprice > a.o_totalprice
+         OR b.o_orderdate < a.o_orderdate)
+)
+""".strip()

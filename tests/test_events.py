@@ -343,3 +343,26 @@ def test_scd2_intervals_chains_and_ties(ray_session, tmp_path):
     # exactly one current row per (user, type)
     cur = out.groupby(["user_id", "event_type"])["is_current"].sum()
     assert (cur == 1).all()
+
+
+def test_longest_daily_streak_islands(ray_session, tmp_path):
+    from dane_visual_feature_extraction_worker_ray.pipelines.events_queries import (
+        q_longest_daily_streak,
+    )
+
+    D = 86_400_000_000
+    rows = [
+        # user 1: days 0,1,2 then 5,6 -> max streak 3; dup events/day
+        (1, "click", 0), (1, "view", 10), (1, "click", D + 5),
+        (1, "click", 2 * D), (1, "click", 5 * D), (1, "click", 6 * D),
+        # user 2: single day -> 1
+        (2, "view", 3 * D + 99),
+        # user 3: alternating days -> 1
+        (3, "click", 0), (3, "click", 2 * D), (3, "click", 4 * D),
+    ]
+    sf = _write(tmp_path, rows)
+    got = (
+        q_longest_daily_streak(sf)
+        .to_pandas().set_index("user_id")["max_streak"]
+    )
+    assert got[1] == 3 and got[2] == 1 and got[3] == 1

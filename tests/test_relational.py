@@ -27,3 +27,48 @@ def test_revenue_cube_grouping_sets(ray_session):
     )
     oracle = con.execute(ORACLE_SQL["revenue_cube"]).df()
     assert len(oracle) == len(out)
+
+
+def test_pareto_orders_ties_and_duplicates(ray_session, tmp_path):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.relational_queries import (
+        ORACLE_SQL,
+        q_pareto_orders,
+    )
+
+    # (key, price, date): 1 dominates 2 (higher price, earlier date);
+    # 3/4 are exact duplicates (neither dominates -> both survive);
+    # 5 ties 1 on price but is later (dominated); 6 ties 1 on date but
+    # cheaper (dominated); 7 is the cheap-but-earliest frontier point
+    rows = [
+        (1, 100.0, 50), (2, 90.0, 60), (3, 80.0, 40), (4, 80.0, 40),
+        (5, 100.0, 55), (6, 70.0, 50), (7, 10.0, 10),
+    ]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([0] * len(rows), pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows)),
+            "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                np.array([r[2] for r in rows], np.int64)
+            ).cast(pa.timestamp("us")),
+            "o_orderpriority": pa.array(["x"] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = set(
+        q_pareto_orders(str(tmp_path)).to_pandas()["o_orderkey"]
+    )
+    assert got == {1, 3, 4, 7}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    exp = set(con.execute(ORACLE_SQL["pareto_orders"]).df()["o_orderkey"])
+    assert got == exp

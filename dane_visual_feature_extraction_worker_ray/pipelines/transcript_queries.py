@@ -987,3 +987,128 @@ SELECT b.conv_id, b.turn_idx,
     AS nearest_dist_s
 FROM b JOIN f ON b.conv_id = f.conv_id AND b.turn_idx = f.turn_idx
 """.strip()
+
+
+def q_asof_interpolate(sf_dir: str):
+    """Linear time-interpolation between the two bracketing snapshots
+    (the ``pandas``-style ``interpolate(method='time')`` at arbitrary
+    query points): each turn takes
+    ``(v0·(t1−t) + v1·(t−t0)) / (t1−t0)`` between the latest
+    at-or-before (t0, v0) and earliest at-or-after (t1, v1) snapshot,
+    degrading to the single available side at the stream edges. The
+    missing-modality fill family's numeric completion (ffill/bfill
+    carry values; this blends them).
+
+    Parity: µs deltas are exact int64; the blend is ONE fixed-shape
+    float expression (two multiplies, one add, one divide) written
+    identically in SQL — deterministic IEEE, no accumulation. NULL
+    snapshot values propagate to NULL exactly as SQL arithmetic does.
+    Same single conv_id exchange as the rest of the as-of family."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import segkernels as sk
+    from ..stages.exchange import hash_exchange
+
+    unioned = _asof_aligned_union(sf_dir)
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("interp_val", pa.float64()),
+            ("kind", pa.string()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        pr = _asof_partition_prologue(tbl)
+        if pr is None:
+            return out_schema.empty_table()
+        codes_t, ts_t = pr["codes_t"], pr["ts_t"]
+        b_idx, b_ok = sk.asof_indices(
+            codes_t, ts_t, pr["codes_s"], pr["ts_s"], allow_exact=True
+        )
+        f_idx, f_ok = sk.asof_indices_forward(
+            codes_t, ts_t, pr["codes_s"], pr["ts_s"], allow_exact=True
+        )
+        any_ok = b_ok | f_ok
+        n = len(ts_t)
+        if len(pr["codes_s"]):
+            sv_s, ts_s = pr["sv_s"], pr["ts_s"]
+            t0 = np.where(b_ok, ts_s[b_idx], 0)
+            t1 = np.where(f_ok, ts_s[f_idx], 0)
+            v0 = np.where(b_ok, sv_s[b_idx], np.nan)
+            v1 = np.where(f_ok, sv_s[f_idx], np.nan)
+            both = b_ok & f_ok
+            span = t1 - t0
+            interp_ok = both & (span > 0)
+            den = np.where(interp_ok, span, 1).astype(np.float64)
+            blend = (
+                v0 * (t1 - ts_t).astype(np.float64)
+                + v1 * (ts_t - t0).astype(np.float64)
+            ) / den
+            # edge/degenerate dispatch mirrors the SQL CASE exactly
+            val = np.where(
+                interp_ok, blend, np.where(b_ok, v0, v1)
+            )
+            kind = np.where(
+                interp_ok, "interp",
+                np.where(b_ok, "backward", "forward"),
+            )
+        else:
+            val = np.zeros(n)
+            kind = np.full(n, "", dtype=object)
+        null_val = ~any_ok | np.isnan(val)
+        return pa.table(
+            {
+                "conv_id": pa.array(pr["conv_t"], pa.string()),
+                "turn_idx": pa.array(pr["tix"]),
+                "interp_val": pa.array(val, mask=null_val),
+                "kind": pa.array(
+                    np.asarray(kind, dtype=object), pa.string(),
+                    mask=~any_ok,
+                ),
+            }
+        )
+
+    return hash_exchange(
+        unioned, ["conv_id"], PCFG.num_buckets, _kernel, out_schema
+    )
+
+
+QUERIES["asof_interpolate"] = q_asof_interpolate
+ORACLE_SQL["asof_interpolate"] = f"""
+WITH {SQL_TURNS_CTE},
+{SQL_SNAPS_CTE},
+b AS (
+  SELECT t.conv_id, t.turn_idx, t.ts, s.ts AS bts, s.snap_val AS bval
+  FROM turns t ASOF LEFT JOIN snaps s
+    ON t.conv_id = s.conv_id AND s.ts <= t.ts
+),
+f AS (
+  SELECT t.conv_id, t.turn_idx, s.ts AS fts, s.snap_val AS fval
+  FROM turns t ASOF LEFT JOIN snaps s
+    ON t.conv_id = s.conv_id AND t.ts <= s.ts
+)
+SELECT b.conv_id, b.turn_idx,
+  CASE
+    WHEN bts IS NOT NULL AND fts IS NOT NULL
+         AND epoch_us(fts) > epoch_us(bts) THEN
+      (bval * CAST(epoch_us(fts) - epoch_us(b.ts) AS DOUBLE)
+       + fval * CAST(epoch_us(b.ts) - epoch_us(bts) AS DOUBLE))
+      / CAST(epoch_us(fts) - epoch_us(bts) AS DOUBLE)
+    WHEN bts IS NOT NULL THEN bval
+    ELSE fval
+  END AS interp_val,
+  CASE
+    WHEN bts IS NULL AND fts IS NULL THEN NULL
+    WHEN bts IS NOT NULL AND fts IS NOT NULL
+         AND epoch_us(fts) > epoch_us(bts) THEN 'interp'
+    WHEN bts IS NOT NULL THEN 'backward'
+    ELSE 'forward'
+  END AS kind
+FROM b JOIN f ON b.conv_id = f.conv_id AND b.turn_idx = f.turn_idx
+""".strip()

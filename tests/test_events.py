@@ -366,3 +366,53 @@ def test_longest_daily_streak_islands(ray_session, tmp_path):
         .to_pandas().set_index("user_id")["max_streak"]
     )
     assert got[1] == 3 and got[2] == 1 and got[3] == 1
+
+
+def test_asof_interpolate_blend_and_edges(ray_session, tmp_path):
+    """Exact midpoint blend; pure-backward/forward at the stream edges;
+    exact-hit snapshot returns its own value; no-snapshot conv is NULL."""
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.transcript_queries import (
+        q_asof_interpolate,
+    )
+
+    us = 1_000_000
+    rows = [
+        # user 1: snaps (signup) at 100s->4.0 and 200s->8.0
+        (1, "signup", 100 * us, 4.0),
+        (1, "signup", 200 * us, 8.0),
+        (1, "click", 125 * us, 0.0),   # 25% -> 5.0
+        (1, "click", 200 * us, 0.0),   # exact hit -> 8.0
+        (1, "click", 250 * us, 0.0),   # after last -> backward 8.0
+        (1, "click", 50 * us, 0.0),    # before first -> forward 4.0
+        # user 2: no snapshots at all
+        (2, "click", 10 * us, 0.0),
+    ]
+    uid, et, ts, val = zip(*rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(np.array(ts, np.int64)).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(val, pa.float64()),
+            "props": pa.array([""] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        q_asof_interpolate(str(tmp_path))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out.conv_id == "1"].sort_values("turn_idx")
+    # turns are clicks ordered by ts: 50s, 125s, 200s, 250s
+    vals = u1["interp_val"].tolist()
+    kinds = u1["kind"].tolist()
+    assert vals == [4.0, 5.0, 8.0, 8.0]
+    # exact hit (span 0) dispatches to the backward branch, not interp
+    assert kinds == ["forward", "interp", "backward", "backward"]
+    u2 = out[out.conv_id == "2"]
+    assert pd.isna(u2["interp_val"]).all() and pd.isna(u2["kind"]).all()

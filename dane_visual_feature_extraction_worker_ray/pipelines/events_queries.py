@@ -1261,3 +1261,100 @@ WITH d AS (
 SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
 FROM s GROUP BY user_id
 """.strip()
+
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_funnel_steps(sf_dir: str):
+    """N-step ordered funnel (generalizing the two-step
+    view→purchase funnel): per user, the first completion timestamp of
+    each step, where step k must happen STRICTLY after the user's
+    first completion of step k−1 — the product-analytics conversion
+    ladder. Rows: users who completed step 1; later columns are NULL
+    from the first missed step onward; ``steps_completed`` counts the
+    prefix.
+
+    One user-keyed exchange; the kernel runs |steps| vectorized
+    ``np.minimum.at`` sweeps over the partition (each conditioned on
+    the previous step's per-user first-ts), no sorting, no per-user
+    Python. Pure integer-µs comparisons — exact parity with the
+    chained min-join SQL."""
+    from ..stages.exchange import hash_exchange
+
+    ev = _events(sf_dir, ["user_id", "event_type", "ts"])
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64())]
+        + [(f"t{i+1}_{s}", pa.timestamp("us"))
+           for i, s in enumerate(FUNNEL_STEPS)]
+        + [("steps_completed", pa.int64())]
+    )
+
+    def _kernel(p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        uid = tbl.column("user_id").cast(pa.int64()).to_numpy()
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)
+        prev = np.full(len(users), -1, np.int64)  # sentinel: step 0 done
+        firsts = []
+        for k, step in enumerate(FUNNEL_STEPS):
+            t = np.full(len(users), _I64_MAX)
+            m = (et == step) & (prev[inv] != _I64_MAX) & (us > prev[inv])
+            np.minimum.at(t, inv[m], us[m])
+            firsts.append(t)
+            prev = t
+        done1 = firsts[0] != _I64_MAX
+        users = users[done1]
+        firsts = [t[done1] for t in firsts]
+        cols = {"user_id": pa.array(users)}
+        completed = np.zeros(len(users), np.int64)
+        for i, (t, step) in enumerate(zip(firsts, FUNNEL_STEPS)):
+            ok = t != _I64_MAX
+            completed += ok
+            cols[f"t{i+1}_{step}"] = pa.array(
+                t, pa.int64(), mask=~ok
+            ).cast(pa.timestamp("us"))
+        cols["steps_completed"] = pa.array(completed)
+        return pa.table(cols)
+
+    return hash_exchange(ev, ["user_id"], 16, _kernel, out_schema)
+
+
+QUERIES["funnel_steps"] = q_funnel_steps
+
+
+def _funnel_sql() -> str:
+    ctes = [
+        "s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+        f"WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)"
+    ]
+    for k in range(2, len(FUNNEL_STEPS) + 1):
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, min(e.ts) AS t{k} "
+            f"FROM events e JOIN s{k-1} USING (user_id) "
+            f"WHERE e.event_type = '{FUNNEL_STEPS[k-1]}' "
+            f"AND e.ts > s{k-1}.t{k-1} GROUP BY e.user_id)"
+        )
+    sel = ", ".join(
+        f"t{i+1} AS t{i+1}_{s}" for i, s in enumerate(FUNNEL_STEPS)
+    )
+    joins = " ".join(
+        f"LEFT JOIN s{k} USING (user_id)"
+        for k in range(2, len(FUNNEL_STEPS) + 1)
+    )
+    n_done = " + ".join(
+        [f"CASE WHEN t{k} IS NOT NULL THEN 1 ELSE 0 END"
+         for k in range(1, len(FUNNEL_STEPS) + 1)]
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT user_id, {sel}, CAST({n_done} AS BIGINT)"
+        " AS steps_completed"
+        f"\nFROM s1 {joins}"
+    )
+
+
+ORACLE_SQL["funnel_steps"] = _funnel_sql()

@@ -416,3 +416,34 @@ def test_asof_interpolate_blend_and_edges(ray_session, tmp_path):
     assert kinds == ["forward", "interp", "backward", "backward"]
     u2 = out[out.conv_id == "2"]
     assert pd.isna(u2["interp_val"]).all() and pd.isna(u2["kind"]).all()
+
+
+def test_funnel_steps_ordering_and_prefix_nulls(ray_session, tmp_path):
+    from dane_visual_feature_extraction_worker_ray.pipelines.events_queries import (
+        q_funnel_steps,
+    )
+
+    rows = [
+        # user 1: full ladder in order
+        (1, "signup", 10), (1, "view", 20), (1, "click", 30),
+        (1, "purchase", 40),
+        # user 2: view BEFORE signup doesn't count; no later view
+        (2, "view", 5), (2, "signup", 10), (2, "click", 20),
+        # user 3: never signed up -> excluded entirely
+        (3, "view", 1), (3, "purchase", 2),
+        # user 4: signup and view at the SAME ts -> strictness blocks
+        (4, "signup", 10), (4, "view", 10),
+    ]
+    sf = _write(tmp_path, rows)
+    out = (
+        q_funnel_steps(sf).to_pandas().set_index("user_id").sort_index()
+    )
+    assert set(out.index) == {1, 2, 4}
+    assert out.loc[1, "steps_completed"] == 4
+    assert out.loc[1, "t4_purchase"].value == 40_000  # ns
+    # user 2: click at 20 exists but view never happened after signup,
+    # so the ladder stops at step 1 (click can't skip the view step)
+    assert out.loc[2, "steps_completed"] == 1
+    assert pd.isna(out.loc[2, "t2_view"]) and pd.isna(out.loc[2, "t3_click"])
+    assert out.loc[4, "steps_completed"] == 1
+    assert pd.isna(out.loc[4, "t2_view"])

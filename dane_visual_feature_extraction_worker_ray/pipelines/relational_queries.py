@@ -1721,6 +1721,17 @@ def q_pareto_orders(sf_dir: str):
                 "o_orderdate": pa.array([], pa.timestamp("us")),
             }
         )
+    survivors = sum(t.num_rows for t in parts)
+    if survivors > 1_000_000:
+        # adversarially anti-correlated axes make the skyline itself
+        # O(n); no silent scale cliff — on such data fold batches
+        # pairwise instead of a single driver gather
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pareto_orders: %d local-skyline survivors reach the "
+            "driver (anti-correlated axes?)", survivors,
+        )
     return _skyline(pa.concat_tables(parts))
 
 

@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import os
 
-import ray.data as rd
-
 from ..config import FeatureConfig, PartitionConfig, US_PER_S
 from ..sources.events_adapter import (
     SQL_SNAPS_CTE,

@@ -447,3 +447,31 @@ def test_funnel_steps_ordering_and_prefix_nulls(ray_session, tmp_path):
     assert pd.isna(out.loc[2, "t2_view"]) and pd.isna(out.loc[2, "t3_click"])
     assert out.loc[4, "steps_completed"] == 1
     assert pd.isna(out.loc[4, "t2_view"])
+
+
+def test_hourly_dense_and_scd2_empty_events(ray_session, tmp_path):
+    """Empty events: the row-generating resample and the SCD2 build
+    must both return typed empty results, not crash."""
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.events_queries import (
+        q_hourly_dense_counts,
+        q_scd2_intervals,
+    )
+
+    t = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    dense = q_hourly_dense_counts(str(tmp_path))
+    dense = dense.to_pandas() if hasattr(dense, "to_pandas") else dense
+    assert len(dense) == 0
+    scd = q_scd2_intervals(str(tmp_path)).to_pandas()
+    assert len(scd) == 0

@@ -1667,3 +1667,34 @@ SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT)
   AS tok_id
 FROM toks
 """.strip()
+
+
+BPE_NUM_MERGES = 24
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training over the corpus: the learned merge table
+    (rank, left, right, merged, pair_count). Corpus-scale work is the
+    exact word-count reduction; the merge loop runs over the BOUNDED
+    distinct-word table (stages/bpe.py). Deterministic (integer counts,
+    lexicographic tie-break) but iterative — not SQL-expressible, so
+    rows-only in the gate with a pytest reference-implementation
+    oracle (tests/test_bpe.py)."""
+    from ..stages.bpe import learn_bpe
+
+    return learn_bpe(_docs(sf_dir), num_merges=BPE_NUM_MERGES)
+
+
+def q_bpe_doc_stats(sf_dir: str):
+    """Per-doc BPE compression stats (n_words, n_pieces) with the
+    corpus-trained merges — segmentation as a stateful actor-pool
+    stage (ranks in __init__, distinct-word cache per batch)."""
+    from ..stages.bpe import bpe_doc_stats, learn_bpe
+
+    merges = learn_bpe(_docs(sf_dir), num_merges=BPE_NUM_MERGES)
+    return bpe_doc_stats(_docs(sf_dir), merges)
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+QUERIES["bpe_doc_stats"] = q_bpe_doc_stats
+# iterative training: rows-only in the driver gate (pytest oracle)

@@ -121,8 +121,16 @@ def pagerank_fixed_point(
         np.add.at(ow, gidx, w_e)
         ro = np.argsort(rkeys, kind="stable")
         rkeys, rvals = rkeys[ro], rvals[ro]
-        pos = np.searchsorted(rkeys, src_e[new])
-        # every source is a node and ranks cover all nodes
+        srcs = src_e[new]
+        pos = np.searchsorted(rkeys, srcs).clip(0, len(rkeys) - 1)
+        # searchsorted returns an INSERTION index — an edge source
+        # missing from nodes_ds would silently read a neighbor's rank;
+        # validate and fail loudly instead (contract: nodes ⊇ sources)
+        if not (rkeys[pos] == srcs).all():
+            missing = srcs[rkeys[pos] != srcs]
+            raise ValueError(
+                f"pagerank: edge sources not in nodes_ds: {missing[:3]}"
+            )
         q = rvals[pos] // ow  # per-source floored mass share
         c = ((dn * q[gidx]) // dd) * w_e
         return group_aggregate_table(

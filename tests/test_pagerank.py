@@ -151,3 +151,25 @@ def test_triangle_count_matches_brute_random(ray_session):
     )
     out = triangle_count(rd.from_arrow(t), num_partitions=4).to_pandas()
     assert int(out["n_triangles"].iloc[0]) == brute
+
+
+def test_pagerank_missing_source_node_fails_loudly(ray_session):
+    import pytest
+    import ray
+
+    from dane_visual_feature_extraction_worker_ray.stages.pagerank import (
+        pagerank_fixed_point,
+    )
+
+    e = pa.table(
+        {
+            "src": pa.array([0, 7], pa.int64()),  # 7 not in nodes
+            "dst": pa.array([1, 1], pa.int64()),
+            "w": pa.array([1, 1], pa.int64()),
+        }
+    )
+    n = pa.table({"node": pa.array([0, 1], pa.int64())})
+    with pytest.raises(ray.exceptions.RayTaskError, match="not in nodes_ds"):
+        pagerank_fixed_point(
+            rd.from_arrow(e), rd.from_arrow(n), iters=1, num_partitions=2
+        ).materialize()

@@ -1358,3 +1358,81 @@ def _funnel_sql() -> str:
 
 
 ORACLE_SQL["funnel_steps"] = _funnel_sql()
+
+
+LATE_ALLOWED_US = 3_600_000_000  # 1 h allowed lateness
+
+
+def q_late_events(sf_dir: str):
+    """Streaming late-data accounting: with arrival order = event_id,
+    the watermark is the max event-time of strictly PRIOR arrivals;
+    an event is late by ``watermark − ts`` (when positive) and flagged
+    when that exceeds the allowed lateness — exactly the
+    drop/route-to-side-output decision a watermarked streaming window
+    makes, materialized as a batch audit.
+
+    The watermark is :func:`stages.scan.global_running_max` — a
+    range-partitioned sort plus O(blocks) carry scalars, never a
+    single-node scan. All µs integers; the lateness clamp is
+    ``greatest(..., 0)`` on both sides."""
+    import pyarrow.compute as pc
+
+    from ..stages.scan import global_running_max
+
+    ev = _events(sf_dir, ["event_id", "ts"])
+
+    def _to_us(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "ts": tbl.column("ts"),
+                "ts_us": tbl.column("ts").cast(pa.int64()),
+            }
+        )
+
+    wm = global_running_max(
+        ev.map_batches(_to_us, batch_format="pyarrow", batch_size=None),
+        [("event_id", "ascending")],
+        "ts_us",
+        "wm_us",
+        num_partitions=16,
+    )
+
+    def _finish(tbl: pa.Table) -> pa.Table:
+        ts_us = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        wm_col = tbl.column("wm_us")
+        wm_np = pc.fill_null(wm_col, 0).to_numpy(zero_copy_only=False)
+        isnull = pc.is_null(wm_col).to_numpy(zero_copy_only=False)
+        late = np.maximum(wm_np - ts_us, 0)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "ts": tbl.column("ts"),
+                "watermark": wm_col.cast(pa.timestamp("us")),
+                "late_by_us": pa.array(late, mask=isnull),
+                "is_late": pa.array(
+                    late > LATE_ALLOWED_US, mask=isnull
+                ),
+            }
+        )
+
+    return wm.map_batches(_finish, batch_format="pyarrow",
+                          batch_size=None)
+
+
+QUERIES["late_events"] = q_late_events
+# NB: DuckDB's greatest() SKIPS nulls (greatest(NULL, 0) = 0), so the
+# no-watermark first row must keep its NULL through an explicit CASE
+ORACLE_SQL["late_events"] = f"""
+SELECT event_id, ts,
+  max(ts) OVER w AS watermark,
+  CASE WHEN max(ts) OVER w IS NULL THEN NULL
+       ELSE CAST(greatest(epoch_us(max(ts) OVER w) - epoch_us(ts), 0)
+                 AS BIGINT) END AS late_by_us,
+  CASE WHEN max(ts) OVER w IS NULL THEN NULL
+       ELSE greatest(epoch_us(max(ts) OVER w) - epoch_us(ts), 0)
+            > {LATE_ALLOWED_US} END AS is_late
+FROM events
+WINDOW w AS (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+""".strip()

@@ -336,3 +336,75 @@ def grouped_string_agg(
         return pa.table(cols)
 
     return hash_exchange(ds, key_list, num_partitions, _kernel)
+
+
+def global_running_max(
+    ds,
+    sort_keys: list[tuple[str, str]],
+    col: str,
+    out_col: str,
+    num_partitions: int = 32,
+):
+    """``max(col) OVER (ORDER BY sort_keys ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` — the EXCLUSIVE running maximum the
+    streaming-watermark pattern needs (each row compared against the
+    high-water mark of strictly PRIOR rows; the global first row gets
+    NULL). ``col`` must be int64-typed (timestamps: cast to µs first).
+
+    Same two-phase shape as :func:`global_scan`: range-partitioned
+    sort → per-block maxima → driver prefix-max of PRIOR blocks
+    (O(blocks) scalars) → per-block shifted cummax with the carry.
+    """
+    from .exchange import _cpus_per_task
+
+    sorted_ds = sort_by(ds, sort_keys, num_partitions=num_partitions)
+    refs = sorted_ds.to_arrow_refs()
+    ncpu = _cpus_per_task()
+    _MIN = np.iinfo(np.int64).min
+
+    @ray.remote
+    def _blockmax(tbl):
+        t = tbl if isinstance(tbl, pa.Table) else pa.table(tbl)
+        if t.num_rows == 0:
+            return 0, None
+        m = pc.max(t.column(col).cast(pa.int64())).as_py()
+        return t.num_rows, m
+
+    parts = ray.get([_blockmax.options(num_cpus=ncpu).remote(r)
+                     for r in refs])
+    carries, offs = [], []
+    cur, rtot = None, 0
+    for n, m in parts:
+        carries.append(cur)
+        offs.append(rtot)
+        rtot += n
+        if m is not None:
+            cur = m if cur is None else max(cur, m)
+
+    @ray.remote
+    def _apply(tbl, carry, roff):
+        pa.set_cpu_count(1)
+        t = tbl if isinstance(tbl, pa.Table) else pa.table(tbl)
+        n = t.num_rows
+        v = t.column(col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        shifted = np.empty(n, np.int64)
+        if n:
+            shifted[0] = carry if carry is not None else _MIN
+            if n > 1:
+                shifted[1:] = v[:-1]
+            ex = np.maximum.accumulate(shifted)
+        else:
+            ex = shifted
+        # NULL only where no prior row exists: the global first row
+        null = np.zeros(n, bool)
+        if n and carry is None and roff == 0:
+            null[0] = True
+        return t.append_column(out_col, pa.array(ex, mask=null))
+
+    out_refs = [
+        _apply.options(num_cpus=ncpu).remote(b, c, int(ro))
+        for b, c, ro in zip(refs, carries, offs)
+    ]
+    return rd.from_arrow_refs(out_refs)

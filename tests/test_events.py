@@ -475,3 +475,40 @@ def test_hourly_dense_and_scd2_empty_events(ray_session, tmp_path):
     assert len(dense) == 0
     scd = q_scd2_intervals(str(tmp_path)).to_pandas()
     assert len(scd) == 0
+
+
+def test_late_events_watermark_semantics(ray_session, tmp_path):
+    """Out-of-order arrivals (by event_id) flag against the prior max
+    event-time; the first arrival has no watermark (NULL)."""
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.events_queries import (
+        LATE_ALLOWED_US,
+        q_late_events,
+    )
+
+    H = 3_600_000_000
+    # arrival order = event_id; event 2 arrives 2h behind the watermark
+    ts = [5 * H, 6 * H, 4 * H, 6 * H + 1, 6 * H - 10]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(ts)), pa.int64()),
+            "ts": pa.array(np.array(ts, np.int64)).cast(pa.timestamp("us")),
+            "user_id": pa.array([1] * len(ts), pa.int64()),
+            "event_type": pa.array(["click"] * len(ts)),
+            "value": pa.array(np.zeros(len(ts))),
+            "props": pa.array([""] * len(ts)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        q_late_events(str(tmp_path))
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    assert pd.isna(out.loc[0, "watermark"]) and pd.isna(out.loc[0, "is_late"])
+    assert out.loc[1, "late_by_us"] == 0 and not out.loc[1, "is_late"]
+    assert out.loc[2, "late_by_us"] == 2 * H  # 6h watermark - 4h event
+    assert bool(out.loc[2, "is_late"])        # 2h > 1h allowed
+    assert out.loc[3, "late_by_us"] == 0      # new high-water mark
+    assert out.loc[4, "late_by_us"] == 11     # 10+1 behind, not late
+    assert not out.loc[4, "is_late"]

@@ -1436,3 +1436,64 @@ FROM events
 WINDOW w AS (ORDER BY event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 """.strip()
+
+
+def q_cdc_view_click_diff(sf_dir: str):
+    """CDC-style keyed diff (``stages/setops.keyed_diff``): per-user
+    view counts as the OLD version vs click counts as the NEW —
+    classifying every user added / removed / changed / unchanged with
+    both values carried. The change-data-capture primitive an
+    incremental pipeline uses to ship deltas instead of recomputing;
+    the two versions here are derived aggregates so the query is fully
+    self-contained and FULL-OUTER-JOIN oracle-checkable."""
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+    from ..stages.setops import keyed_diff
+
+    def _counts(event_type: str):
+        ev = _events(sf_dir, ["user_id", "event_type"])
+
+        def _partial(tbl: pa.Table) -> pa.Table:
+            t = tbl.filter(
+                pc.equal(tbl.column("event_type"), event_type)
+            )
+            return group_aggregate_table(
+                pa.table(
+                    {
+                        "user_id": t.column("user_id"),
+                        "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    }
+                ),
+                ["user_id"],
+                [("n", "sum")],
+            )
+
+        return hash_grouped_aggregate(
+            ev.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None),
+            ["user_id"],
+            [("n", "sum")],
+            num_buckets=8,
+        )
+
+    return keyed_diff(
+        _counts("view"), _counts("click"), "user_id", "n",
+        num_partitions=8,
+    )
+
+
+QUERIES["cdc_view_click_diff"] = q_cdc_view_click_diff
+ORACLE_SQL["cdc_view_click_diff"] = """
+WITH o AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v FROM events
+      WHERE event_type = 'click' GROUP BY 1)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+  o.v AS old_val, n.v AS new_val,
+  CASE WHEN o.user_id IS NULL THEN 'added'
+       WHEN n.user_id IS NULL THEN 'removed'
+       WHEN o.v <> n.v THEN 'changed'
+       ELSE 'unchanged' END AS change
+FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+""".strip()

@@ -178,3 +178,40 @@ def test_outer_join_rejects_hot_keys(ray_session):
             how="outer",
             hot_keys=[1],
         )
+
+
+def test_keyed_diff_all_classes_and_dup_rejection(ray_session):
+    import pytest
+    import ray
+
+    from dane_visual_feature_extraction_worker_ray.stages.setops import (
+        keyed_diff,
+    )
+
+    def _ds(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([p[0] for p in pairs], pa.int64()),
+                    "v": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+
+    old = [(1, 10), (2, 20), (3, 30)]
+    new = [(2, 20), (3, 99), (4, 40)]
+    out = (
+        keyed_diff(_ds(old), _ds(new), "k", "v", num_partitions=4)
+        .to_pandas().set_index("k").sort_index()
+    )
+    assert out.loc[1, "change"] == "removed" and pd.isna(out.loc[1, "new_val"])
+    assert out.loc[2, "change"] == "unchanged"
+    assert out.loc[3, "change"] == "changed"
+    assert (out.loc[3, "old_val"], out.loc[3, "new_val"]) == (30, 99)
+    assert out.loc[4, "change"] == "added" and pd.isna(out.loc[4, "old_val"])
+    # duplicate key within one side must fail loudly
+    with pytest.raises(ray.exceptions.RayTaskError, match="key-distinct"):
+        keyed_diff(
+            _ds([(1, 1), (1, 2)]), _ds([(1, 3)]), "k", "v",
+            num_partitions=2,
+        ).materialize()

@@ -297,3 +297,45 @@ def hash_grouped_map(
         return pa.concat_tables(outs)
 
     return hash_exchange(ds, key_list, num_partitions, _kernel, empty_schema)
+
+
+@ray.remote
+def _concat_frags(*frags):
+    pa.set_cpu_count(1)
+    tables = [_from_ipc(f) for f in frags]
+    live = [t for t in tables if t.num_rows > 0]
+    if not live:
+        return tables[0].slice(0, 0)  # IPC frags are always typed
+    return pa.concat_tables(live).combine_chunks()
+
+
+def partition_table_refs(ds, key, num_partitions: int):
+    """Hash-partition ``ds`` ONCE and return the per-partition tables
+    as a list of object refs (index p = rows with
+    ``hash64(key) % num_partitions == p``) — the building block for
+    ITERATIVE algorithms where a static table (edges, a dimension)
+    must stay co-partitioned across many rounds: partition it once,
+    then zip each round's moving side against the cached refs instead
+    of re-shipping the static side through a fresh exchange every
+    round. The same stable ``hash64`` as :func:`hash_exchange`, so
+    refs from different calls with the same ``num_partitions`` are
+    mutually aligned (same key value → same index, even for different
+    column names)."""
+    blocks = ds.to_arrow_refs()
+    ncpu = _cpus_per_task()
+    if not blocks:
+        raise ValueError("partition_table_refs: empty input dataset")
+    frag_lists = [
+        _split_block.options(
+            num_returns=num_partitions, num_cpus=ncpu
+        ).remote(b, key, num_partitions)
+        for b in blocks
+    ]
+    if num_partitions == 1:
+        frag_lists = [[fl] for fl in frag_lists]
+    return [
+        _concat_frags.options(num_cpus=ncpu).remote(
+            *[fl[p] for fl in frag_lists]
+        )
+        for p in range(num_partitions)
+    ]

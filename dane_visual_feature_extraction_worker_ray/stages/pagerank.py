@@ -3,10 +3,14 @@
 The iterative-graph family next to connected components
 (``stages/dedup.connected_components_labels``): where CC propagates a
 min-label to a fixpoint, PageRank propagates rank MASS for a fixed
-number of rounds. Same execution shape — two hash exchanges per round
-(ranks joined onto edges at the source endpoint, contribution messages
-combined at the destination), everything hash-partitioned, the driver
-never sees a corpus-scale row set.
+number of rounds. Execution shape: the static sides (edges by ``src``,
+nodes/ranks by ``node``) are hash-partitioned ONCE with the same hash
+(``exchange.partition_table_refs``), so the aligned partition pairs
+zip every round and the only per-round data motion is the
+destination-aggregated contribution messages — iterating does NOT
+re-shuffle the edge table (the cost multiplier a naive
+re-exchange-per-round design pays at 100 TB). The driver holds only
+O(partitions) refs; no corpus-scale row set ever lands on it.
 
 Arithmetic is integer fixed-point (ranks scaled by ``scale``), with
 the floor divisions placed at exactly the same spots a SQL oracle can
@@ -33,6 +37,104 @@ import numpy as np
 import pyarrow as pa
 
 
+
+import ray
+import ray.data as rd
+
+from ..functions.hashing import bucket_of, hash64_columns
+from .exchange import _cpus_per_task, _from_ipc, _ipc_bytes
+
+_MSG_SCHEMA = pa.schema([("dst", pa.int64()), ("c", pa.int64())])
+_RANK_SCHEMA = pa.schema([("node", pa.int64()), ("rank", pa.int64())])
+
+
+@ray.remote
+def _pr_phase1(edge_tbl, rank_tbl, num_partitions, dn, dd):
+    """One aligned partition's propagation round: derive out-weights
+    locally, floor-divide each source's rank share, emit per-dst
+    contribution PARTIALS already split into the destination's
+    partition (IPC fragments — the only bytes that move per round)."""
+    pa.set_cpu_count(1)
+    empty = _ipc_bytes(_MSG_SCHEMA.empty_table())
+    if edge_tbl.num_rows == 0 or rank_tbl.num_rows == 0:
+        if num_partitions == 1:
+            return empty
+        return tuple(empty for _ in range(num_partitions))
+    src = edge_tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = edge_tbl.column("dst").to_numpy(zero_copy_only=False)
+    w = edge_tbl.column("w").to_numpy(zero_copy_only=False)
+    rkeys = rank_tbl.column("node").to_numpy(zero_copy_only=False)
+    rvals = rank_tbl.column("rank").to_numpy(zero_copy_only=False)
+    o = np.argsort(src, kind="stable")
+    src, dst, w = src[o], dst[o], w[o]
+    new = np.r_[True, src[1:] != src[:-1]]
+    gidx = np.cumsum(new) - 1
+    ow = np.zeros(gidx[-1] + 1, np.int64)
+    np.add.at(ow, gidx, w)
+    ro = np.argsort(rkeys, kind="stable")
+    rkeys, rvals = rkeys[ro], rvals[ro]
+    srcs = src[new]
+    pos = np.searchsorted(rkeys, srcs).clip(0, len(rkeys) - 1)
+    # searchsorted returns an INSERTION index — an edge source missing
+    # from nodes_ds would silently read a neighbor's rank; fail loudly
+    # (contract: nodes ⊇ sources; hash alignment puts a source's node
+    # row in this very partition)
+    if not (rkeys[pos] == srcs).all():
+        missing = srcs[rkeys[pos] != srcs]
+        raise ValueError(
+            f"pagerank: edge sources not in nodes_ds: {missing[:3]}"
+        )
+    q = rvals[pos] // ow  # per-source floored mass share
+    c = ((dn * q[gidx]) // dd) * w
+    from .groupagg import group_aggregate_table
+
+    partial = group_aggregate_table(
+        pa.table({"dst": pa.array(dst), "c": pa.array(c)}),
+        ["dst"],
+        [("c", "sum")],
+    )
+    if num_partitions == 1:
+        return _ipc_bytes(partial)
+    b = bucket_of(hash64_columns(partial, ["dst"]), num_partitions)
+    idx = np.argsort(b, kind="stable")
+    bs = b[idx]
+    bounds = np.arange(num_partitions)
+    starts = np.searchsorted(bs, bounds, side="left")
+    ends = np.searchsorted(bs, bounds, side="right")
+    taken = partial.take(pa.array(idx))
+    return tuple(
+        _ipc_bytes(taken.slice(s, e - s)) for s, e in zip(starts, ends)
+    )
+
+
+@ray.remote
+def _pr_phase2(rank_tbl, base, *frags):
+    """Combine one partition's incoming contribution fragments onto
+    its (static) node set: ``rank' = base + Σ c``. Output stays
+    node-partition-aligned for the next round's phase 1."""
+    pa.set_cpu_count(1)
+    nodes = np.sort(
+        rank_tbl.column("node").to_numpy(zero_copy_only=False)
+    )
+    if len(nodes) == 0:
+        return _RANK_SCHEMA.empty_table()
+    total = np.full(len(nodes), base, np.int64)
+    for f in frags:
+        t = _from_ipc(f)
+        if t.num_rows == 0:
+            continue
+        mk = t.column("dst").to_numpy(zero_copy_only=False)
+        mc = t.column("c").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nodes, mk).clip(0, len(nodes) - 1)
+        if not (nodes[pos] == mk).all():
+            raise ValueError(
+                "pagerank: a contribution dst is not a node "
+                "(nodes must cover all edge endpoints)"
+            )
+        np.add.at(total, pos, mc)
+    return pa.table({"node": pa.array(nodes), "rank": pa.array(total)})
+
+
 def pagerank_fixed_point(
     edges_ds,
     nodes_ds,
@@ -48,16 +150,24 @@ def pagerank_fixed_point(
 
     ``edges_ds``: columns ``src``, ``dst``, ``w`` (int64; parallel
     edges allowed — they are pre-summed). ``nodes_ds``: column
-    ``node`` (int64, distinct; isolated nodes keep ``base`` after
-    round 1). Returns a Dataset ``(node, rank)``.
+    ``node`` (int64, distinct; must cover every edge endpoint;
+    isolated nodes keep ``base`` after round 1). Returns a Dataset
+    ``(node, rank)``.
 
-    Out-weights are NOT a separate join: edges are exchanged keyed by
-    ``src``, so each partition holds every out-edge of its sources and
-    derives ``ow`` locally with a run-sum.
+    Iteration shape (the static/moving split that matters at scale):
+    edges are hash-partitioned by ``src`` ONCE and nodes/ranks by
+    ``node`` ONCE with the same hash (``exchange.partition_table_refs``
+    — same key value → same partition index), so every round the
+    aligned (edge, rank) partition pairs zip with NO re-shipping of
+    either static side; the only per-round data motion is the
+    contribution messages, pre-aggregated per destination before they
+    move. Out-weights are derived locally from each partition's
+    co-located out-edges — never a join.
     """
     dn, dd = damping_num, damping_den
     base = (scale * (dd - dn)) // dd
 
+    from .exchange import partition_table_refs
     from .groupagg import group_aggregate_table, hash_grouped_aggregate
 
     def _edge_partial(t: pa.Table) -> pa.Table:
@@ -80,147 +190,40 @@ def pagerank_fixed_point(
         ["src", "dst"],
         [("w", "sum")],
         num_buckets=num_partitions,
-    ).materialize()  # static across rounds
+    )
 
-    ranks = nodes_ds.map_batches(
+    ranks0 = nodes_ds.map_batches(
         lambda t: pa.table(
             {
                 "node": t.column("node").cast(pa.int64()),
-                "rank": pa.array(
-                    np.full(t.num_rows, scale, np.int64)
-                ),
+                "rank": pa.array(np.full(t.num_rows, scale, np.int64)),
             }
         ),
         batch_format="pyarrow",
         batch_size=None,
     )
 
-    msg_schema = pa.schema([("dst", pa.int64()), ("c", pa.int64())])
-    rank_schema = pa.schema([("node", pa.int64()), ("rank", pa.int64())])
+    edge_parts = partition_table_refs(edges, "src", num_partitions)
+    rank_parts = partition_table_refs(ranks0, "node", num_partitions)
 
-    def _phase1(p: int, tbl: pa.Table) -> pa.Table:
-        # side 0 = edge (key=src, dst, w); side 1 = rank (key=node, w=r)
-        from ..functions.runtime import pin_arrow_threads
-
-        pin_arrow_threads()
-        side = tbl.column("side").to_numpy(zero_copy_only=False)
-        key = tbl.column("key").to_numpy(zero_copy_only=False)
-        dst = tbl.column("dst").to_numpy(zero_copy_only=False)
-        w = tbl.column("w").to_numpy(zero_copy_only=False)
-        emask = side == 0
-        src_e, dst_e, w_e = key[emask], dst[emask], w[emask]
-        rkeys, rvals = key[~emask], w[~emask]
-        if len(src_e) == 0 or len(rkeys) == 0:
-            return msg_schema.empty_table()
-        o = np.argsort(src_e, kind="stable")
-        src_e, dst_e, w_e = src_e[o], dst_e[o], w_e[o]
-        # out-weight per source: run-sum over the src-sorted edges
-        new = np.r_[True, src_e[1:] != src_e[:-1]]
-        gidx = np.cumsum(new) - 1
-        ow = np.zeros(gidx[-1] + 1, np.int64)
-        np.add.at(ow, gidx, w_e)
-        ro = np.argsort(rkeys, kind="stable")
-        rkeys, rvals = rkeys[ro], rvals[ro]
-        srcs = src_e[new]
-        pos = np.searchsorted(rkeys, srcs).clip(0, len(rkeys) - 1)
-        # searchsorted returns an INSERTION index — an edge source
-        # missing from nodes_ds would silently read a neighbor's rank;
-        # validate and fail loudly instead (contract: nodes ⊇ sources)
-        if not (rkeys[pos] == srcs).all():
-            missing = srcs[rkeys[pos] != srcs]
-            raise ValueError(
-                f"pagerank: edge sources not in nodes_ds: {missing[:3]}"
-            )
-        q = rvals[pos] // ow  # per-source floored mass share
-        c = ((dn * q[gidx]) // dd) * w_e
-        return group_aggregate_table(
-            pa.table({"dst": pa.array(dst_e), "c": pa.array(c)}),
-            ["dst"],
-            [("c", "sum")],
-        )
-
-    def _phase2(p: int, tbl: pa.Table) -> pa.Table:
-        # side 0 = message (key=dst, c); side 1 = node (key, c=0)
-        from ..functions.runtime import pin_arrow_threads
-
-        pin_arrow_threads()
-        side = tbl.column("side").to_numpy(zero_copy_only=False)
-        key = tbl.column("key").to_numpy(zero_copy_only=False)
-        c = tbl.column("c").to_numpy(zero_copy_only=False)
-        nmask = side == 1
-        nodes = np.sort(key[nmask])
-        if len(nodes) == 0:
-            # a message's dst is always a node and ranks ride the same
-            # partitioner, so this only happens on an all-empty split
-            return rank_schema.empty_table()
-        total = np.full(len(nodes), base, np.int64)
-        mk, mc = key[~nmask], c[~nmask]
-        if len(mk):
-            pos = np.searchsorted(nodes, mk)
-            np.add.at(total, pos, mc)
-        return pa.table({"node": pa.array(nodes), "rank": pa.array(total)})
-
-    from .exchange import hash_exchange
-
+    ncpu = _cpus_per_task()
     for _ in range(iters):
-        in1 = edges.map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t.column("src"),
-                    "dst": t.column("dst"),
-                    "w": t.column("w"),
-                    "side": pa.array(np.zeros(t.num_rows, np.int8)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ).union(
-            ranks.map_batches(
-                lambda t: pa.table(
-                    {
-                        "key": t.column("node"),
-                        "dst": pa.array(np.zeros(t.num_rows, np.int64)),
-                        "w": t.column("rank"),
-                        "side": pa.array(np.ones(t.num_rows, np.int8)),
-                    }
-                ),
-                batch_format="pyarrow",
-                batch_size=None,
+        frag_lists = [
+            _pr_phase1.options(
+                num_returns=num_partitions, num_cpus=ncpu
+            ).remote(edge_parts[p], rank_parts[p], num_partitions, dn, dd)
+            for p in range(num_partitions)
+        ]
+        if num_partitions == 1:
+            frag_lists = [[fl] for fl in frag_lists]
+        rank_parts = [
+            _pr_phase2.options(num_cpus=ncpu).remote(
+                rank_parts[p], base,
+                *[frag_lists[q][p] for q in range(num_partitions)],
             )
-        )
-        # phase-1 outputs stream straight into the phase-2 exchange
-        # (empty-safe) — no driver barrier between the two exchanges
-        msgs = hash_exchange(
-            in1, "key", num_partitions, _phase1, empty_schema=msg_schema,
-            prune_empty_sync=False,
-        )
-        in2 = msgs.map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t.column("dst"),
-                    "c": t.column("c"),
-                    "side": pa.array(np.zeros(t.num_rows, np.int8)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ).union(
-            ranks.map_batches(
-                lambda t: pa.table(
-                    {
-                        "key": t.column("node"),
-                        "c": pa.array(np.zeros(t.num_rows, np.int64)),
-                        "side": pa.array(np.ones(t.num_rows, np.int8)),
-                    }
-                ),
-                batch_format="pyarrow",
-                batch_size=None,
-            )
-        )
-        ranks = hash_exchange(
-            in2, "key", num_partitions, _phase2, empty_schema=rank_schema
-        )
-    return ranks
+            for p in range(num_partitions)
+        ]
+    return rd.from_arrow_refs(rank_parts)
 
 
 def cooccurrence_edges(

@@ -828,17 +828,29 @@ def connected_components_labels(
     ``(doc_a, doc_b)`` → label Dataset ``(node, label)`` with
     ``label`` = min node id of the component.
 
-    Min-label propagation, two hash exchanges per round (labels joined
-    onto edges at the source endpoint, then messages combined with
-    labels at the destination), iterated to fixpoint — O(component
-    diameter) rounds, every step hash-partitioned; the driver sees only
-    a per-round changed-count scalar. This is the 100 TB path for the
-    pair graph; the union-find in :func:`near_dup_survivors` remains
-    the small-candidate fast path.
+    Min-label propagation to a fixpoint — O(component diameter)
+    rounds. Iteration shape (same static/moving split as
+    ``stages/pagerank.py``): the bidirectional edge list is
+    hash-partitioned by source ONCE and labels by node ONCE with the
+    same hash (``exchange.partition_table_refs`` — aligned partition
+    pairs zip every round), so iterating never re-ships the edge
+    table; the only per-round motion is the label messages, and those
+    are min-COMBINED per destination inside the sender before they
+    move. The driver sees one changed-count int per partition per
+    round. This is the 100 TB path for the pair graph; the union-find
+    in :func:`near_dup_survivors` remains the small-candidate fast
+    path.
     """
+    import ray
     import ray.data as rd
 
-    from .exchange import hash_exchange
+    from ..functions.hashing import bucket_of, hash64_columns
+    from .exchange import (
+        _cpus_per_task,
+        _from_ipc,
+        _ipc_bytes,
+        partition_table_refs,
+    )
     from .groupagg import group_aggregate_table, hash_grouped_aggregate
 
     def _edges_bidir(t: pa.Table) -> pa.Table:
@@ -853,7 +865,7 @@ def connected_components_labels(
 
     edges = pairs_ds.map_batches(
         _edges_bidir, batch_format="pyarrow", batch_size=None
-    ).materialize()  # reused every round; bidirectional edge list
+    )
 
     def _init_labels(t: pa.Table) -> pa.Table:
         return group_aggregate_table(
@@ -868,119 +880,97 @@ def connected_components_labels(
         ),
         ["node"],
         [("label", "min")],
+        num_buckets=num_partitions,
     )
 
-    msg_schema = pa.schema([("key", pa.int64()), ("lab", pa.int64())])
-    lab_schema = pa.schema(
-        [("node", pa.int64()), ("label", pa.int64()), ("changed", pa.int64())]
-    )
+    msg_schema = pa.schema([("dst", pa.int64()), ("lab", pa.int64())])
 
-    def _phase1(p: int, tbl: pa.Table) -> pa.Table:
-        # side 0 = edge (key=src, val=dst); side 1 = label (key, val)
-        side = tbl.column("side").to_numpy(zero_copy_only=False)
-        key = tbl.column("key").to_numpy(zero_copy_only=False)
-        val = tbl.column("val").to_numpy(zero_copy_only=False)
-        lmask = side == 1
-        lkeys, lvals = key[lmask], val[lmask]
-        o = np.argsort(lkeys, kind="stable")
-        lkeys, lvals = lkeys[o], lvals[o]
-        emask = ~lmask
-        src, dst = key[emask], val[emask]
-        if len(src) == 0 or len(lkeys) == 0:
-            return msg_schema.empty_table()
-        pos = np.searchsorted(lkeys, src).clip(0, len(lkeys) - 1)
-        hit = lkeys[pos] == src  # always true: every node has a label
-        return pa.table(
-            {
-                "key": pa.array(dst[hit]),
-                "lab": pa.array(lvals[pos][hit]),
-            }
+    @ray.remote
+    def _cc_phase1(edge_tbl, label_tbl, P):
+        pa.set_cpu_count(1)
+        empty = _ipc_bytes(msg_schema.empty_table())
+        if edge_tbl.num_rows == 0 or label_tbl.num_rows == 0:
+            return empty if P == 1 else tuple(empty for _ in range(P))
+        src = edge_tbl.column("key").to_numpy(zero_copy_only=False)
+        dst = edge_tbl.column("val").to_numpy(zero_copy_only=False)
+        lk = label_tbl.column("node").to_numpy(zero_copy_only=False)
+        lv = label_tbl.column("label").to_numpy(zero_copy_only=False)
+        o = np.argsort(lk, kind="stable")
+        lk, lv = lk[o], lv[o]
+        pos = np.searchsorted(lk, src).clip(0, len(lk) - 1)
+        # labels cover every edge endpoint by construction; validate
+        # rather than trust the insertion index
+        if not (lk[pos] == src).all():
+            raise ValueError("connected components: unlabeled source")
+        # min-combine per destination BEFORE the bytes move
+        partial = group_aggregate_table(
+            pa.table({"dst": pa.array(dst), "lab": pa.array(lv[pos])}),
+            ["dst"],
+            [("lab", "min")],
+        )
+        if P == 1:
+            return _ipc_bytes(partial)
+        b = bucket_of(hash64_columns(partial, ["dst"]), P)
+        idx = np.argsort(b, kind="stable")
+        bs = b[idx]
+        bounds = np.arange(P)
+        starts = np.searchsorted(bs, bounds, side="left")
+        ends = np.searchsorted(bs, bounds, side="right")
+        taken = partial.take(pa.array(idx))
+        return tuple(
+            _ipc_bytes(taken.slice(st, e - st))
+            for st, e in zip(starts, ends)
         )
 
-    def _phase2(p: int, tbl: pa.Table) -> pa.Table:
-        # side 0 = message (key, lab); side 1 = current label (key, lab)
-        side = tbl.column("side").to_numpy(zero_copy_only=False)
-        key = tbl.column("key").to_numpy(zero_copy_only=False)
-        lab = tbl.column("lab").to_numpy(zero_copy_only=False)
-        order = np.lexsort((lab, key))
-        k_s, l_s, s_s = key[order], lab[order], side[order]
-        new_grp = np.ones(len(k_s), dtype=bool)
-        new_grp[1:] = k_s[1:] != k_s[:-1]
-        starts = np.flatnonzero(new_grp)
-        nodes = k_s[starts]
-        new_label = l_s[starts]  # min lab per node (lab-sorted)
-        # old label = the side==1 row for the node (exactly one)
-        old = np.full(len(nodes), np.iinfo(np.int64).max, np.int64)
-        gidx = np.cumsum(new_grp) - 1
-        lrows = s_s == 1
-        old[gidx[lrows]] = l_s[lrows]
-        # nodes with no label row (message to a node outside this
-        # round's label table cannot happen: labels cover all nodes)
-        changed = (new_label < old).astype(np.int64)
-        return pa.table(
-            {
-                "node": pa.array(nodes),
-                "label": pa.array(np.minimum(new_label, old)),
-                "changed": pa.array(changed),
-            }
+    @ray.remote(num_returns=2)
+    def _cc_phase2(label_tbl, *frags):
+        pa.set_cpu_count(1)
+        lk = label_tbl.column("node").to_numpy(zero_copy_only=False)
+        lv = label_tbl.column("label").to_numpy(zero_copy_only=False)
+        o = np.argsort(lk, kind="stable")
+        nodes, old = lk[o], lv[o].copy()
+        if len(nodes) == 0:
+            return label_tbl, 0
+        cur = old.copy()
+        for f in frags:
+            t = _from_ipc(f)
+            if t.num_rows == 0:
+                continue
+            mk = t.column("dst").to_numpy(zero_copy_only=False)
+            ml = t.column("lab").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(nodes, mk).clip(0, len(nodes) - 1)
+            if not (nodes[pos] == mk).all():
+                raise ValueError(
+                    "connected components: message to unlabeled node"
+                )
+            np.minimum.at(cur, pos, ml)
+        changed = int((cur < old).sum())
+        return (
+            pa.table({"node": pa.array(nodes), "label": pa.array(cur)}),
+            changed,
         )
 
+    edge_parts = partition_table_refs(edges, "key", num_partitions)
+    label_parts = partition_table_refs(labels, "node", num_partitions)
+    ncpu = _cpus_per_task()
     for _ in range(max_rounds):
-        in1 = edges.map_batches(
-            lambda t: t.append_column(
-                "side", pa.array(np.zeros(t.num_rows, np.int8))
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ).union(
-            labels.map_batches(
-                lambda t: pa.table(
-                    {
-                        "key": t.column("node"),
-                        "val": t.column("label"),
-                        "side": pa.array(np.ones(t.num_rows, np.int8)),
-                    }
-                ),
-                batch_format="pyarrow",
-                batch_size=None,
+        frag_lists = [
+            _cc_phase1.options(
+                num_returns=num_partitions, num_cpus=ncpu
+            ).remote(edge_parts[p], label_parts[p], num_partitions)
+            for p in range(num_partitions)
+        ]
+        if num_partitions == 1:
+            frag_lists = [[fl] for fl in frag_lists]
+        pairs = [
+            _cc_phase2.options(num_cpus=ncpu, num_returns=2).remote(
+                label_parts[p],
+                *[frag_lists[q][p] for q in range(num_partitions)],
             )
-        )
-        # defer empty-partition pruning: msgs feed straight into the
-        # phase-2 exchange (empty-safe), so phase-1 reduce outputs
-        # stream into phase-2 splits without a driver barrier — the two
-        # exchanges of every round overlap instead of serializing
-        msgs = hash_exchange(
-            in1, "key", num_partitions, _phase1, empty_schema=msg_schema,
-            prune_empty_sync=False,
-        )
-        in2 = msgs.map_batches(
-            lambda t: t.append_column(
-                "side", pa.array(np.zeros(t.num_rows, np.int8))
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ).union(
-            labels.map_batches(
-                lambda t: pa.table(
-                    {
-                        "key": t.column("node"),
-                        "lab": t.column("label"),
-                        "side": pa.array(np.ones(t.num_rows, np.int8)),
-                    }
-                ),
-                batch_format="pyarrow",
-                batch_size=None,
-            )
-        )
-        new_labels = hash_exchange(
-            in2, "key", num_partitions, _phase2, empty_schema=lab_schema
-        ).materialize()
-        n_changed = new_labels.sum("changed") or 0
-        labels = new_labels.map_batches(
-            lambda t: t.drop_columns(["changed"]),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
+            for p in range(num_partitions)
+        ]
+        label_parts = [t for t, _ in pairs]
+        n_changed = sum(ray.get([c for _, c in pairs]))
         if n_changed == 0:
             break
     else:
@@ -988,7 +978,7 @@ def connected_components_labels(
             "connected_components_labels: no fixpoint after %d rounds",
             max_rounds,
         )
-    return labels
+    return rd.from_arrow_refs(label_parts)
 
 
 def near_dup_survivors_distributed(

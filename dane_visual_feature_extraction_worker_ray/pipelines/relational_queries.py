@@ -1416,7 +1416,8 @@ def q_part_pagerank(sf_dir: str):
     """Weighted PageRank over the part co-purchase graph (parts are
     linked when they appear in the same order; parallel edges across
     orders become integer weights). Graph build + ``PR_ITERS`` rounds
-    of integer fixed-point propagation — two hash exchanges per round,
+    of integer fixed-point propagation — static sides partitioned
+    once, only messages move per round (see ``stages/pagerank.py``) —
     bit-identical to the unrolled SQL iteration because every floor
     division sits at the same spot on both sides and int64 sums are
     order-independent (see ``stages/pagerank.py``)."""

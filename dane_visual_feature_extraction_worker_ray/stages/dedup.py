@@ -889,7 +889,14 @@ def connected_components_labels(
     def _cc_phase1(edge_tbl, label_tbl, P):
         pa.set_cpu_count(1)
         empty = _ipc_bytes(msg_schema.empty_table())
-        if edge_tbl.num_rows == 0 or label_tbl.num_rows == 0:
+        # an all-empty upstream leaves 0-COLUMN empty blocks (Ray skips
+        # the UDF on 0-row blocks) — any empty side means no messages
+        if (
+            "key" not in edge_tbl.column_names
+            or "node" not in label_tbl.column_names
+            or edge_tbl.num_rows == 0
+            or label_tbl.num_rows == 0
+        ):
             return empty if P == 1 else tuple(empty for _ in range(P))
         src = edge_tbl.column("key").to_numpy(zero_copy_only=False)
         dst = edge_tbl.column("val").to_numpy(zero_copy_only=False)
@@ -925,12 +932,16 @@ def connected_components_labels(
     @ray.remote(num_returns=2)
     def _cc_phase2(label_tbl, *frags):
         pa.set_cpu_count(1)
+        lab_schema = pa.schema([("node", pa.int64()),
+                                ("label", pa.int64())])
+        if "node" not in label_tbl.column_names:  # 0-col empty block
+            return lab_schema.empty_table(), 0
         lk = label_tbl.column("node").to_numpy(zero_copy_only=False)
         lv = label_tbl.column("label").to_numpy(zero_copy_only=False)
         o = np.argsort(lk, kind="stable")
         nodes, old = lk[o], lv[o].copy()
         if len(nodes) == 0:
-            return label_tbl, 0
+            return lab_schema.empty_table(), 0
         cur = old.copy()
         for f in frags:
             t = _from_ipc(f)

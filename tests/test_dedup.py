@@ -503,3 +503,40 @@ def test_edit_distance_pairs_finds_planted_jitter():
     assert (0, 3) not in got and (1, 3) not in got
     assert all(d <= 2 for d in got.values())
     assert (2, 0) not in got and (0, 2) not in got
+
+
+def test_connected_components_empty_and_chain(ray_session):
+    """Empty pair set: typed-empty labels, survivors = whole corpus
+    (regression for the 0-column empty-block path); a 4-chain plus a
+    disjoint pair converge to min labels across >1 round."""
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        connected_components_labels,
+        near_dup_survivors_distributed,
+    )
+
+    empty = rd.from_arrow(
+        pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64())}
+        )
+    )
+    assert connected_components_labels(empty, num_partitions=4).count() == 0
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1, 2, 3], pa.int64()),
+             "text": pa.array(["a", "b", "c"])}
+        )
+    )
+    out = near_dup_survivors_distributed(docs, empty).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+    chain = rd.from_arrow(
+        pa.table(
+            {"doc_a": pa.array([1, 2, 3, 10], pa.int64()),
+             "doc_b": pa.array([2, 3, 4, 11], pa.int64())}
+        )
+    )
+    lab = (
+        connected_components_labels(chain, num_partitions=4)
+        .to_pandas().set_index("node")["label"]
+    )
+    assert dict(lab) == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

@@ -1698,3 +1698,84 @@ def q_bpe_doc_stats(sf_dir: str):
 QUERIES["bpe_merges"] = q_bpe_merges
 QUERIES["bpe_doc_stats"] = q_bpe_doc_stats
 # iterative training: rows-only in the driver gate (pytest oracle)
+
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc gets priority
+    ``ln(u) / w`` with ``u = (hash64(doc_id)+0.5) / 2^64`` and weight
+    ``w = n_chars``; the global top-k by priority IS a weighted sample
+    — the training-mix constructor that favors long documents without
+    any RNG state (reruns and retries pick the identical sample).
+
+    Scale shape: stateless per-batch priority + per-batch top-k
+    PARTIALS → a ≤ k × n_blocks driver merge (the established top-k
+    pattern). Deterministic but hash-based, so rows-only in the gate;
+    the pytest oracle recomputes the exact formula single-node and
+    checks the k-set matches (tests/test_text.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..functions.hashing import hash64
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+
+    def _prio(tbl: pa.Table):
+        ids = tbl.column("doc_id").cast(pa.int64()).to_numpy()
+        w = tbl.column("n_chars").cast(pa.int64()).to_numpy()
+        u = (hash64(ids).astype(np.float64) + 0.5) / 18446744073709551616.0
+        pr = np.where(w > 0, np.log(u) / w.astype(np.float64), -np.inf)
+        return ids, w, pr
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        ids, w, pr = _prio(tbl)
+        top = np.lexsort((ids, -pr))[:WEIGHTED_SAMPLE_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[top]),
+                "n_chars": pa.array(w[top]),
+                "priority": pa.array(pr[top]),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            docs.map_batches(
+                _partial, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "priority": pa.array([], pa.float64()),
+            }
+        )
+    m = pa.concat_tables(parts)
+    ids = m.column("doc_id").to_numpy()
+    w = m.column("n_chars").to_numpy()
+    pr = m.column("priority").to_numpy()
+    top = np.lexsort((ids, -pr))[:WEIGHTED_SAMPLE_K]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[top]),
+            "n_chars": pa.array(w[top]),
+            "priority": pa.array(pr[top]),
+        }
+    )
+
+
+QUERIES["weighted_sample_docs"] = q_weighted_sample_docs
+# hash-based priorities are not SQL-expressible: rows-only in the gate

@@ -394,3 +394,42 @@ def test_doc_repetition_degenerate_docs(ray_session, tmp_path):
     for c in got.columns:
         ga, ea = got[c].astype("float64"), exp[c].astype("float64")
         assert ((ga == ea) | (ga.isna() & ea.isna())).all(), c
+
+
+def test_weighted_sample_docs_matches_single_node_formula(
+    ray_session, tmp_path
+):
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.functions.hashing import (
+        hash64,
+    )
+    from dane_visual_feature_extraction_worker_ray.pipelines.text_queries import (
+        WEIGHTED_SAMPLE_K,
+        q_weighted_sample_docs,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(0, 2000, n).astype(np.int64)  # includes w == 0
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array(w),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = q_weighted_sample_docs(str(tmp_path))
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    u = (hash64(ids).astype(np.float64) + 0.5) / 2.0**64
+    pr = np.where(w > 0, np.log(u) / w.astype(np.float64), -np.inf)
+    exp = ids[np.lexsort((ids, -pr))[:WEIGHTED_SAMPLE_K]]
+    assert got["doc_id"].tolist() == exp.tolist()
+    # zero-weight docs can never be sampled
+    assert (got["n_chars"] > 0).all()
+    # heavier docs dominate: sampled mean weight >> corpus mean
+    assert got["n_chars"].mean() > w.mean()

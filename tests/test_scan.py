@@ -225,3 +225,42 @@ def test_global_scan_nullable_int_column(ray_session):
     )
     expected = np.cumsum([5, 0, 3, 0, 1, 2, 0, 4, 6, 0])
     np.testing.assert_array_equal(out["cum_v"].to_numpy(), expected)
+
+
+def test_read_parquet_tuned_schema_evolution(ray_session, tmp_path):
+    """A column added partway through a dataset's lifetime: older files
+    read as typed NULLs (grouped-by-schema reads + aligned union), with
+    column pruning preserved per group."""
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.sources.parquet import (
+        read_parquet_tuned,
+    )
+
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([1, 2], pa.int64()),
+             "v": pa.array([10.0, 20.0])}
+        ),
+        str(tmp_path / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([3], pa.int64()), "v": pa.array([30.0]),
+             "extra": pa.array(["x"])}
+        ),
+        str(tmp_path / "b.parquet"),
+    )
+    got = (
+        read_parquet_tuned(str(tmp_path), columns=["k", "extra"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["extra"].tolist()[:2] == [None, None]
+    assert got["extra"].tolist()[2] == "x"
+    full = (
+        read_parquet_tuned(str(tmp_path))
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert full["v"].tolist() == [10.0, 20.0, 30.0]
+    assert sorted(full.columns) == ["extra", "k", "v"]

@@ -197,3 +197,25 @@ def test_overlap_join_self_join_orientations(ray_session):
     assert got[(1, 1)] == (0, 10) and got[(2, 1)] == got[(1, 2)] == (5, 10)
     uno = {(a, b) for (a, b) in got if a < b}
     assert uno == {(1, 2)}
+
+
+def test_overlap_join_tie_heavy_starts(ray_session):
+    """Many intervals sharing exact start values (and exact start==
+    another's start edge cases) — the searchsorted boundaries between
+    case A (>=) and case B (strict >) must not double-count or drop."""
+    rng = np.random.default_rng(31)
+    starts = rng.choice([0, 10, 20, 30], size=80)  # heavy ties
+    left = [(i, int(s), int(s + rng.choice([1, 5, 15]))) for i, s in
+            enumerate(starts)]
+    starts_r = rng.choice([0, 10, 20, 30], size=70)
+    right = [(i, int(s), int(s + rng.choice([1, 5, 15]))) for i, s in
+             enumerate(starts_r)]
+    for W in (4, 10, 100):
+        got = _overlap_run(left, right, W)
+        brute = {
+            (l, r): (max(ls, rs), min(le, re))
+            for l, ls, le in left
+            for r, rs, re in right
+            if max(ls, rs) < min(le, re)
+        }
+        assert got == brute, f"W={W}"

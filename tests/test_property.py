@@ -319,3 +319,62 @@ def test_hash_join_property(lkeys, rkeys, how):
         got[c] = pd.array(got[c], dtype="Float64")
         exp[c] = pd.array(exp[c], dtype="Float64")
     pd.testing.assert_frame_equal(got, exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(1, 40)),
+        min_size=0, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(1, 40)),
+        min_size=0, max_size=25,
+    ),
+    w=st.sampled_from([3, 17, 500]),
+)
+def test_interval_overlap_join_property(ray_session, left, right, w):
+    """Every (left, right) pair with a non-empty intersection appears
+    exactly once with exact bounds, for arbitrary intervals and any
+    bucket width."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.interval_join import (
+        interval_overlap_join,
+    )
+
+    def _ds(rows, idn):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    idn: pa.array(range(len(rows)), pa.int64()),
+                    "st": pa.array([s for s, _ in rows], pa.int64()),
+                    "en": pa.array([s + d for s, d in rows], pa.int64()),
+                }
+            )
+        )
+
+    out = interval_overlap_join(
+        _ds(left, "lid"), _ds(right, "rid"),
+        "st", "en", "st", "en", ["lid"], ["rid"],
+        bucket_width=w, num_partitions=3,
+    ).to_pandas()
+    # all-empty Datasets drop the schema in to_pandas (CLAUDE.md gotcha)
+    got = (
+        {}
+        if len(out) == 0
+        else {
+            (l, r): (s, e)
+            for l, r, s, e in zip(
+                out.lid, out.rid, out.ov_start, out.ov_end
+            )
+        }
+    )
+    brute = {}
+    for li, (ls, ld) in enumerate(left):
+        for ri, (rs, rd_) in enumerate(right):
+            s, e = max(ls, rs), min(ls + ld, rs + rd_)
+            if s < e:
+                brute[(li, ri)] = (s, e)
+    assert got == brute

@@ -1497,3 +1497,72 @@ SELECT COALESCE(o.user_id, n.user_id) AS user_id,
        ELSE 'unchanged' END AS change
 FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
 """.strip()
+
+
+def q_event_trigrams(sf_dir: str):
+    """Second-order behavioral sequences: global counts of every
+    (event → next → next-next) triple in each user's (ts, event_id)
+    order — the 3-step path analysis that distinguishes e.g.
+    view→click→purchase from view→click→error journeys (the Markov
+    pair counts in ``event_transitions`` cannot). Same shape: one
+    user-keyed exchange, lexsort + double-shifted boundary mask + one
+    |types|³-cell bincount per partition, ≤125-row partials to the
+    final sum."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.groupagg import hash_grouped_aggregate
+
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+    nt = len(EVENT_TYPES)
+
+    out_schema = pa.schema(
+        [("t1", pa.string()), ("t2", pa.string()), ("t3", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def _kernel(p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        uid = tbl.column("user_id").cast(pa.int64()).to_numpy()
+        us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        eid = tbl.column("event_id").cast(pa.int64()).to_numpy()
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        u, t = uid[order], _type_codes(et[order])
+        if len(u) < 3:
+            return out_schema.empty_table()
+        same3 = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        code = (
+            t[:-2][same3] * nt * nt + t[1:-1][same3] * nt + t[2:][same3]
+        )
+        cnt = np.bincount(code, minlength=nt * nt * nt)
+        nz = np.flatnonzero(cnt)
+        ets = np.asarray(EVENT_TYPES)
+        return pa.table(
+            {
+                "t1": pa.array(ets[nz // (nt * nt)]),
+                "t2": pa.array(ets[(nz // nt) % nt]),
+                "t3": pa.array(ets[nz % nt]),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    parts = hash_exchange(ds, ["user_id"], 16, _kernel, out_schema)
+    return hash_grouped_aggregate(
+        parts, ["t1", "t2", "t3"], [("n", "sum")], num_buckets=2
+    )
+
+
+QUERIES["event_trigrams"] = q_event_trigrams
+ORACLE_SQL["event_trigrams"] = """
+WITH o AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER w AS nxt,
+    lead(event_type, 2) OVER w AS nxt2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS t1, nxt AS t2, nxt2 AS t3,
+  CAST(count(*) AS BIGINT) AS n
+FROM o WHERE nxt IS NOT NULL AND nxt2 IS NOT NULL
+GROUP BY 1, 2, 3
+""".strip()

@@ -512,3 +512,26 @@ def test_late_events_watermark_semantics(ray_session, tmp_path):
     assert out.loc[3, "late_by_us"] == 0      # new high-water mark
     assert out.loc[4, "late_by_us"] == 11     # 10+1 behind, not late
     assert not out.loc[4, "is_late"]
+
+
+def test_event_trigrams_user_boundaries(ray_session, tmp_path):
+    from dane_visual_feature_extraction_worker_ray.pipelines.events_queries import (
+        q_event_trigrams,
+    )
+
+    rows = [
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        (1, "view", 4),
+        # user 2's stream must not chain into user 1's
+        (2, "signup", 5), (2, "view", 6),
+    ]
+    sf = _write(tmp_path, rows)
+    got = q_event_trigrams(sf).to_pandas()
+    trip = {
+        (a, b, c): n
+        for a, b, c, n in zip(got.t1, got.t2, got.t3, got.n)
+    }
+    assert trip == {
+        ("view", "click", "purchase"): 1,
+        ("click", "purchase", "view"): 1,
+    }

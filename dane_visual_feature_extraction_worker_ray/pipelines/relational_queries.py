@@ -1748,3 +1748,90 @@ WHERE NOT EXISTS (
          OR b.o_orderdate < a.o_orderdate)
 )
 """.strip()
+
+
+def q_nation_revenue_share(sf_dir: str):
+    """Ratio-to-report: every nation's order revenue and its share of
+    the global total — the `ratio_to_report()` window family (market-
+    share, mix-shift dashboards). Orders are enriched with the nation
+    name via the broadcast customer→nation lookup (dimension side tiny,
+    `ray.put` once), revenue is summed in exact int cents, and the
+    bounded per-nation table computes shares driver-side — each share
+    is ONE division of two int-derived doubles, identical on both
+    sides, so order of nations is irrelevant to parity."""
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    m = cust.merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    ).sort_values("c_custkey")
+    keys_ref = ray.put(m["c_custkey"].to_numpy(dtype=np.int64))
+    names_ref = ray.put(m["n_name"].to_numpy(dtype=object))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        names = ray.get(names_ref)
+        ck = tbl.column("o_custkey").to_numpy()
+        if len(keys) == 0:
+            return pa.table(
+                {"n_name": pa.array([], pa.string()),
+                 "rev_c": pa.array([], pa.int64())}
+            )
+        pos = np.searchsorted(keys, ck).clip(0, len(keys) - 1)
+        hit = keys[pos] == ck
+        t = pa.table(
+            {
+                "n_name": pa.array(names[pos], type=pa.string()),
+                "rev_c": pa.array(_cents(tbl.column("o_totalprice"))),
+            }
+        ).filter(pa.array(hit))
+        from ..stages.groupagg import group_aggregate_table
+
+        return group_aggregate_table(t, ["n_name"], [("rev_c", "sum")])
+
+    final = hash_grouped_aggregate(
+        orders.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None),
+        ["n_name"],
+        [("rev_c", "sum")],
+        num_buckets=4,
+    )
+    parts = [t for t in ray.get(final.to_arrow_refs()) if t.num_rows > 0]
+    if not parts:
+        return pa.table(
+            {"n_name": pa.array([], pa.string()),
+             "revenue": pa.array([], pa.float64()),
+             "share": pa.array([], pa.float64())}
+        )
+    full = pa.concat_tables(parts)  # bounded: |nations| rows
+    rc = full.column("rev_c").to_numpy(zero_copy_only=False)
+    total = int(rc.sum())
+    return pa.table(
+        {
+            "n_name": full.column("n_name"),
+            "revenue": pa.array(rc.astype(np.float64) / 100.0),
+            "share": pa.array(
+                rc.astype(np.float64) / np.float64(total)
+            ),
+        }
+    )
+
+
+QUERIES["nation_revenue_share"] = q_nation_revenue_share
+ORACLE_SQL["nation_revenue_share"] = """
+WITH nr AS (
+  SELECT n.n_name,
+    CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS t FROM nr)
+SELECT n_name, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+  CAST(rev_c AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
+FROM nr, tot
+""".strip()

@@ -258,3 +258,81 @@ SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist FROM (
   FROM d)
 WHERE rk = 1
 """.strip()
+
+
+def q_embedding_unnest_stats(sf_dir: str):
+    """List-column UNNEST to long format + per-dimension statistics:
+    flatten ``embedding: list<float>`` into ``(dim_idx, value)`` rows
+    and aggregate per dimension — the feature-wise profile (per-dim
+    min/max/count) a normalization or drift check needs, demonstrating
+    the columnar EXPLODE primitive on a vector column.
+
+    Zero-copy flatten per batch: ``ListArray.flatten()`` + a
+    ``np.arange``-modulo dim index (fixed-length lists), never a
+    Python row loop; per-batch min/max/count partials are mergeable →
+    one tiny hash aggregate bounded by the dimensionality. min/max are
+    exact (no accumulation-order hazard)."""
+    import pyarrow as pa
+
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    emb = _emb(sf_dir)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        col = tbl.column("embedding").combine_chunks()
+        arr = col.chunk(0) if hasattr(col, "chunk") else col
+        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        n = tbl.num_rows
+        if n == 0 or len(vals) == 0:
+            return pa.table(
+                {
+                    "dim_idx": pa.array([], pa.int64()),
+                    "min_v": pa.array([], pa.float64()),
+                    "max_v": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        lens = arr.value_lengths().to_numpy(zero_copy_only=False)
+        if lens.min() != lens.max():
+            raise ValueError(
+                "embedding_unnest_stats: ragged embedding lists "
+                f"(lengths {lens.min()}..{lens.max()}) — the tiled dim "
+                "index requires fixed-length vectors"
+            )
+        d = int(lens[0])
+        dim = np.tile(np.arange(d, dtype=np.int64), n)
+        t = pa.table(
+            {
+                "dim_idx": pa.array(dim),
+                "min_v": pa.array(vals),
+                "max_v": pa.array(vals),
+                "n": pa.array(np.ones(len(vals), np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["dim_idx"],
+            [("min_v", "min"), ("max_v", "max"), ("n", "sum")],
+        )
+
+    return hash_grouped_aggregate(
+        emb.map_batches(_partial, batch_format="pyarrow",
+                        batch_size=None),
+        ["dim_idx"],
+        [("min_v", "min"), ("max_v", "max"), ("n", "sum")],
+        num_buckets=4,
+    )
+
+
+QUERIES["embedding_unnest_stats"] = q_embedding_unnest_stats
+ORACLE_SQL["embedding_unnest_stats"] = """
+WITH ex AS (
+  SELECT unnest(range(len(embedding))) AS dim_idx,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+)
+SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
+  min(v) AS min_v, max(v) AS max_v, CAST(count(*) AS BIGINT) AS n
+FROM ex GROUP BY dim_idx
+""".strip()

@@ -290,17 +290,43 @@ GROUP BY o_orderkey
 
 
 def q_region_revenue(sf_dir: str):
-    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    """Revenue by region. Round-4 shape (verdict #2): supplier scales
+    linearly with SF, so it is NOT broadcast — lineitem pre-aggregates
+    to per-suppkey integer-cent partials (supplier-cardinality rows),
+    then a distributed :func:`hash_equi_join` attaches the region name,
+    then a 5-row final groupby. Only nation⋈region (constant 25×5
+    dimensions) stays a broadcast, used map-side to enrich supplier."""
+    from ..stages.groupagg import group_aggregate_table
+    from ..stages.join import hash_equi_join
+
+    nat = _read(
+        sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
     reg = _read(sf_dir, "region").to_pandas()
-    m = sup.merge(
-        nat, left_on="s_nationkey", right_on="n_nationkey"
-    ).merge(reg, left_on="n_regionkey", right_on="r_regionkey")
-    # broadcast pre-sorted parallel arrays ONCE (rebuilding a sorted
-    # key array from a dict inside every batch was pure overhead)
-    m = m.sort_values("s_suppkey")
-    keys_ref = ray.put(m["s_suppkey"].to_numpy(dtype=np.int64))
-    names_ref = ray.put(m["r_name"].to_numpy(dtype=object))
+    nr = nat.merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    ).sort_values("n_nationkey")
+    nkeys_ref = ray.put(nr["n_nationkey"].to_numpy(dtype=np.int64))
+    rnames_ref = ray.put(nr["r_name"].to_numpy(dtype=object))
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def _enrich(tbl: pa.Table) -> pa.Table:
+        nkeys = ray.get(nkeys_ref)
+        rnames = ray.get(rnames_ref)
+        nk = tbl.column("s_nationkey").to_numpy()
+        pos = np.searchsorted(nkeys, nk).clip(0, max(len(nkeys) - 1, 0))
+        hit = nkeys[pos] == nk if len(nkeys) else np.zeros(len(nk), bool)
+        return pa.table(
+            {
+                "s_suppkey": tbl.column("s_suppkey"),
+                "r_name": pa.array(rnames[pos], type=pa.string()),
+            }
+        ).filter(pa.array(hit))
+
+    sup_region = sup.map_batches(
+        _enrich, batch_format="pyarrow", batch_size=None
+    )
 
     li = _read(
         sf_dir,
@@ -309,32 +335,31 @@ def q_region_revenue(sf_dir: str):
     )
 
     def _partial(tbl: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        names = ray.get(names_ref)
-        sk = tbl.column("l_suppkey").to_numpy()
-        if len(keys) == 0:
-            return pa.table(
-                {"r_name": pa.array([], pa.string()),
-                 "rev_c2": pa.array([], pa.int64())}
-            )
-        pos = np.searchsorted(keys, sk).clip(0, len(keys) - 1)
-        hit = keys[pos] == sk
         rev = _cents(tbl.column("l_extendedprice")) * (
             100 - _cents(tbl.column("l_discount"))
         )
-        t = pa.table(
-            {
-                "r_name": pa.array(names[pos], type=pa.string()),
-                "rev_c2": pa.array(rev),
-            }
-        ).filter(pa.array(hit))
-        from ..stages.groupagg import group_aggregate_table
+        return group_aggregate_table(
+            pa.table(
+                {
+                    "l_suppkey": tbl.column("l_suppkey"),
+                    "rev_c2": pa.array(rev),
+                }
+            ),
+            ["l_suppkey"],
+            [("rev_c2", "sum")],
+        )
 
-        return group_aggregate_table(t, ["r_name"], [("rev_c2", "sum")])
-
-    partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    per_supp = hash_grouped_aggregate(
+        li.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["l_suppkey"],
+        [("rev_c2", "sum")],
+    )
+    joined = hash_equi_join(
+        per_supp, sup_region, "l_suppkey", "s_suppkey",
+        right_columns=["r_name"], how="inner",
+    )
     final = hash_grouped_aggregate(
-        partials, ["r_name"], [("rev_c2", "sum")]
+        joined, ["r_name"], [("rev_c2", "sum")]
     )
 
     def _finish(tbl: pa.Table) -> pa.Table:
@@ -379,42 +404,44 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 def q_mktsegment_order_counts(sf_dir: str):
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust.sort_values("c_custkey")
-    keys_ref = ray.put(cust["c_custkey"].to_numpy(dtype=np.int64))
-    names_ref = ray.put(cust["c_mktsegment"].to_numpy(dtype=object))
+    """Orders rolled up by customer market segment. Round-4 shape
+    (verdict #2): customer scales linearly with SF, so it is NOT
+    broadcast — orders pre-aggregate to per-custkey integer-cent
+    partials (customer-cardinality rows), a distributed
+    :func:`hash_equi_join` attaches ``c_mktsegment`` (inner-join
+    semantics: orders whose custkey is absent drop, like the oracle),
+    and a 5-row final groupby finishes. Shuffle volume = customer
+    cardinality, never the fact table."""
+    from ..stages.groupagg import group_aggregate_table
+    from ..stages.join import hash_equi_join
+
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def _partial(tbl: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        names = ray.get(names_ref)
-        ck = tbl.column("o_custkey").to_numpy()
-        if len(keys) == 0:
-            return pa.table(
-                {"c_mktsegment": pa.array([], pa.string()),
-                 "n": pa.array([], pa.int64()),
-                 "price_c": pa.array([], pa.int64())}
-            )
-        pos = np.searchsorted(keys, ck).clip(0, len(keys) - 1)
-        hit = keys[pos] == ck  # inner-join semantics, like the oracle
-        seg = pa.array(names[pos], type=pa.string())
-        price_c = _cents(tbl.column("o_totalprice"))
-        t = pa.table(
-            {
-                "c_mktsegment": seg,
-                "n": pa.array(np.ones(tbl.num_rows, dtype=np.int64)),
-                "price_c": pa.array(price_c),
-            }
-        ).filter(pa.array(hit))
-        from ..stages.groupagg import group_aggregate_table
-
         return group_aggregate_table(
-            t, ["c_mktsegment"], [("n", "sum"), ("price_c", "sum")]
+            pa.table(
+                {
+                    "o_custkey": tbl.column("o_custkey"),
+                    "n": pa.array(np.ones(tbl.num_rows, dtype=np.int64)),
+                    "price_c": pa.array(_cents(tbl.column("o_totalprice"))),
+                }
+            ),
+            ["o_custkey"],
+            [("n", "sum"), ("price_c", "sum")],
         )
 
-    partials = orders.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    per_cust = hash_grouped_aggregate(
+        orders.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"],
+        [("n", "sum"), ("price_c", "sum")],
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_equi_join(
+        per_cust, cust, "o_custkey", "c_custkey",
+        right_columns=["c_mktsegment"], how="inner",
+    )
     final = hash_grouped_aggregate(
-        partials, ["c_mktsegment"], [("n", "sum"), ("price_c", "sum")]
+        joined, ["c_mktsegment"], [("n", "sum"), ("price_c", "sum")]
     )
 
     def _finish(tbl: pa.Table) -> pa.Table:
@@ -625,12 +652,13 @@ ORACLE_SQL["customers_without_orders"] = SQL_ANTI
 
 
 def q_brand_revenue(sf_dir: str):
-    """Revenue by part brand: part is dimension-scale → broadcast
-    pre-sorted (key, brand) arrays once; lineitem streams partials."""
-    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
-    part = part.sort_values("p_partkey")
-    keys_ref = ray.put(part["p_partkey"].to_numpy(dtype=np.int64))
-    brands_ref = ray.put(part["p_brand"].to_numpy(dtype=object))
+    """Revenue by part brand. Round-4 shape (verdict #2): part scales
+    linearly with SF (SF×200k rows), so it is NOT broadcast — lineitem
+    pre-aggregates to per-partkey integer-cent partials
+    (part-cardinality rows), a distributed :func:`hash_equi_join`
+    attaches ``p_brand``, and a ~25-row final groupby finishes."""
+    from ..stages.groupagg import group_aggregate_table
+    from ..stages.join import hash_equi_join
 
     li = _read(
         sf_dir,
@@ -639,36 +667,33 @@ def q_brand_revenue(sf_dir: str):
     )
 
     def _partial(tbl: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        brands = ray.get(brands_ref)
-        pk = tbl.column("l_partkey").to_numpy()
-        if len(keys) == 0:
-            return pa.table(
-                {"p_brand": pa.array([], pa.string()),
-                 "rev_c2": pa.array([], pa.int64()),
-                 "n": pa.array([], pa.int64())}
-            )
-        pos = np.searchsorted(keys, pk).clip(0, len(keys) - 1)
-        hit = keys[pos] == pk
         rev = _cents(tbl.column("l_extendedprice")) * (
             100 - _cents(tbl.column("l_discount"))
         )
-        t = pa.table(
-            {
-                "p_brand": pa.array(brands[pos], type=pa.string()),
-                "rev_c2": pa.array(rev),
-                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
-            }
-        ).filter(pa.array(hit))
-        from ..stages.groupagg import group_aggregate_table
-
         return group_aggregate_table(
-            t, ["p_brand"], [("rev_c2", "sum"), ("n", "sum")]
+            pa.table(
+                {
+                    "l_partkey": tbl.column("l_partkey"),
+                    "rev_c2": pa.array(rev),
+                    "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+                }
+            ),
+            ["l_partkey"],
+            [("rev_c2", "sum"), ("n", "sum")],
         )
 
-    partials = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    per_part = hash_grouped_aggregate(
+        li.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["l_partkey"],
+        [("rev_c2", "sum"), ("n", "sum")],
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = hash_equi_join(
+        per_part, part, "l_partkey", "p_partkey",
+        right_columns=["p_brand"], how="inner",
+    )
     final = hash_grouped_aggregate(
-        partials, ["p_brand"], [("rev_c2", "sum"), ("n", "sum")]
+        joined, ["p_brand"], [("rev_c2", "sum"), ("n", "sum")]
     )
 
     def _finish(tbl: pa.Table) -> pa.Table:

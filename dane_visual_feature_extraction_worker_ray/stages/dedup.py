@@ -828,18 +828,28 @@ def connected_components_labels(
     ``(doc_a, doc_b)`` → label Dataset ``(node, label)`` with
     ``label`` = min node id of the component.
 
-    Min-label propagation to a fixpoint — O(component diameter)
-    rounds. Iteration shape (same static/moving split as
+    Min-label propagation interleaved with POINTER JUMPING — O(log
+    component diameter) rounds (round-4 fix; pure propagation was
+    O(diameter), linear on duplicate *chains*, common in templated
+    spam). Iteration shape (same static/moving split as
     ``stages/pagerank.py``): the bidirectional edge list is
     hash-partitioned by source ONCE and labels by node ONCE with the
     same hash (``exchange.partition_table_refs`` — aligned partition
     pairs zip every round), so iterating never re-ships the edge
     table; the only per-round motion is the label messages, and those
     are min-COMBINED per destination inside the sender before they
-    move. The driver sees one changed-count int per partition per
-    round. This is the 100 TB path for the pair graph; the union-find
-    in :func:`near_dup_survivors` remains the small-candidate fast
-    path.
+    move. Each round then SHORTCUTS the label forest: every partition
+    requests ``label(l)`` for its DISTINCT label values ``l`` from
+    ``l``'s owner partition (the same stable hash routes the request)
+    and applies ``label(n) ← min(label(n), label(label(n)))`` — the
+    classic pointer-doubling step, so chain depth halves per round.
+    Per-round traffic stays bounded: distinct destinations for the
+    propagate messages, distinct LABELS per partition for the jump
+    (≤ component count). The driver sees one changed-count int per
+    partition per phase, and records ``cc_rounds`` in the lineage
+    counters. This is the 100 TB path for the pair graph; the
+    union-find in :func:`near_dup_survivors` remains the
+    small-candidate fast path.
     """
     import ray
     import ray.data as rd
@@ -961,27 +971,156 @@ def connected_components_labels(
             changed,
         )
 
+    req_schema = pa.schema([("l", pa.int64())])
+    rep_schema = pa.schema([("l", pa.int64()), ("lab", pa.int64())])
+    lab_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    @ray.remote
+    def _jump_request(label_tbl, P):
+        """Distinct non-self label values of this partition, routed to
+        each label's OWNER partition (same hash as the label split)."""
+        pa.set_cpu_count(1)
+        empty = _ipc_bytes(req_schema.empty_table())
+        if (
+            "node" not in label_tbl.column_names
+            or label_tbl.num_rows == 0
+        ):
+            return empty if P == 1 else tuple(empty for _ in range(P))
+        lk = label_tbl.column("node").to_numpy(zero_copy_only=False)
+        lv = label_tbl.column("label").to_numpy(zero_copy_only=False)
+        ls = np.unique(lv[lv != lk])
+        t = pa.table({"l": pa.array(ls, pa.int64())})
+        if P == 1:
+            return _ipc_bytes(t)
+        b = bucket_of(hash64_columns(t, ["l"]), P)
+        idx = np.argsort(b, kind="stable")
+        bs = b[idx]
+        bounds = np.arange(P)
+        starts = np.searchsorted(bs, bounds, side="left")
+        ends = np.searchsorted(bs, bounds, side="right")
+        taken = t.take(pa.array(idx))
+        return tuple(
+            _ipc_bytes(taken.slice(st, e - st))
+            for st, e in zip(starts, ends)
+        )
+
+    @ray.remote
+    def _jump_reply(label_tbl, P, *req_frags):
+        """Owner side: resolve label(l) for every requested l; one
+        reply fragment per requesting partition (aligned by order)."""
+        pa.set_cpu_count(1)
+        empty = _ipc_bytes(rep_schema.empty_table())
+        if "node" not in label_tbl.column_names or label_tbl.num_rows == 0:
+            return empty if P == 1 else tuple(empty for _ in range(P))
+        lk = label_tbl.column("node").to_numpy(zero_copy_only=False)
+        lv = label_tbl.column("label").to_numpy(zero_copy_only=False)
+        o = np.argsort(lk, kind="stable")
+        lk, lv = lk[o], lv[o]
+        outs = []
+        for f in req_frags:
+            t = _from_ipc(f)
+            if t.num_rows == 0:
+                outs.append(empty)
+                continue
+            ls = t.column("l").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(lk, ls).clip(0, len(lk) - 1)
+            # label values are always node ids of this component family
+            # (init: node ids; propagate/jump: other labels) — validate
+            if not (lk[pos] == ls).all():
+                raise ValueError(
+                    "connected components: jump request for unknown node"
+                )
+            outs.append(
+                _ipc_bytes(
+                    pa.table(
+                        {"l": pa.array(ls), "lab": pa.array(lv[pos])}
+                    )
+                )
+            )
+        return outs[0] if P == 1 else tuple(outs)
+
+    @ray.remote(num_returns=2)
+    def _jump_apply(label_tbl, *rep_frags):
+        """label(n) ← min(label(n), label(label(n))) — chain halving."""
+        pa.set_cpu_count(1)
+        if "node" not in label_tbl.column_names:
+            return lab_schema.empty_table(), 0
+        lk = label_tbl.column("node").to_numpy(zero_copy_only=False)
+        lv = label_tbl.column("label").to_numpy(zero_copy_only=False)
+        reps = [t for t in (_from_ipc(f) for f in rep_frags) if t.num_rows]
+        if not reps or len(lk) == 0:
+            return (
+                pa.table(
+                    {"node": pa.array(lk), "label": pa.array(lv)}
+                ).cast(lab_schema),
+                0,
+            )
+        rt = pa.concat_tables(reps)
+        rl = rt.column("l").to_numpy(zero_copy_only=False)
+        rlab = rt.column("lab").to_numpy(zero_copy_only=False)
+        o = np.argsort(rl, kind="stable")
+        rl, rlab = rl[o], rlab[o]
+        pos = np.searchsorted(rl, lv).clip(0, len(rl) - 1)
+        hit = rl[pos] == lv
+        new = np.where(hit, np.minimum(lv, rlab[pos]), lv)
+        changed = int((new < lv).sum())
+        return (
+            pa.table({"node": pa.array(lk), "label": pa.array(new)}).cast(
+                lab_schema
+            ),
+            changed,
+        )
+
+    from ..state import counters
+
     edge_parts = partition_table_refs(edges, "key", num_partitions)
     label_parts = partition_table_refs(labels, "node", num_partitions)
     ncpu = _cpus_per_task()
+    P = num_partitions
     for _ in range(max_rounds):
         frag_lists = [
             _cc_phase1.options(
-                num_returns=num_partitions, num_cpus=ncpu
-            ).remote(edge_parts[p], label_parts[p], num_partitions)
-            for p in range(num_partitions)
+                num_returns=P, num_cpus=ncpu
+            ).remote(edge_parts[p], label_parts[p], P)
+            for p in range(P)
         ]
-        if num_partitions == 1:
+        if P == 1:
             frag_lists = [[fl] for fl in frag_lists]
         pairs = [
             _cc_phase2.options(num_cpus=ncpu, num_returns=2).remote(
                 label_parts[p],
-                *[frag_lists[q][p] for q in range(num_partitions)],
+                *[frag_lists[q][p] for q in range(P)],
             )
-            for p in range(num_partitions)
+            for p in range(P)
         ]
         label_parts = [t for t, _ in pairs]
         n_changed = sum(ray.get([c for _, c in pairs]))
+        # pointer-jumping shortcut: halves label-chain depth per round
+        req_lists = [
+            _jump_request.options(num_returns=P, num_cpus=ncpu).remote(
+                label_parts[p], P
+            )
+            for p in range(P)
+        ]
+        if P == 1:
+            req_lists = [[r] for r in req_lists]
+        rep_lists = [
+            _jump_reply.options(num_returns=P, num_cpus=ncpu).remote(
+                label_parts[p], P, *[req_lists[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        if P == 1:
+            rep_lists = [[r] for r in rep_lists]
+        jpairs = [
+            _jump_apply.options(num_cpus=ncpu, num_returns=2).remote(
+                label_parts[p], *[rep_lists[q][p] for q in range(P)]
+            )
+            for p in range(P)
+        ]
+        label_parts = [t for t, _ in jpairs]
+        n_changed += sum(ray.get([c for _, c in jpairs]))
+        counters.add("cc_rounds", 1)
         if n_changed == 0:
             break
     else:
@@ -997,36 +1136,74 @@ def near_dup_survivors_distributed(
     pairs_ds,
     id_col: str = "doc_id",
     num_partitions: int = 32,
+    broadcast_max_bytes: int = 64 << 20,
 ):
-    """Corpus minus near-duplicates with the clustering fully
-    distributed (see :func:`connected_components_labels`); only the
-    final drop-id set (nodes whose component label differs — bounded by
-    the candidate-pair node count, not the corpus) is broadcast for the
-    anti filter."""
+    """Corpus minus near-duplicates with BOTH phases distributed:
+    clustering via :func:`connected_components_labels`, then the drop
+    set (nodes whose component label differs) applied as a
+    **bloom-pruned distributed anti join** on ``id_col`` — the drop set
+    never materializes on the driver. At realistic web dup rates
+    (30-50% of the corpus) the drop set IS corpus-proportional, so a
+    driver gather + ``ray.put`` broadcast (the round-3 design) would
+    put tens of GB on the driver and in every task's plasma fetch; the
+    anti join ships only bloom-positive probe rows through one hash
+    exchange, and the driver holds just the constant-size bloom bitset.
+
+    Drop sets measuring ≤ ``broadcast_max_bytes`` (int64 ids) keep the
+    broadcast fast path — one sorted-array ``searchsorted`` per batch,
+    no exchange at all. The chosen path and the exact driver-held bytes
+    are recorded in the lineage counters (``neardup_drop_ids``,
+    ``neardup_drop_driver_bytes``); ``tests/test_dedup.py`` asserts the
+    bound on a >30%-duplicated corpus.
+    """
     import pyarrow.compute as pc
     import ray
 
+    from ..state import counters
     from .candidates import in_sorted
 
     labels = connected_components_labels(pairs_ds, num_partitions)
-    drop_parts = labels.map_batches(
+    drop_ds = labels.map_batches(
         lambda t: t.filter(
             pc.not_equal(t.column("node"), t.column("label"))
         ).select(["node"]),
         batch_format="pyarrow",
         batch_size=None,
-    )
+    ).materialize()  # bounded by candidate-pair nodes; labels are refs
+    n_drop = drop_ds.count()
+    counters.set_max("neardup_drop_ids", n_drop)
+
+    if n_drop * 8 > broadcast_max_bytes:
+        from .bloom import bloom_semi_join
+
+        # driver holds only the bloom bitset (constant n_bits/8 bytes);
+        # bloom-negative docs (the surviving majority) bypass the
+        # exchange entirely, the positive sliver is exactness-checked
+        # by the distributed hash anti join
+        n_bits = 1 << 23
+        counters.set_max("neardup_drop_driver_bytes", n_bits >> 3)
+        return bloom_semi_join(
+            docs_ds,
+            drop_ds,
+            id_col,
+            "node",
+            how="anti",
+            n_bits=n_bits,
+            num_partitions=num_partitions,
+        )
+
     drop = np.sort(
         np.concatenate(
             [
                 b.column("node").to_numpy()
-                for b in drop_parts.iter_batches(
+                for b in drop_ds.iter_batches(
                     batch_size=1 << 20, batch_format="pyarrow"
                 )
             ]
             or [np.array([], np.int64)]
         )
     )
+    counters.set_max("neardup_drop_driver_bytes", int(drop.nbytes))
     drop_ref = ray.put(drop)
 
     def _anti(tbl: pa.Table) -> pa.Table:
@@ -1250,10 +1427,13 @@ def edit_distance_pairs(
             lens[i] = len(u)
             cp[i, : len(u)] = u
         # 256-bin codepoint histogram (binning only weakens the bound,
-        # never invalidates it)
+        # never invalidates it). Padding is masked by POSITION, not by
+        # value 0 — a real U+0000 codepoint in the text is data, and a
+        # value-based mask would desync the rows/flat arrays
         hist = np.zeros((n, 256), np.int32)
         rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-        flat = cp[cp != 0] & np.uint32(0xFF)
+        in_str = np.arange(prefix_len, dtype=np.int64)[None, :] < lens[:, None]
+        flat = cp[in_str] & np.uint32(0xFF)
         np.add.at(hist, (rows, flat.astype(np.int64)), 1)
         ia, ib = np.triu_indices(n, k=1)
         l1 = np.abs(hist[ia] - hist[ib]).sum(axis=1)

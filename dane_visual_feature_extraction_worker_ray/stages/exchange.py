@@ -108,8 +108,15 @@ def _split_block(block: pa.Table, key, num_partitions: int,
 @ray.remote(num_returns=2)
 def _reduce_partition(kernel, partition_idx: int, empty_schema, *frags):
     pa.set_cpu_count(1)  # see _split_block
+    from ..state.counters import add as _cadd
+
     tables = [_from_ipc(f) for f in frags]
     live = [t for t in tables if t.num_rows > 0]
+    # shuffle-byte lineage: exact IPC bytes that crossed the exchange
+    # into this partition (round-3's hand-measured de-amplification
+    # numbers, now recorded facts — reported by bench.py)
+    _cadd("exchange_bytes", sum(len(f) for f in frags))
+    _cadd("exchange_rows", sum(t.num_rows for t in live))
     if not live:
         if empty_schema is not None:
             out = empty_schema.empty_table()
@@ -302,6 +309,9 @@ def hash_grouped_map(
 @ray.remote
 def _concat_frags(*frags):
     pa.set_cpu_count(1)
+    from ..state.counters import add as _cadd
+
+    _cadd("exchange_bytes", sum(len(f) for f in frags))
     tables = [_from_ipc(f) for f in frags]
     live = [t for t in tables if t.num_rows > 0]
     if not live:

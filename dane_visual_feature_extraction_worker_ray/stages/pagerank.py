@@ -425,7 +425,16 @@ def triangle_count(
         starts = np.flatnonzero(new)
         has_edge[run[starts]] = side[starts] == 0
         mm = side == 1
-        msgs = np.bincount(run[mm], weights=c[mm], minlength=n_runs)
+        # integer-exact accumulation (repo policy: no float64 counting
+        # path — weighted bincount accumulates in float64 and loses
+        # exactness past 2^53). run is non-decreasing after the lexsort,
+        # so per-run totals are a reduceat over run boundaries.
+        msgs = np.zeros(n_runs, np.int64)
+        idx = run[mm]
+        cv = c[mm].astype(np.int64)
+        if len(idx):
+            bounds = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+            msgs[idx[bounds]] = np.add.reduceat(cv, bounds)
         total = int(msgs[has_edge].sum())
         return pa.table({"n_triangles": pa.array([total], pa.int64())})
 

@@ -112,22 +112,31 @@ def grouped_scan(
             elif s[0] == "count":
                 out = np.repeat(lens.astype(np.int64), lens)
             else:  # cumsum
-                v = t.column(s[1]).to_numpy(zero_copy_only=False)
-                if v.dtype.kind == "f":
-                    # float dtype only arises from int-with-null
-                    # round-trips; a genuinely fractional value means
-                    # the caller violated the integer contract — fail
-                    # loudly instead of truncating toward zero
-                    vf = np.nan_to_num(v.astype(np.float64), nan=0.0)
-                    if not (vf == np.floor(vf)).all():
-                        raise ValueError(
-                            f"grouped_scan cumsum column {s[1]!r} has "
-                            "non-integral values; cast to integer "
-                            "units (cents/micros) first"
-                        )
-                    v = vf.astype(np.int64)
+                col = t.column(s[1])
+                if pa.types.is_integer(col.type):
+                    # fill nulls ARROW-side (mirror global_scan._apply):
+                    # a to_numpy round-trip of int-with-null goes
+                    # through float64 and silently loses exactness for
+                    # |v| > 2^53 before the cumsum
+                    v = pc.fill_null(col.cast(pa.int64()), 0).to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
                 else:
-                    v = v.astype(np.int64)
+                    v = col.to_numpy(zero_copy_only=False)
+                    if v.dtype.kind == "f":
+                        # a genuinely fractional value means the caller
+                        # violated the integer contract — fail loudly
+                        # instead of truncating toward zero
+                        vf = np.nan_to_num(v.astype(np.float64), nan=0.0)
+                        if not (vf == np.floor(vf)).all():
+                            raise ValueError(
+                                f"grouped_scan cumsum column {s[1]!r} "
+                                "has non-integral values; cast to "
+                                "integer units (cents/micros) first"
+                            )
+                        v = vf.astype(np.int64)
+                    else:
+                        v = v.astype(np.int64)
                 cs = np.cumsum(v)
                 out = cs - np.repeat(cs[starts] - v[starts], lens)
             cols[s[-1]] = pa.array(out)

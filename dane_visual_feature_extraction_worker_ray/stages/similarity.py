@@ -20,11 +20,6 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-# rows gathered to the driver by the last knn_ivf coarse-quantizer pass
-# (bounded by (n_lists + train_sample) x n_blocks); tests assert on it
-LAST_IVF_GATHER_ROWS: int = 0
-
-
 
 def _matrix(tbl: pa.Table, col: str) -> np.ndarray:
     arr = tbl.column(col)
@@ -152,8 +147,11 @@ def knn_ivf(
             ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
         )
     )
-    global LAST_IVF_GATHER_ROWS
-    LAST_IVF_GATHER_ROWS = cand.num_rows  # test/diagnostic hook
+    # coarse-quantizer gather size as a lineage counter (reported as
+    # ivf_gather_rows_max; bounded by (n_lists + train_sample) x blocks)
+    from ..state.counters import set_max as _cmax
+
+    _cmax("ivf_gather_rows", cand.num_rows)
     cids = cand.column(id_col).to_numpy()
     order = np.argsort(cids)[:n_lists]
     centroids = _normalize(

@@ -259,6 +259,71 @@ def test_distributed_cc_matches_union_find():
     pd.testing.assert_frame_equal(surv_d, surv_u)
 
 
+def test_survivor_anti_join_bounded_driver_on_heavy_dup_corpus():
+    """Round-4 fix (verdict #1): when >30% of the corpus is near-dup,
+    the drop set is corpus-proportional and must NOT be driver-gathered
+    and broadcast — the anti filter runs as a bloom-pruned distributed
+    anti join, with driver-held bytes bounded by the constant bloom
+    bitset. Output must be identical to the broadcast fast path."""
+    import ray.data as rd_
+
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        near_dup_survivors_distributed,
+    )
+    from dane_visual_feature_extraction_worker_ray.state import counters
+
+    n = 3000
+    # 40% of docs are dups: doc i ~ doc i+n for i < 1200 → drop set =
+    # {n..n+1199}, 1200 ids of 2*n docs
+    docs = pa.table(
+        {
+            "doc_id": pa.array(
+                list(range(n)) + list(range(n, n + 1200)), pa.int64()
+            ),
+            "text": pa.array(
+                [f"d{i}" for i in range(n + 1200)], pa.string()
+            ),
+        }
+    )
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(list(range(1200)), pa.int64()),
+            "doc_b": pa.array(list(range(n, n + 1200)), pa.int64()),
+        }
+    )
+    counters.reset()
+    # force the join path: cap far below the 1200*8-byte drop set
+    join_out = (
+        near_dup_survivors_distributed(
+            rd_.from_arrow(docs).repartition(4),
+            rd_.from_arrow(pairs),
+            num_partitions=4,
+            broadcast_max_bytes=1024,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    snap = counters.snapshot()
+    assert snap["neardup_drop_ids_max"] == 1200
+    # driver held the bloom bitset only — never the 9.6 KB drop array
+    # (at web scale: 1 MiB constant vs tens of GB)
+    assert snap["neardup_drop_driver_bytes_max"] == (1 << 23) >> 3
+    bcast_out = (
+        near_dup_survivors_distributed(
+            rd_.from_arrow(docs).repartition(4),
+            rd_.from_arrow(pairs),
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(join_out, bcast_out)
+    assert len(join_out) == n  # survivors: all originals, no mutants
+    assert set(join_out["doc_id"]) == set(range(n))
+
+
 def test_near_dup_survivors():
     import ray.data as rd_
 
@@ -503,6 +568,66 @@ def test_edit_distance_pairs_finds_planted_jitter():
     assert (0, 3) not in got and (1, 3) not in got
     assert all(d <= 2 for d in got.values())
     assert (2, 0) not in got and (0, 2) not in got
+
+
+def test_cc_pointer_jumping_logarithmic_rounds():
+    """Round-4 fix (verdict #4): a 10k-node duplicate CHAIN must
+    converge in O(log n) rounds (pointer jumping interleaved with the
+    min propagation), not O(diameter) — pure propagation would blow the
+    64-round cap on this fixture. Round count is read from the
+    ``cc_rounds`` lineage counter; labels must be exactly the chain
+    minimum."""
+    import math
+
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        connected_components_labels,
+    )
+    from dane_visual_feature_extraction_worker_ray.state import counters
+
+    n = 10_000
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+            "doc_b": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    counters.reset()
+    labels = (
+        connected_components_labels(rd.from_arrow(pairs), num_partitions=4)
+        .to_pandas()
+    )
+    assert len(labels) == n
+    assert (labels["label"] == 0).all()
+    rounds = counters.snapshot()["cc_rounds"]
+    assert rounds <= math.ceil(math.log2(n)) + 2, rounds
+
+
+def test_edit_distance_pairs_survives_nul_codepoint():
+    """A real U+0000 codepoint in the text is data, not padding: the
+    histogram prefilter masks padding by POSITION (round-4 advice fix —
+    a value-based mask desynced the rows/values arrays and crashed the
+    partition kernel)."""
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        edit_distance_pairs,
+    )
+
+    base = [
+        (0, "abc\x00def and a longer tail here", "s1"),
+        (1, "abc\x00dxf and a longer tail here", "s1"),  # 1 edit
+        (2, "completely unrelated document body", "s1"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in base], pa.int64()),
+                "text": pa.array([r[1] for r in base]),
+                "source": pa.array([r[2] for r in base]),
+            }
+        )
+    )
+    out = edit_distance_pairs(ds, max_dist=2, prefix_len=60).to_pandas()
+    got = {(a, b): d for a, b, d in zip(out.doc_a, out.doc_b, out.dist)}
+    assert got == {(0, 1): 1}
 
 
 def test_connected_components_empty_and_chain(ray_session):

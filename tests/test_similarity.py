@@ -129,8 +129,9 @@ def test_knn_ivf_kmeans_gather_bounded():
     (n_lists + train_sample) x n_blocks BEFORE reaching the driver —
     never a fixed fraction of the corpus (round-3 fix) — and the
     refined quantizer must keep partial-probe recall high."""
-    from dane_visual_feature_extraction_worker_ray.stages import similarity
+    from dane_visual_feature_extraction_worker_ray.state import counters
 
+    counters.reset()
     tbl, m = _emb_table(n=2000)
     q = m[7].astype(np.float64)
     n_blocks, n_lists, train_sample = 8, 8, 32
@@ -139,10 +140,11 @@ def test_knn_ivf_kmeans_gather_bounded():
         n_lists=n_lists, n_probe=n_lists, kmeans_iters=3,
         train_sample=train_sample,
     )
-    assert similarity.LAST_IVF_GATHER_ROWS <= (n_lists + train_sample) * n_blocks
+    gathered = counters.snapshot()["ivf_gather_rows_max"]
+    assert gathered <= (n_lists + train_sample) * n_blocks
     # with a 2000-row corpus the old ~9.7% hash filter alone would keep
     # ~194 rows; the cap keeps the gather well under the corpus size
-    assert similarity.LAST_IVF_GATHER_ROWS < 2000 / 4
+    assert gathered < 2000 / 4
     bf = knn_brute_force(rd.from_arrow(tbl).repartition(n_blocks), q, k=10)
     assert bf[["vec_id", "score"]].reset_index(drop=True).equals(
         part[["vec_id", "score"]].reset_index(drop=True)

@@ -236,6 +236,72 @@ ORACLE_SQL["dedup_survivors_planted"] = (
 )
 
 
+# keep-BEST survivor policy: the planted COPY carries higher quality
+# than its original, so it must win its cluster — the inverse of the
+# min-id policy above, exercising CC → distributed quality join →
+# per-cluster argmax → anti filter end-to-end (stages/dedup.py:
+# near_dup_keep_best).
+BEST_PLANT_BONUS = 1000
+
+
+def q_dedup_survivors_best_planted(sf_dir: str):
+    """Near-dup removal keeping the highest-``n_chars`` member per
+    cluster (ties → min id). Clusters are the planted id structure
+    (original ↔ copy with ``n_chars + BEST_PLANT_BONUS``); the pair
+    list is constructed from the structure — the sketch recall path is
+    already covered by ``dedup_survivors_planted`` — so the subject
+    under SQL verification is the SELECTION policy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.dedup import near_dup_keep_best
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+
+    def _plant(tbl: pa.Table) -> pa.Table:
+        m = tbl.filter(pc.less(tbl.column("doc_id"), N_PLANT))
+        if m.num_rows == 0:
+            return tbl
+        dup = pa.table(
+            {
+                "doc_id": pc.add(m.column("doc_id"), PLANT_OFFSET),
+                "n_chars": pc.add(m.column("n_chars"), BEST_PLANT_BONUS),
+            }
+        )
+        return pa.concat_tables([tbl, dup.cast(tbl.schema)])
+
+    aug = docs.map_batches(_plant, batch_format="pyarrow")
+
+    def _pairs(tbl: pa.Table) -> pa.Table:
+        m = tbl.filter(pc.less(tbl.column("doc_id"), N_PLANT))
+        return pa.table(
+            {
+                "doc_a": m.column("doc_id").cast(pa.int64()),
+                "doc_b": pc.add(
+                    m.column("doc_id"), PLANT_OFFSET
+                ).cast(pa.int64()),
+            }
+        )
+
+    pairs = docs.map_batches(_pairs, batch_format="pyarrow")
+    return near_dup_keep_best(aug, pairs, quality_col="n_chars")
+
+
+QUERIES["dedup_survivors_best_planted"] = q_dedup_survivors_best_planted
+ORACLE_SQL["dedup_survivors_best_planted"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id >= {N_PLANT}
+UNION ALL
+SELECT CAST(doc_id + {PLANT_OFFSET} AS BIGINT),
+       CAST(n_chars + {BEST_PLANT_BONUS} AS BIGINT)
+FROM documents WHERE doc_id < {N_PLANT}
+""".strip()
+
+
 # --- benchmark decontamination ---------------------------------------------
 
 # planted contamination (the corpus is non-repeating word soup): a

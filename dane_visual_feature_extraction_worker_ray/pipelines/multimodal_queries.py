@@ -1,9 +1,12 @@
-"""Multimodal suite query (rows-only: binary decode is stubbed —
-real codecs are unavailable in this container; see
-stages/multimodal.py. Correctness of the plumbing is covered by
-tests/test_multimodal.py)."""
+"""Multimodal suite queries. Real binary decode is stubbed (no codecs
+in this container; see stages/multimodal.py) — most queries are
+rows-only with pytest oracles, but ``media_decode_check`` is
+rows+schema+hash: the deterministic length-based mock decode makes the
+full real-decoder path SQL-expressible (round-4, verdict #5)."""
 
 from __future__ import annotations
+
+import os
 
 import ray.data as rd
 
@@ -82,3 +85,117 @@ def q_media_tar_ingest(sf_dir: str):
 
 
 QUERIES["media_tar_ingest"] = q_media_tar_ingest
+
+
+# --------------------------------------------------------------------------
+# media decode oracle (round-4, verdict #5): the real-decoder media
+# pipeline moves from rows-only to rows+schema+hash — the gate analog of
+# the reference's golden feature test
+# (/root/reference/tests/unit/feature_extraction_test.py:51-60).
+
+_FIXTURE_ASSETS = 8
+_FIXTURE_FRAMES = 12
+
+
+def ensure_media_fixture() -> str:
+    """Write the deterministic media corpus (varied payload lengths) as
+    a parquet fixture under /tmp — the table DuckDB reads for the media
+    oracle. Atomic rename; content is a pure function of the seed, so
+    concurrent writers produce identical bytes."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(tempfile.gettempdir(), "graft_media_fixture")
+    p = os.path.join(
+        d, f"media_{_FIXTURE_ASSETS}x{_FIXTURE_FRAMES}_seed42_v1.parquet"
+    )
+    if not os.path.isfile(p):
+        os.makedirs(d, exist_ok=True)
+        tmp = p + f".tmp.{os.getpid()}"
+        pq.write_table(
+            synthesize_media_table(
+                n_assets=_FIXTURE_ASSETS,
+                frames_per_asset=_FIXTURE_FRAMES,
+                vary_payload_len=True,
+            ),
+            tmp,
+        )
+        os.replace(tmp, p)
+    return p
+
+
+def q_media_decode_check(sf_dir: str):
+    """The full real-decoder media path — parquet read of binary
+    payloads → hash-exchange co-location → actor-pool modality pivot +
+    pluggable decode (``mock_decode_fn``, deterministic from
+    ``octet_length``) — verified HASH-EXACTLY against SQL: with
+    ``project=False`` the unprojected feature vector is closed-form in
+    the payload length, so integer checksums of the image/audio halves
+    (per-element ``round(v*100)``, exact: mock values are <0.9 with
+    float32 error ≪ the 0.01 quantum) equal ``32*(len%7)+496`` /
+    ``16*(len%7)+120``. Zero-fill of missing modalities and
+    ``audio_present`` ride the same check."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.multimodal import (
+        MediaFeatureExtractor,
+        extract_media_features,
+        mock_decode_fn,
+    )
+
+    media = read_parquet_tuned(ensure_media_fixture())
+    feats = extract_media_features(
+        media, decoder="real", decode_fn=mock_decode_fn, project=False,
+        concurrency=2, num_partitions=8,
+    )
+    d_img = MediaFeatureExtractor.IMAGE_DIM
+    d_all = d_img + MediaFeatureExtractor.AUDIO_DIM
+
+    def _chk(tbl: pa.Table) -> pa.Table:
+        flat = (
+            tbl.column("media_vec")
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(tbl.num_rows, d_all)
+        )
+        scaled = np.rint(flat.astype(np.float64) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "asset_id": tbl.column("asset_id"),
+                "ts": tbl.column("ts"),
+                "audio_present": tbl.column("audio_present"),
+                "img_chk": pa.array(scaled[:, :d_img].sum(axis=1)),
+                "aud_chk": pa.array(scaled[:, d_img:].sum(axis=1)),
+            }
+        )
+
+    return feats.map_batches(_chk, batch_format="pyarrow")
+
+
+def _media_oracle_sql() -> str:
+    p = ensure_media_fixture()
+    return f"""
+WITH m AS (SELECT * FROM read_parquet('{p}')),
+img AS (SELECT asset_id, ts, octet_length(payload) AS len
+        FROM m WHERE modality = 'image'),
+aud AS (SELECT asset_id, ts, octet_length(payload) AS len
+        FROM m WHERE modality = 'audio'),
+k AS (SELECT DISTINCT asset_id, ts FROM m)
+SELECT k.asset_id, k.ts,
+  a.len IS NOT NULL AS audio_present,
+  CAST(CASE WHEN i.len > 0 THEN 32 * (i.len % 7) + 496 ELSE 0 END
+       AS BIGINT) AS img_chk,
+  CAST(CASE WHEN a.len > 0 THEN 16 * (a.len % 7) + 120 ELSE 0 END
+       AS BIGINT) AS aud_chk
+FROM k
+LEFT JOIN img i ON k.asset_id = i.asset_id AND k.ts = i.ts
+LEFT JOIN aud a ON k.asset_id = a.asset_id AND k.ts = a.ts
+""".strip()
+
+
+QUERIES["media_decode_check"] = q_media_decode_check
+ORACLE_SQL["media_decode_check"] = _media_oracle_sql()

@@ -1706,21 +1706,26 @@ WEIGHTED_SAMPLE_K = 50
 def q_weighted_sample_docs(sf_dir: str):
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis A-ES): each doc gets priority
-    ``ln(u) / w`` with ``u = (hash64(doc_id)+0.5) / 2^64`` and weight
-    ``w = n_chars``; the global top-k by priority IS a weighted sample
-    — the training-mix constructor that favors long documents without
-    any RNG state (reruns and retries pick the identical sample).
+    ``ln(u) / w`` with ``u = (splitmix64(doc_id)+0.5) / 2^64`` and
+    weight ``w = n_chars``; the global top-k by priority IS a weighted
+    sample — the training-mix constructor that favors long documents
+    without any RNG state (reruns and retries pick the identical
+    sample).
 
     Scale shape: stateless per-batch priority + per-batch top-k
     PARTIALS → a ≤ k × n_blocks driver merge (the established top-k
-    pattern). Deterministic but hash-based, so rows-only in the gate;
-    the pytest oracle recomputes the exact formula single-node and
-    checks the k-set matches (tests/test_text.py)."""
+    pattern). Round-4 (verdict #6): the RNG-free splitmix64 finalizer
+    (``functions/hashing.rehash64``) is reproduced bit-exactly in the
+    DuckDB oracle (UBIGINT xor/shift + 32-bit-split HUGEINT modular
+    multiply), so the query is now rows+schema+hash in the gate. The
+    output carries the SELECTED rows only (no priority column): numpy
+    and DuckDB ``ln`` agree to ≤1 ulp — orders of magnitude below any
+    top-k boundary gap, but not bit-identical."""
     import numpy as np
     import pyarrow as pa
     import ray
 
-    from ..functions.hashing import hash64
+    from ..functions.hashing import rehash64
     from ..sources.parquet import read_parquet_tuned
 
     docs = read_parquet_tuned(
@@ -1731,12 +1736,15 @@ def q_weighted_sample_docs(sf_dir: str):
     def _prio(tbl: pa.Table):
         ids = tbl.column("doc_id").cast(pa.int64()).to_numpy()
         w = tbl.column("n_chars").cast(pa.int64()).to_numpy()
-        u = (hash64(ids).astype(np.float64) + 0.5) / 18446744073709551616.0
+        h = rehash64(ids.astype(np.uint64), seed=0)
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
         pr = np.where(w > 0, np.log(u) / w.astype(np.float64), -np.inf)
         return ids, w, pr
 
     def _partial(tbl: pa.Table) -> pa.Table:
         ids, w, pr = _prio(tbl)
+        keep = w > 0  # zero-weight docs are unsampleable (oracle: WHERE)
+        ids, w, pr = ids[keep], w[keep], pr[keep]
         top = np.lexsort((ids, -pr))[:WEIGHTED_SAMPLE_K]
         return pa.table(
             {
@@ -1760,7 +1768,6 @@ def q_weighted_sample_docs(sf_dir: str):
             {
                 "doc_id": pa.array([], pa.int64()),
                 "n_chars": pa.array([], pa.int64()),
-                "priority": pa.array([], pa.float64()),
             }
         )
     m = pa.concat_tables(parts)
@@ -1772,10 +1779,197 @@ def q_weighted_sample_docs(sf_dir: str):
         {
             "doc_id": pa.array(ids[top]),
             "n_chars": pa.array(w[top]),
-            "priority": pa.array(pr[top]),
         }
     )
 
 
+def _splitmix_mulmod(c: int) -> str:
+    """``x*c mod 2^64`` in DuckDB without INT128 overflow: split the
+    64-bit constant into 32-bit halves — ``x*c_lo < 2^96`` fits
+    HUGEINT, and the high half only needs its low 32 bits before the
+    ``* 2^32``."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"CAST((((CAST(x AS HUGEINT) % 4294967296) * {hi} % 4294967296)"
+        f" * 4294967296 + CAST(x AS HUGEINT) * {lo})"
+        f" % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH s0 AS (
+  SELECT doc_id, n_chars, CAST(doc_id AS UBIGINT) AS x FROM documents
+), s1 AS (SELECT doc_id, n_chars, xor(x, x >> 30) AS x FROM s0
+), s2 AS (SELECT doc_id, n_chars, {_splitmix_mulmod(0xBF58476D1CE4E5B9)} AS x FROM s1
+), s3 AS (SELECT doc_id, n_chars, xor(x, x >> 27) AS x FROM s2
+), s4 AS (SELECT doc_id, n_chars, {_splitmix_mulmod(0x94D049BB133111EB)} AS x FROM s3
+), s5 AS (SELECT doc_id, n_chars, xor(x, x >> 31) AS x FROM s4
+), pri AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+    ln((CAST(x AS DOUBLE) + 0.5) / 18446744073709551616.0)
+      / CAST(n_chars AS DOUBLE) AS p
+  FROM s5 WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM pri
+ORDER BY p DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+""".strip()
+
+
 QUERIES["weighted_sample_docs"] = q_weighted_sample_docs
-# hash-based priorities are not SQL-expressible: rows-only in the gate
+ORACLE_SQL["weighted_sample_docs"] = SQL_WEIGHTED_SAMPLE
+
+
+# --------------------------------------------------------------------------
+# context-window sequence packing (round-4): the layout step a
+# pretraining dataloader consumes — docs in a deterministic global
+# order, packed into fixed-capacity bins by GLOBAL prefix sum.
+
+PACK_CAPACITY = 4096
+
+
+def q_sequence_packing(sf_dir: str):
+    """Chunked sequence packing: in global ``doc_id`` order, doc ``i``
+    starts at global offset ``cumsum(n_chars) - n_chars`` and lands in
+    bin ``start // PACK_CAPACITY`` at ``start % PACK_CAPACITY`` — the
+    deterministic packing layout (a doc straddling a boundary belongs
+    to the bin where it starts; the dataloader splits it there).
+
+    Scale shape: one range-partitioned global sort + the two-phase
+    prefix scan (``stages/scan.global_scan`` — per-block int sums,
+    O(blocks) scalars through the driver, per-block rebase). No
+    sequential driver loop, no per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.scan import global_scan
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    scanned = global_scan(
+        docs,
+        sort_keys=[("doc_id", "ascending")],
+        cum_cols=[("n_chars", "cum")],
+    )
+
+    def _bins(tbl: pa.Table) -> pa.Table:
+        cum = tbl.column("cum").to_numpy(zero_copy_only=False)
+        n = tbl.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        start = cum - n
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "n_chars": pa.array(n),
+                "bin_id": pa.array(start // PACK_CAPACITY),
+                "offset_in_bin": pa.array(start % PACK_CAPACITY),
+            }
+        )
+
+    return scanned.map_batches(
+        _bins, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+    CAST(sum(n_chars) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM documents
+)
+SELECT doc_id, n_chars,
+  (cum - n_chars) // {PACK_CAPACITY} AS bin_id,
+  (cum - n_chars) % {PACK_CAPACITY} AS offset_in_bin
+FROM s
+""".strip()
+
+QUERIES["sequence_packing"] = q_sequence_packing
+ORACLE_SQL["sequence_packing"] = SQL_SEQUENCE_PACKING
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val/test split (round-4): hash-bucket split with
+# per-(lang, split) counts — retrain-stable (no RNG state), and since
+# splitmix64 is reproduced in SQL the split itself is oracle-verified.
+
+
+def q_dataset_split_counts(sf_dir: str):
+    """90/5/5 train/val/test split by ``splitmix64(doc_id) % 100``
+    (<90 train, <95 val, else test) — membership is a pure function of
+    the id, so a regenerated corpus or a resumed job assigns every doc
+    identically, and eval rows can never leak into train across runs.
+    One stateless streaming pass with per-batch grouped partials; the
+    final groupby is (langs × 3) rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import rehash64
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").cast(pa.int64()).to_numpy()
+        b = rehash64(ids.astype(np.uint64), seed=0) % np.uint64(100)
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        t = pa.table(
+            {
+                "lang": tbl.column("lang"),
+                "split": pa.array(split, pa.string()),
+                "n_docs": pa.array(np.ones(tbl.num_rows, np.int64)),
+                "total_chars": tbl.column("n_chars").cast(pa.int64()),
+            }
+        )
+        return group_aggregate_table(
+            t, ["lang", "split"], [("n_docs", "sum"), ("total_chars", "sum")]
+        )
+
+    agg = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["lang", "split"],
+        [("n_docs", "sum"), ("total_chars", "sum")],
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "split": t.column("split"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "total_chars": t.column("total_chars").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+SQL_SPLIT_COUNTS = f"""
+WITH s0 AS (
+  SELECT lang, n_chars, CAST(doc_id AS UBIGINT) AS x FROM documents
+), s1 AS (SELECT lang, n_chars, xor(x, x >> 30) AS x FROM s0
+), s2 AS (SELECT lang, n_chars, {_splitmix_mulmod(0xBF58476D1CE4E5B9)} AS x FROM s1
+), s3 AS (SELECT lang, n_chars, xor(x, x >> 27) AS x FROM s2
+), s4 AS (SELECT lang, n_chars, {_splitmix_mulmod(0x94D049BB133111EB)} AS x FROM s3
+), s5 AS (SELECT lang, n_chars, xor(x, x >> 31) AS x FROM s4
+), sp AS (
+  SELECT lang, n_chars,
+    CASE WHEN x % 100 < 90 THEN 'train'
+         WHEN x % 100 < 95 THEN 'val'
+         ELSE 'test' END AS split
+  FROM s5
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM sp GROUP BY lang, split
+""".strip()
+
+QUERIES["dataset_split_counts"] = q_dataset_split_counts
+ORACLE_SQL["dataset_split_counts"] = SQL_SPLIT_COUNTS

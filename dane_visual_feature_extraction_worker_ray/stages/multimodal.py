@@ -46,21 +46,29 @@ def media_schema() -> pa.Schema:
 
 
 def synthesize_media_table(
-    n_assets: int = 4, frames_per_asset: int = 10, seed: int = 42
+    n_assets: int = 4,
+    frames_per_asset: int = 10,
+    seed: int = 42,
+    vary_payload_len: bool = False,
 ) -> pa.Table:
     """Deterministic fake corpus mirroring the reference fixture layout
     (10 keyframes + spectrograms per source, some audio cells missing —
-    ``/root/reference/data/input-files/test_source_id/``)."""
+    ``/root/reference/data/input-files/test_source_id/``).
+    ``vary_payload_len`` gives every frame a distinct payload size so
+    length-derived checks (the driver-gate media oracle) are
+    non-constant across rows."""
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in media_schema().names}
     for a in range(n_assets):
         aid = f"asset-{a:04d}"
         for f in range(frames_per_asset):
             ts = 1_700_000_000_000_000 + f * 1_000_000
+            img_len = 200 + 9 * f + a if vary_payload_len else 256
+            aud_len = 100 + 5 * f + a if vary_payload_len else 128
             rows["asset_id"].append(aid)
             rows["ts"].append(ts)
             rows["modality"].append(MODALITY_IMAGE)
-            rows["payload"].append(rng.bytes(256))
+            rows["payload"].append(rng.bytes(img_len))
             rows["width"].append(64)
             rows["height"].append(64)
             rows["sample_rate"].append(0)
@@ -68,7 +76,7 @@ def synthesize_media_table(
                 rows["asset_id"].append(aid)
                 rows["ts"].append(ts)
                 rows["modality"].append(MODALITY_AUDIO)
-                rows["payload"].append(rng.bytes(128))
+                rows["payload"].append(rng.bytes(aud_len))
                 rows["width"].append(0)
                 rows["height"].append(0)
                 rows["sample_rate"].append(24000)
@@ -166,13 +174,28 @@ class MediaFeatureExtractor:
     IMAGE_DIM = 32
     AUDIO_DIM = 16
 
-    def __init__(self, decoder: str = "stub", seed: int = 42, decode_fn=None):
+    def __init__(
+        self,
+        decoder: str = "stub",
+        seed: int = 42,
+        decode_fn=None,
+        project: bool = True,
+    ):
         """``decode_fn``: the ``decoder="real"`` plug point. Contract
         (mirrors a torchvision.io.read_image / librosa front-end,
         reference integration point ``data_handling.py:86-109``):
         ``decode_fn(payloads: list[bytes|None], modality: str,
         out_dim: int) -> float32 ndarray (len(payloads), out_dim)``,
-        rows for None/empty payloads zero-filled."""
+        rows for None/empty payloads zero-filled.
+
+        ``project=False`` skips the final dense projection and emits
+        the concatenated per-modality decode features directly (the
+        reference likewise concatenates per-modality outputs with no
+        further head, ``/root/reference/feature_extraction.py:22-31``)
+        — this is also what makes the media pipeline SQL-verifiable in
+        the driver gate: with the deterministic length-based
+        ``mock_decode_fn`` the unprojected features are closed-form in
+        ``octet_length(payload)``."""
         if decoder not in ("stub", "real"):
             raise ValueError(decoder)
         if decoder == "real" and decode_fn is None:
@@ -186,6 +209,7 @@ class MediaFeatureExtractor:
         self.decoder = decoder
         self.decode_fn = decode_fn
         self.seed = seed
+        self.project = project
         rng = np.random.default_rng(seed)
         d = self.IMAGE_DIM + self.AUDIO_DIM
         self.proj = (rng.standard_normal((d, d)) / np.sqrt(d)).astype(
@@ -241,7 +265,9 @@ class MediaFeatureExtractor:
 
         v_img = self._decode(img_payloads, MODALITY_IMAGE, self.IMAGE_DIM, self.seed)
         v_aud = self._decode(aud_payloads, MODALITY_AUDIO, self.AUDIO_DIM, self.seed + 777)
-        feats = np.hstack([v_img, v_aud]) @ self.proj
+        feats = np.hstack([v_img, v_aud])
+        if self.project:
+            feats = feats @ self.proj
         audio_present = np.zeros(n_keys, dtype=bool)
         audio_present[key_id[aud_s]] = True
         flat = pa.array(feats.astype(np.float32).ravel(), pa.float32())
@@ -267,6 +293,7 @@ def extract_media_features(
     num_cpus: float = 1,
     num_gpus: float | None = None,
     ray_remote_args: dict | None = None,
+    project: bool = True,
 ):
     """Co-locate each asset's rows (both modalities of a timestamp in
     one block) and run the extractor as an actor pool — weights built
@@ -304,7 +331,11 @@ def extract_media_features(
         kwargs["num_gpus"] = num_gpus
     return colocated.map_batches(
         MediaFeatureExtractor,
-        fn_constructor_kwargs={"decoder": decoder, "decode_fn": decode_fn},
+        fn_constructor_kwargs={
+            "decoder": decoder,
+            "decode_fn": decode_fn,
+            "project": project,
+        },
         batch_format="pyarrow",
         batch_size=None,
         concurrency=concurrency,

@@ -37,19 +37,88 @@ _VOCAB = 1024
 
 
 class FeatureScorer:
-    def __init__(self, cfg: FeatureConfig | None = None):
+    def __init__(
+        self,
+        cfg: FeatureConfig | None = None,
+        weights_uri: str | None = None,
+        cache_dir: str | None = None,
+        fetch_fn=None,
+    ):
+        """``weights_uri``/``cache_dir``/``fetch_fn``: the remote
+        model-artifact seam (reference analog: checkpoint + config
+        downloaded from object storage when the local copy is absent,
+        then cached, ``/root/reference/nn_models.py:247-279``). The
+        artifact is an ``.npz`` with ``tok_emb`` (vocab×dim float32)
+        and ``num_proj`` (n_num×dim float32); it is fetched AT MOST
+        once per node (``fetch_fn(uri, dest_path)``, atomic rename into
+        the cache), validated against the expected shapes, and loaded
+        once per actor in ``__init__``. Without ``weights_uri`` the
+        weights are the deterministic seeded build (no network exists
+        in this environment; a production deployment passes a boto3/
+        fsspec download as ``fetch_fn``)."""
         cfg = cfg or FeatureConfig()
         self.dim = cfg.feature_dim
+        n_num = len(_NUMERIC_COLS) + 2  # + has_snap, has_tool flags
+        if weights_uri is not None:
+            arrs = self._fetch_and_cache(weights_uri, cache_dir, fetch_fn)
+            tok_emb = np.asarray(arrs["tok_emb"], dtype=np.float32)
+            num_proj = np.asarray(arrs["num_proj"], dtype=np.float32)
+            if tok_emb.shape != (_VOCAB, self.dim) or num_proj.shape != (
+                n_num,
+                self.dim,
+            ):
+                raise ValueError(
+                    f"weights artifact {weights_uri!r} has shapes "
+                    f"{tok_emb.shape}/{num_proj.shape}, expected "
+                    f"{(_VOCAB, self.dim)}/{(n_num, self.dim)}"
+                )
+            self.tok_emb, self.num_proj = tok_emb, num_proj
+            return
         rng = np.random.default_rng(cfg.scorer_seed)
         # "weights": loaded once per actor (reference: torch.load once
         # per worker, nn_models.py:282-296)
         self.tok_emb = rng.standard_normal((_VOCAB, self.dim)).astype(
             np.float32
         )
-        n_num = len(_NUMERIC_COLS) + 2  # + has_snap, has_tool flags
         self.num_proj = (
             rng.standard_normal((n_num, self.dim)) / np.sqrt(n_num)
         ).astype(np.float32)
+
+    @staticmethod
+    def _fetch_and_cache(uri: str, cache_dir: str | None, fetch_fn):
+        """Resolve the artifact through a content-addressed local cache
+        (key = sha256 of the uri): cache hit loads directly; cache miss
+        calls ``fetch_fn(uri, tmp_path)`` and atomically renames, so a
+        preempted fetch never leaves a half-written artifact that later
+        loads (the reference's download-then-use has the same
+        validate-before-trust shape, nn_models.py:254-266)."""
+        import hashlib
+        import os
+        import tempfile
+
+        d = cache_dir or os.path.join(
+            tempfile.gettempdir(), "graft_model_cache"
+        )
+        os.makedirs(d, exist_ok=True)
+        key = hashlib.sha256(uri.encode()).hexdigest()[:32]
+        path = os.path.join(d, f"{key}.npz")
+        if not os.path.isfile(path):
+            if fetch_fn is None:
+                raise NotImplementedError(
+                    f"weights artifact {uri!r} is not cached and no "
+                    "fetch_fn was given — this environment has no "
+                    "network; pass fetch_fn=(uri, dest)->None wrapping "
+                    "your object-store download (reference integration "
+                    "point: nn_models.py:247-279)"
+                )
+            tmp = path + f".tmp.{os.getpid()}"
+            fetch_fn(uri, tmp)
+            if not os.path.isfile(tmp):
+                raise FileNotFoundError(
+                    f"fetch_fn did not write {tmp} for {uri!r}"
+                )
+            os.replace(tmp, path)
+        return np.load(path)
 
     # -- text path: hashed bag-of-words mean embedding -----------------
     def _text_vectors(self, texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -108,6 +177,9 @@ def score_features(
     num_cpus: float = 1,
     num_gpus: float | None = None,
     ray_remote_args: dict | None = None,
+    weights_uri: str | None = None,
+    cache_dir: str | None = None,
+    fetch_fn=None,
 ):
     """Attach ``feature_vec`` via an actor pool (weights loaded once/actor).
 
@@ -126,7 +198,12 @@ def score_features(
         kwargs["num_gpus"] = num_gpus
     return features_ds.map_batches(
         FeatureScorer,
-        fn_constructor_kwargs={"cfg": cfg},
+        fn_constructor_kwargs={
+            "cfg": cfg,
+            "weights_uri": weights_uri,
+            "cache_dir": cache_dir,
+            "fetch_fn": fetch_fn,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

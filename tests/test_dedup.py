@@ -324,6 +324,46 @@ def test_survivor_anti_join_bounded_driver_on_heavy_dup_corpus():
     assert set(join_out["doc_id"]) == set(range(n))
 
 
+def test_near_dup_keep_best_policy_and_paths():
+    """Keep-best survivor policy: per cluster the max-quality member
+    wins (ties → min id); singletons untouched; bloom-join and
+    broadcast paths produce identical output."""
+    import ray.data as rd_
+
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        near_dup_keep_best,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "quality": pa.array(
+                [5, 9, 7, 1, 1, 4, 4, 2, 2, 2], pa.int64()
+            ),
+        }
+    )
+    # clusters: {0,1,2} (1 wins on quality 9), {5,6} (tie 4 → min id 5)
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([0, 1, 5], pa.int64()),
+            "doc_b": pa.array([1, 2, 6], pa.int64()),
+        }
+    )
+    exp = {1, 3, 4, 5, 7, 8, 9}
+    for kwargs in ({}, {"broadcast_max_bytes": 1}):
+        got = (
+            near_dup_keep_best(
+                rd_.from_arrow(docs),
+                rd_.from_arrow(pairs),
+                quality_col="quality",
+                num_partitions=4,
+                **kwargs,
+            )
+            .to_pandas()
+        )
+        assert set(got["doc_id"]) == exp, kwargs
+
+
 def test_near_dup_survivors():
     import ray.data as rd_
 
@@ -628,6 +668,89 @@ def test_edit_distance_pairs_survives_nul_codepoint():
     out = edit_distance_pairs(ds, max_dist=2, prefix_len=60).to_pandas()
     got = {(a, b): d for a, b, d in zip(out.doc_a, out.doc_b, out.dist)}
     assert got == {(0, 1): 1}
+
+
+def _jitter_corpus(n: int, hot_frac: float, seed: int = 7):
+    """Deterministic corpus: random letter strings (varied lengths),
+    ``hot_frac`` of docs in one source, plus planted one-edit mutants
+    (doc_id + 100000) for every 10th doc."""
+    rng = np.random.default_rng(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    ids, texts, srcs = [], [], []
+    for i in range(n):
+        length = int(rng.integers(20, 60))
+        t = "".join(rng.choice(letters, size=length))
+        ids.append(i)
+        texts.append(t)
+        srcs.append("hot" if rng.random() < hot_frac else f"s{i % 5}")
+    for i in range(0, n, 10):  # planted one-edit mutants, same source
+        ids.append(100_000 + i)
+        texts.append("Q" + texts[i][1:])
+        srcs.append(srcs[i])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(srcs),
+        }
+    )
+
+
+def _pairs_set(df):
+    return {(a, b, d) for a, b, d in zip(df.doc_a, df.doc_b, df.dist)}
+
+
+def test_edit_distance_bucketed_matches_source_strategy():
+    """A/B: the PassJoin sub-bucketed path (round-4, verdict #3) must
+    produce the identical pair set as the per-source O(n²) reference
+    strategy, including all planted one-edit mutants."""
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        edit_distance_pairs,
+    )
+
+    tbl = _jitter_corpus(n=300, hot_frac=0.3)
+    got_b = edit_distance_pairs(
+        rd.from_arrow(tbl).repartition(3), max_dist=2, prefix_len=60,
+        strategy="bucketed",
+    ).to_pandas()
+    got_s = edit_distance_pairs(
+        rd.from_arrow(tbl).repartition(3), max_dist=2, prefix_len=60,
+        strategy="source",
+    ).to_pandas()
+    assert _pairs_set(got_b) == _pairs_set(got_s)
+    # every planted mutant surfaced with dist 1
+    got = _pairs_set(got_b)
+    for i in range(0, 300, 10):
+        assert (i, 100_000 + i, 1) in got
+
+
+def test_edit_distance_hot_source_bounded_buckets():
+    """One source holding ~90% of the corpus must NOT produce a
+    quadratic candidate set in any single bucket: per-bucket pair
+    counts stay bounded (lineage counter), capped buckets stay zero,
+    and the result still matches the O(n²) reference strategy."""
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        edit_distance_pairs,
+    )
+    from dane_visual_feature_extraction_worker_ray.state import counters
+
+    tbl = _jitter_corpus(n=600, hot_frac=0.9)
+    counters.reset()
+    got_b = edit_distance_pairs(
+        rd.from_arrow(tbl).repartition(4), max_dist=2, prefix_len=60,
+        strategy="bucketed",
+    ).to_pandas()
+    snap = counters.snapshot()
+    n_hot = 600 * 0.9 + 60
+    # the old per-source scan would hold ~n_hot²/2 ≈ 180k pairs in one
+    # task; no sub-bucket may come anywhere near that
+    assert snap.get("editdist_bucket_pairs_max", 0) < n_hot**2 / 20
+    assert snap.get("editdist_capped_buckets", 0) == 0
+    got_s = edit_distance_pairs(
+        rd.from_arrow(tbl).repartition(4), max_dist=2, prefix_len=60,
+        strategy="source",
+    ).to_pandas()
+    assert _pairs_set(got_b) == _pairs_set(got_s)
 
 
 def test_connected_components_empty_and_chain(ray_session):

@@ -70,3 +70,51 @@ def test_pipeline_scored_matches_oracle(corpus):
     assert gv.shape == (len(got), CFG.feature_dim)
     assert np.allclose(gv, ev, atol=1e-5)
     assert not np.allclose(gv, 0)
+
+
+def test_weights_artifact_fetch_validate_cache(tmp_path):
+    """Round-4 seam (verdict sweep): a weights artifact is fetched AT
+    MOST once (cache keyed by uri), atomically cached, shape-validated,
+    and produces the same scores as direct seeded weights when the
+    artifact holds them."""
+    ref = FeatureScorer(CFG)
+    art = tmp_path / "weights_src.npz"
+    np.savez(art, tok_emb=ref.tok_emb, num_proj=ref.num_proj)
+    calls = []
+
+    def fetch(uri, dest):
+        calls.append(uri)
+        import shutil
+
+        shutil.copy(art, dest)
+
+    cache = str(tmp_path / "cache")
+    s1 = FeatureScorer(
+        CFG, weights_uri="s3://bucket/w.npz", cache_dir=cache, fetch_fn=fetch
+    )
+    assert calls == ["s3://bucket/w.npz"]
+    # second construction: cache hit, no fetch
+    s2 = FeatureScorer(
+        CFG, weights_uri="s3://bucket/w.npz", cache_dir=cache, fetch_fn=fetch
+    )
+    assert calls == ["s3://bucket/w.npz"]
+    assert np.array_equal(s1.tok_emb, ref.tok_emb)
+    assert np.array_equal(s2.num_proj, ref.num_proj)
+    # no fetch_fn + cache miss → loud NotImplementedError
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        FeatureScorer(CFG, weights_uri="s3://bucket/other.npz",
+                      cache_dir=cache)
+    # wrong shapes → loud ValueError
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, tok_emb=ref.tok_emb[:5], num_proj=ref.num_proj)
+
+    def fetch_bad(uri, dest):
+        import shutil
+
+        shutil.copy(bad, dest)
+
+    with _pytest.raises(ValueError):
+        FeatureScorer(CFG, weights_uri="s3://bucket/bad.npz",
+                      cache_dir=cache, fetch_fn=fetch_bad)

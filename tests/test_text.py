@@ -402,7 +402,7 @@ def test_weighted_sample_docs_matches_single_node_formula(
     import pyarrow.parquet as pq
 
     from dane_visual_feature_extraction_worker_ray.functions.hashing import (
-        hash64,
+        rehash64,
     )
     from dane_visual_feature_extraction_worker_ray.pipelines.text_queries import (
         WEIGHTED_SAMPLE_K,
@@ -425,7 +425,8 @@ def test_weighted_sample_docs_matches_single_node_formula(
     pq.write_table(t, str(tmp_path / "documents.parquet"))
     got = q_weighted_sample_docs(str(tmp_path))
     got = got.to_pandas() if hasattr(got, "to_pandas") else got
-    u = (hash64(ids).astype(np.float64) + 0.5) / 2.0**64
+    h = rehash64(ids.astype(np.uint64), seed=0)
+    u = (h.astype(np.float64) + 0.5) / 2.0**64
     pr = np.where(w > 0, np.log(u) / w.astype(np.float64), -np.inf)
     exp = ids[np.lexsort((ids, -pr))[:WEIGHTED_SAMPLE_K]]
     assert got["doc_id"].tolist() == exp.tolist()

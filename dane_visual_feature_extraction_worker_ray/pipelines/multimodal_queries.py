@@ -43,14 +43,21 @@ def q_media_frame_sample(sf_dir: str):
     """Frame-sampled media features: every 2nd distinct timestamp per
     asset kept (both modalities), then the extractor pool — the
     decode-volume-reduction path a video pipeline runs before the
-    expensive stage (rows-only; same seeded corpus)."""
-    from ..stages.multimodal import sample_frames
+    expensive stage. Round-4: hash-exact — the sampled set is
+    SQL-expressible (``dense_rank`` over distinct timestamps per
+    asset) and the real-decoder checksum trick from
+    ``media_decode_check`` verifies the decode output on the kept
+    frames."""
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.multimodal import mock_decode_fn, sample_frames
 
-    media = rd.from_arrow(
-        synthesize_media_table(n_assets=8, frames_per_asset=12)
-    )
+    media = read_parquet_tuned(ensure_media_fixture())
     sampled = sample_frames(media, every_n=2, num_partitions=8)
-    return extract_media_features(sampled, concurrency=2, num_partitions=8)
+    feats = extract_media_features(
+        sampled, decoder="real", decode_fn=mock_decode_fn, project=False,
+        concurrency=2, num_partitions=8,
+    )
+    return _checksum_features(feats)
 
 
 QUERIES = {
@@ -63,21 +70,23 @@ ORACLE_SQL: dict[str, str] = {}
 
 def q_media_tar_ingest(sf_dir: str):
     """S4 (tar.gz extraction) run for real in the driver gate: the
-    seeded media corpus is packed into ``.tar.gz`` archives (stable
+    parquet media fixture is packed into ``.tar.gz`` archives (stable
     bytes — gzip mtime pinned), streamed back through
     ``sources/tar.read_media_tarballs`` (in-memory stdlib ``tarfile``
     inside map tasks — no disk staging, unlike the reference's
     ``extractall``, io_util.py:299-302), and projected to the metadata
-    columns. Rows-only (no media table in the oracle views); the
-    bit-exact round trip vs the source table is asserted in
+    columns. Round-4: hash-exact — the round trip must reproduce the
+    fixture table's metadata exactly, which DuckDB reads straight from
+    the source parquet; the payload-byte equality half stays in
     tests/test_multimodal.py."""
-    import os
     import tempfile
+
+    import pyarrow.parquet as pq
 
     from ..sources.tar import read_media_tarballs, write_media_tarballs
 
-    tbl = synthesize_media_table(n_assets=8, frames_per_asset=12)
-    out_dir = os.path.join(tempfile.gettempdir(), "graft_media_tars")
+    tbl = pq.read_table(ensure_media_fixture())
+    out_dir = os.path.join(tempfile.gettempdir(), "graft_media_tars_fx")
     paths = write_media_tarballs(tbl, out_dir, assets_per_tar=2)
     return read_media_tarballs(paths).select_columns(
         ["asset_id", "ts", "modality", "width", "height", "sample_rate"]
@@ -125,32 +134,16 @@ def ensure_media_fixture() -> str:
     return p
 
 
-def q_media_decode_check(sf_dir: str):
-    """The full real-decoder media path — parquet read of binary
-    payloads → hash-exchange co-location → actor-pool modality pivot +
-    pluggable decode (``mock_decode_fn``, deterministic from
-    ``octet_length``) — verified HASH-EXACTLY against SQL: with
-    ``project=False`` the unprojected feature vector is closed-form in
-    the payload length, so integer checksums of the image/audio halves
-    (per-element ``round(v*100)``, exact: mock values are <0.9 with
-    float32 error ≪ the 0.01 quantum) equal ``32*(len%7)+496`` /
-    ``16*(len%7)+120``. Zero-fill of missing modalities and
-    ``audio_present`` ride the same check."""
+def _checksum_features(feats):
+    """Integer checksums of the unprojected image/audio halves —
+    per-element ``round(v*100)`` is exact (mock values are <0.9 with
+    float32 error ≪ the 0.01 quantum), so the sums equal
+    ``32*(len%7)+496`` / ``16*(len%7)+120`` in SQL."""
     import numpy as np
     import pyarrow as pa
 
-    from ..sources.parquet import read_parquet_tuned
-    from ..stages.multimodal import (
-        MediaFeatureExtractor,
-        extract_media_features,
-        mock_decode_fn,
-    )
+    from ..stages.multimodal import MediaFeatureExtractor
 
-    media = read_parquet_tuned(ensure_media_fixture())
-    feats = extract_media_features(
-        media, decoder="real", decode_fn=mock_decode_fn, project=False,
-        concurrency=2, num_partitions=8,
-    )
     d_img = MediaFeatureExtractor.IMAGE_DIM
     d_all = d_img + MediaFeatureExtractor.AUDIO_DIM
 
@@ -176,10 +169,43 @@ def q_media_decode_check(sf_dir: str):
     return feats.map_batches(_chk, batch_format="pyarrow")
 
 
-def _media_oracle_sql() -> str:
+def q_media_decode_check(sf_dir: str):
+    """The full real-decoder media path — parquet read of binary
+    payloads → hash-exchange co-location → actor-pool modality pivot +
+    pluggable decode (``mock_decode_fn``, deterministic from
+    ``octet_length``) — verified HASH-EXACTLY against SQL via
+    :func:`_checksum_features`: with ``project=False`` the unprojected
+    feature vector is closed-form in the payload length. Zero-fill of
+    missing modalities and ``audio_present`` ride the same check."""
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.multimodal import extract_media_features, mock_decode_fn
+
+    media = read_parquet_tuned(ensure_media_fixture())
+    feats = extract_media_features(
+        media, decoder="real", decode_fn=mock_decode_fn, project=False,
+        concurrency=2, num_partitions=8,
+    )
+    return _checksum_features(feats)
+
+
+def _media_oracle_sql(sample_every: int | None = None) -> str:
     p = ensure_media_fixture()
+    if sample_every is None:
+        src = f"SELECT * FROM read_parquet('{p}')"
+    else:
+        # sample_frames semantics: dense rank of distinct ts per asset,
+        # keep (rank-1) % every_n == 0, BOTH modalities of a kept ts.
+        src = f"""
+SELECT raw.* FROM read_parquet('{p}') raw
+JOIN (SELECT asset_id, ts FROM (
+        SELECT asset_id, ts,
+               dense_rank() OVER (PARTITION BY asset_id ORDER BY ts) AS dr
+        FROM (SELECT DISTINCT asset_id, ts FROM read_parquet('{p}')))
+      WHERE (dr - 1) % {sample_every} = 0) keep
+USING (asset_id, ts)
+""".strip()
     return f"""
-WITH m AS (SELECT * FROM read_parquet('{p}')),
+WITH m AS ({src}),
 img AS (SELECT asset_id, ts, octet_length(payload) AS len
         FROM m WHERE modality = 'image'),
 aud AS (SELECT asset_id, ts, octet_length(payload) AS len
@@ -197,5 +223,15 @@ LEFT JOIN aud a ON k.asset_id = a.asset_id AND k.ts = a.ts
 """.strip()
 
 
+def _tar_ingest_oracle_sql() -> str:
+    p = ensure_media_fixture()
+    return (
+        "SELECT asset_id, ts, modality, width, height, sample_rate "
+        f"FROM read_parquet('{p}')"
+    )
+
+
 QUERIES["media_decode_check"] = q_media_decode_check
 ORACLE_SQL["media_decode_check"] = _media_oracle_sql()
+ORACLE_SQL["media_frame_sample"] = _media_oracle_sql(sample_every=2)
+ORACLE_SQL["media_tar_ingest"] = _tar_ingest_oracle_sql()

@@ -360,6 +360,85 @@ def q_decontaminate(sf_dir: str):
     )
 
 
+# --- exact duplicate-substring spans (Lee et al. exact-substring) ----------
+
+# a fixed 9-word phrase appended to every doc_id % 5 == 0 document (in
+# BOTH the Ray pipeline and the oracle) guarantees duplicated 8-grams
+# at every sf tier on top of the corpus's natural repeats
+_SPAN_K = 8
+_SPAN_PHRASE = (
+    "shared duplicated training sentence epsilon zeta eta theta iota"
+)
+
+
+def q_dup_span_marks(sf_dir: str):
+    """Per-document duplicate-substring span marks: the union of token
+    spans covered by word-8-grams occurring more than once corpus-wide
+    (stages/dedup.py: duplicate_ngram_spans — gram-hash exchange →
+    doc-id exchange, 20 B/gram on the wire, the distributed form of
+    Lee et al.'s exact-substring dedup)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.dedup import duplicate_ngram_spans
+
+    def _aug(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        s = tbl.column("text").to_pandas().fillna("")
+        aug = np.where(ids % 5 == 0, s + " " + _SPAN_PHRASE, s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "text": pa.array(aug, pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir).map_batches(_aug, batch_format="pyarrow")
+    return duplicate_ngram_spans(docs, k=_SPAN_K, num_partitions=16)
+
+
+QUERIES["dup_span_marks"] = q_dup_span_marks
+_GSPAN = "||' '||".join(f"tk[pos+{j}]" for j in range(_SPAN_K))
+ORACLE_SQL["dup_span_marks"] = f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    text || CASE WHEN doc_id % 5 = 0 THEN ' {_SPAN_PHRASE}' ELSE '' END AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS tk
+  FROM aug
+), pos AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) - {_SPAN_K - 2})) AS pos
+  FROM tok
+), grams AS (
+  SELECT doc_id, pos, {_GSPAN} AS g FROM pos
+), dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+), hits AS (
+  SELECT grams.doc_id, grams.pos FROM grams JOIN dupg USING (g)
+), brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL
+           OR pos - lag(pos) OVER w > {_SPAN_K} THEN 1 ELSE 0 END AS b
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, pos,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) AS e,
+    count(*) AS c
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_dup_grams,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(e - s + {_SPAN_K}) AS BIGINT) AS dup_tokens
+FROM spans GROUP BY doc_id
+""".strip()
+
+
 QUERIES["decontaminate"] = q_decontaminate
 _G8 = "||' '||".join(f"tk[i+{j}]" for j in range(_DECON_K))
 ORACLE_SQL["decontaminate"] = f"""

@@ -1417,6 +1417,157 @@ def contamination_flags(
 
 
 # --------------------------------------------------------------------------
+# exact duplicate-substring spans (Lee et al. 2021, the exact-substring
+# dedup variant — re-expressed as two hash exchanges instead of a
+# parallel suffix array)
+
+
+def _word_shingles_pos(
+    texts, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``(row_idx, token_pos, shingle_hash)`` for every word-``k``-gram
+    — like :func:`_word_shingles` but with the 0-based token position
+    of each shingle inside its row and NO short-row fallback: rows with
+    fewer than ``k`` tokens emit nothing, matching the span oracle's
+    ``range()`` semantics (a sub-k-gram document has no k-gram spans).
+    """
+    from ..functions.tokenize import ws_tokens
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.Array.from_pandas(texts, type=pa.string())
+    n_rows = len(texts)
+    row, flat = ws_tokens(texts)
+    if len(row) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, np.uint64)
+    n_tok = np.bincount(row, minlength=n_rows)
+    starts = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+    pos = np.arange(len(row), dtype=np.int64) - starts[row]
+    tok_h = hash64(flat.to_pandas())
+    _POLY_C = np.uint64(0x100000001B3)
+    acc = tok_h.copy()
+    same_row = np.ones(len(row), dtype=bool)
+    for j in range(1, k):
+        acc = rehash64(acc * _POLY_C + np.roll(tok_h, -j), seed=j)
+        same_row &= np.roll(row, -j) == row
+    valid = same_row
+    if k > 1:
+        valid = valid.copy()
+        valid[len(valid) - (k - 1):] = False
+    return row[valid], pos[valid], acc[valid]
+
+
+def duplicate_ngram_spans(
+    docs_ds,
+    k: int = 8,
+    num_partitions: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact duplicate-substring detection: for every document, the
+    union of token spans covered by word-``k``-grams that occur MORE
+    THAN ONCE in the whole corpus (within- or cross-document). This is
+    the exact-substring dedup of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"), whose single-machine
+    form is a parallel suffix array — here it is two hash exchanges, so
+    nothing corpus-proportional ever leaves the partitions:
+
+    1. map: :func:`_word_shingles_pos` per batch — only
+       ``(gram_hash, doc_id, pos)`` = 20 B/gram rides the shuffle,
+       never text (the same de-amplification discipline as MinHash
+       band keys).
+    2. exchange on ``gram_hash``: a partition sees every occurrence of
+       each of its grams; runs with count > 1 emit their
+       ``(doc_id, pos)`` occurrences.
+    3. exchange on ``doc_id``: per-doc position sort + island merge —
+       spans ``[pos, pos+k)`` whose gap ≤ ``k`` coalesce — giving
+       ``(doc_id, n_dup_grams, n_spans, dup_tokens)``.
+
+    64-bit gram-hash collisions are negligible at any corpus size and
+    deterministic, the same policy as :func:`exact_dedup`. Output rows
+    exist only for documents with at least one duplicated gram (the
+    removal worklist, not a full verdict table).
+    """
+    from .exchange import hash_exchange
+
+    def _grams(tbl: pa.Table) -> pa.Table:
+        row, pos, gh = _word_shingles_pos(tbl.column(text_col), k)
+        ids = tbl.column(id_col).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "gh": pa.array(gh.view(np.int64)),
+                "doc_id": pa.array(ids[row]),
+                "pos": pa.array(pos.astype(np.int32)),
+            }
+        )
+
+    grams = docs_ds.map_batches(_grams, batch_format="pyarrow")
+    occ_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int32())]
+    )
+
+    def _dup_occurrences(pidx: int, tbl: pa.Table) -> pa.Table:
+        gh = tbl.column("gh").to_numpy()
+        o = np.argsort(gh, kind="stable")
+        ghs = gh[o]
+        new = np.r_[True, ghs[1:] != ghs[:-1]]
+        run_id = np.cumsum(new) - 1
+        dup = np.bincount(run_id)[run_id] > 1
+        if not dup.any():
+            return occ_schema.empty_table()
+        return tbl.select(["doc_id", "pos"]).take(pa.array(o[dup]))
+
+    occurrences = hash_exchange(
+        grams, "gh", num_partitions, _dup_occurrences,
+        empty_schema=occ_schema,
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_dup_grams", pa.int64()),
+            ("n_spans", pa.int64()),
+            ("dup_tokens", pa.int64()),
+        ]
+    )
+
+    def _spans(pidx: int, tbl: pa.Table) -> pa.Table:
+        d = tbl.column("doc_id").to_numpy()
+        p = tbl.column("pos").to_numpy().astype(np.int64)
+        o = np.lexsort((p, d))
+        d, p = d[o], p[o]
+        same_doc = np.r_[False, d[1:] == d[:-1]]
+        new_island = ~same_doc | (p - np.r_[p[0], p[:-1]] > k)
+        first = np.flatnonzero(new_island)
+        last = np.r_[first[1:] - 1, len(p) - 1]
+        isl_doc, isl_min, isl_max = d[first], p[first], p[last]
+        isl_cnt = np.diff(np.r_[first, len(p)])
+        doc_first = np.flatnonzero(
+            np.r_[True, isl_doc[1:] != isl_doc[:-1]]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(isl_doc[doc_first]),
+                "n_dup_grams": pa.array(
+                    np.add.reduceat(isl_cnt, doc_first).astype(np.int64)
+                ),
+                "n_spans": pa.array(
+                    np.diff(np.r_[doc_first, len(isl_doc)]).astype(
+                        np.int64
+                    )
+                ),
+                "dup_tokens": pa.array(
+                    np.add.reduceat(isl_max - isl_min + k, doc_first)
+                ),
+            }
+        )
+
+    return hash_exchange(
+        occurrences, "doc_id", num_partitions, _spans,
+        empty_schema=out_schema,
+    )
+
+
+# --------------------------------------------------------------------------
 # edit-distance (Levenshtein) near-dup pairs
 
 

@@ -788,3 +788,74 @@ def test_connected_components_empty_and_chain(ray_session):
         .to_pandas().set_index("node")["label"]
     )
     assert dict(lab) == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_ngram_spans_brute_force():
+    """duplicate_ngram_spans == a per-doc brute-force span oracle on a
+    corpus exercising every edge: cross-doc dups, within-doc repeats,
+    multiple islands separated by gaps > k, docs shorter than k, and a
+    doc that is one solid duplicated block."""
+    import ray.data as rd
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    k = 3
+    dup = "x1 x2 x3"          # 3 tokens = one k-gram, planted widely
+    docs = {
+        1: f"{dup} a b c d e f g h {dup} tail1",   # two islands, gap > k
+        2: f"lead2 {dup} mid2a mid2b {dup}",       # gap == 4 > k? pos 1 and 6 -> gap 5 > 3: two islands
+        3: f"{dup} {dup}",                          # within-doc adjacent: one island
+        4: "unique4 tokens4 only4 here4 now4",      # no dups
+        5: "short doc",                              # < k tokens
+        6: f"{dup}",                                 # exactly k tokens, one dup gram
+        7: f"p q {dup} r s",                        # overlapping boundary grams unique
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values()), pa.string()),
+            }
+        )
+    )
+    got = (
+        duplicate_ngram_spans(ds, k=k, num_partitions=4)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+
+    # brute force: global gram counts, then per-doc island merge
+    from collections import Counter
+
+    grams = {}
+    cnt = Counter()
+    for d, t in docs.items():
+        tk = t.split()
+        gs = [tuple(tk[i : i + k]) for i in range(len(tk) - k + 1)]
+        grams[d] = gs
+        cnt.update(gs)
+    exp = {}
+    for d, gs in grams.items():
+        pos = [i for i, g in enumerate(gs) if cnt[g] > 1]
+        if not pos:
+            continue
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1] = (spans[-1][0], p)
+            else:
+                spans.append((p, p))
+        exp[d] = (
+            len(pos),
+            len(spans),
+            sum(e - s + k for s, e in spans),
+        )
+    assert sorted(got.index) == sorted(exp)
+    for d, (ng, ns, dt) in exp.items():
+        assert (
+            got.loc[d, "n_dup_grams"],
+            got.loc[d, "n_spans"],
+            got.loc[d, "dup_tokens"],
+        ) == (ng, ns, dt), d
+    # sanity on the fixture itself: multi-island and solid-block cases
+    assert exp[1][1] == 2 and exp[3][1] == 1 and 5 not in exp and 4 not in exp

@@ -1892,6 +1892,98 @@ ORACLE_SQL["sequence_packing"] = SQL_SEQUENCE_PACKING
 
 
 # --------------------------------------------------------------------------
+# deterministic global shuffle + shard layout (training-data export)
+
+SHUFFLE_SHARD_BUDGET = 8192
+
+
+def q_global_shuffle_export(sf_dir: str):
+    """The export step a pretraining dataloader consumes: the corpus in
+    a DETERMINISTIC global shuffle order — ``splitmix64(doc_id)`` as
+    the sort key, so reruns, retries, and resumed jobs produce the
+    identical permutation with zero RNG state — then sharded by
+    cumulative char budget in shuffled order (each output shard is a
+    contiguous rank range ≈ ``SHUFFLE_SHARD_BUDGET`` chars).
+
+    Scale shape: stateless per-batch key map → range-partitioned
+    sample sort on the hash key + the two-phase global prefix scan
+    (``stages/scan.global_scan``) — O(blocks) scalars through the
+    driver, no ``random_shuffle`` all-to-all, no materialization. The
+    hash key is uniform, so the sampled ranges are balanced by
+    construction (no skew salting needed)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import rehash64
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.scan import global_scan
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+
+    def _key(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").cast(pa.int64()).to_numpy()
+        h = rehash64(ids.astype(np.uint64), seed=0)
+        return tbl.append_column(
+            "shuffle_key", pa.array(h, pa.uint64())
+        )
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+    scanned = global_scan(
+        keyed,
+        sort_keys=[("shuffle_key", "ascending"), ("doc_id", "ascending")],
+        cum_cols=[("n_chars", "cum")],
+        rank_col="shuffle_rank",
+    )
+
+    def _shard(tbl: pa.Table) -> pa.Table:
+        cum = tbl.column("cum").to_numpy(zero_copy_only=False)
+        n = tbl.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        start = cum - n
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "shuffle_rank": tbl.column("shuffle_rank").cast(
+                    pa.int64()
+                ),
+                "shard_id": pa.array(start // SHUFFLE_SHARD_BUDGET),
+            }
+        )
+
+    return scanned.map_batches(
+        _shard, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_GLOBAL_SHUFFLE = f"""
+WITH s0 AS (
+  SELECT doc_id, n_chars, CAST(doc_id AS UBIGINT) AS x FROM documents
+), s1 AS (SELECT doc_id, n_chars, xor(x, x >> 30) AS x FROM s0
+), s2 AS (SELECT doc_id, n_chars, {_splitmix_mulmod(0xBF58476D1CE4E5B9)} AS x FROM s1
+), s3 AS (SELECT doc_id, n_chars, xor(x, x >> 27) AS x FROM s2
+), s4 AS (SELECT doc_id, n_chars, {_splitmix_mulmod(0x94D049BB133111EB)} AS x FROM s3
+), s5 AS (SELECT doc_id, n_chars, xor(x, x >> 31) AS x FROM s4
+), ordered AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+    row_number() OVER (ORDER BY x, doc_id) AS shuffle_rank,
+    CAST(sum(n_chars) OVER (ORDER BY x, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM s5
+)
+SELECT doc_id, CAST(shuffle_rank AS BIGINT) AS shuffle_rank,
+  (cum - n_chars) // {SHUFFLE_SHARD_BUDGET} AS shard_id
+FROM ordered
+""".strip()
+
+QUERIES["global_shuffle_export"] = q_global_shuffle_export
+ORACLE_SQL["global_shuffle_export"] = SQL_GLOBAL_SHUFFLE
+
+
+# --------------------------------------------------------------------------
 # deterministic train/val/test split (round-4): hash-bucket split with
 # per-(lang, split) counts — retrain-stable (no RNG state), and since
 # splitmix64 is reproduced in SQL the split itself is oracle-verified.

@@ -38,7 +38,8 @@ def _optional_suites():
                  "similarity_queries", "scorer_queries",
                  "multimodal_queries", "curation", "join_queries",
                  "stats_queries", "events_queries", "window_queries",
-                 "setop_queries", "ingest_queries"):
+                 "setop_queries", "ingest_queries",
+                 "classifier_queries"):
         try:
             mods.append(
                 __import__(

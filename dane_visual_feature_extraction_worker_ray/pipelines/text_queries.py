@@ -1984,6 +1984,194 @@ ORACLE_SQL["global_shuffle_export"] = SQL_GLOBAL_SHUFFLE
 
 
 # --------------------------------------------------------------------------
+# PMI collocations over the top tokens (corpus statistics / feature
+# engineering: which frequent tokens co-occur in documents more than
+# chance predicts)
+
+PMI_TOP_M = 30
+PMI_MIN_COUNT = 5
+
+
+def q_pmi_collocations(sf_dir: str):
+    """Collocation strength of top-token pairs: the PMI ratio ("lift")
+    ``c_ab·N / (c_a·c_b)`` over DOCUMENT frequencies (distinct per
+    doc), restricted to the ``PMI_TOP_M`` most frequent tokens and
+    pairs co-occurring in ≥ ``PMI_MIN_COUNT`` docs. The raw counts ride
+    along, so ``pmi = ln(lift)`` is one call away — the ln itself stays
+    OUT of the hash-compared output per the engine's float-parity
+    policy (numpy's SIMD log and DuckDB's libm ln disagree by 1 ulp on
+    ~60% of inputs; measured, see tfidf_scores for the same policy).
+
+    Scale shape: exact document frequency by the established two-level
+    pattern (per-batch distinct (doc, token) partials → token-hash
+    grouped sum → per-partition top-M partials → M×partitions driver
+    merge); then ONE streaming pass where each batch builds its n×M
+    presence matrix and emits the M×M co-occurrence matmul ``BᵀB`` —
+    bounded partials (≤ M² ints/block), never a token-pair shuffle.
+    Float parity is engineered: all counts stay integer, each side
+    computes ``(f8(c_ab)·f8(N)) / (f8(c_a)·f8(c_b))`` in the same
+    expression shape — double products, one IEEE division, no
+    transcendentals, no int products that could overflow at corpus
+    scale."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..functions.tokenize import ws_tokens
+    from ..stages.groupagg import hash_grouped_aggregate
+
+    docs = _docs(sf_dir)
+    n_docs = docs.count()  # metadata count on an untransformed read
+
+    def _df_partial(tbl: pa.Table) -> pa.Table:
+        row, toks = ws_tokens(tbl.column("text"))
+        empty = pa.table(
+            {"tok": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+        if len(row) == 0:
+            return empty
+        t = toks.to_pandas().to_numpy()
+        o = np.lexsort((t, row))
+        row, t = row[o], t[o]
+        first = np.r_[True, (row[1:] != row[:-1]) | (t[1:] != t[:-1])]
+        t = t[first]
+        ts = np.sort(t)
+        new = np.r_[True, ts[1:] != ts[:-1]]
+        return pa.table(
+            {
+                "tok": pa.array(ts[new], pa.string()),
+                "n": pa.array(
+                    np.diff(np.r_[np.flatnonzero(new), len(ts)]).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    counts = hash_grouped_aggregate(
+        docs.map_batches(
+            _df_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["tok"],
+        [("n", "sum")],
+        num_buckets=16,
+    )
+
+    def _topm(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n").cast(pa.int64()).to_numpy()
+        tok = tbl.column("tok").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n))[:PMI_TOP_M]
+        return pa.table(
+            {"tok": pa.array(tok[order], pa.string()),
+             "n": pa.array(n[order])}
+        )
+
+    partials = [
+        t
+        for t in ray.get(
+            counts.map_batches(
+                _topm, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    out_schema = pa.schema(
+        [
+            ("tok_a", pa.string()),
+            ("tok_b", pa.string()),
+            ("c_ab", pa.int64()),
+            ("ca", pa.int64()),
+            ("cb", pa.int64()),
+            ("lift", pa.float64()),
+        ]
+    )
+    if not partials:
+        return out_schema.empty_table()
+    top = _topm(pa.concat_tables(partials))
+    # canonical lexicographic index: i < j  <=>  tok_i < tok_j
+    toks = top.column("tok").to_numpy(zero_copy_only=False)
+    dfs = top.column("n").to_numpy()
+    o = np.argsort(toks)
+    toks, dfs = toks[o], dfs[o]
+    m = len(toks)
+    top_ref = ray.put(toks)
+
+    def _pairs(tbl: pa.Table) -> pa.Table:
+        ts = ray.get(top_ref)
+        row, tk = ws_tokens(tbl.column("text"))
+        cm = np.zeros((m, m), np.int64)
+        if len(row):
+            t = tk.to_pandas().to_numpy()
+            pos = np.searchsorted(ts, t)
+            np.clip(pos, 0, m - 1, out=pos)
+            valid = ts[pos] == t
+            b = np.zeros((tbl.num_rows, m), np.int64)
+            b[row[valid], pos[valid]] = 1
+            cm = b.T @ b
+        return pa.table({"cm": pa.array([cm.ravel()])})
+
+    cm = np.zeros(m * m, np.int64)
+    for t in ray.get(
+        docs.map_batches(
+            _pairs, batch_format="pyarrow", batch_size=None
+        ).to_arrow_refs()
+    ):
+        if t.num_rows:
+            for v in t.column("cm").to_pylist():
+                cm += np.asarray(v, np.int64)
+    cm = cm.reshape(m, m)
+    iu, ju = np.triu_indices(m, 1)
+    c_ab = cm[iu, ju]
+    keep = c_ab >= PMI_MIN_COUNT
+    iu, ju, c_ab = iu[keep], ju[keep], c_ab[keep]
+    lift = (
+        c_ab.astype(np.float64) * np.float64(n_docs)
+    ) / (dfs[iu].astype(np.float64) * dfs[ju].astype(np.float64))
+    return pa.table(
+        {
+            "tok_a": pa.array(toks[iu], pa.string()),
+            "tok_b": pa.array(toks[ju], pa.string()),
+            "c_ab": pa.array(c_ab),
+            "ca": pa.array(dfs[iu].astype(np.int64)),
+            "cb": pa.array(dfs[ju].astype(np.int64)),
+            "lift": pa.array(lift),
+        }
+    )
+
+
+SQL_PMI = f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_filter(
+      string_split_regex(text, '\\s+'), x -> x <> ''))) AS t
+  FROM documents
+), df AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), top AS (
+  SELECT t, c FROM df ORDER BY c DESC, t LIMIT {PMI_TOP_M}
+), tt AS (
+  SELECT tok.doc_id, tok.t, top.c FROM tok JOIN top USING (t)
+), pairs AS (
+  SELECT a.t AS tok_a, b.t AS tok_b,
+    max(a.c) AS ca, max(b.c) AS cb, count(*) AS c_ab
+  FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY a.t, b.t
+  HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS c_ab,
+  CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+  (CAST(c_ab AS DOUBLE)
+   * CAST((SELECT count(*) FROM documents) AS DOUBLE))
+  / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) AS lift
+FROM pairs
+""".strip()
+
+QUERIES["pmi_collocations"] = q_pmi_collocations
+ORACLE_SQL["pmi_collocations"] = SQL_PMI
+
+
+# --------------------------------------------------------------------------
 # deterministic train/val/test split (round-4): hash-bucket split with
 # per-(lang, split) counts — retrain-stable (no RNG state), and since
 # splitmix64 is reproduced in SQL the split itself is oracle-verified.

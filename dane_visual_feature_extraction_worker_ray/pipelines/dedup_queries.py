@@ -439,6 +439,77 @@ FROM spans GROUP BY doc_id
 """.strip()
 
 
+def q_dup_span_clean(sf_dir: str):
+    """APPLY-side of the exact-substring dedup: every document
+    rewritten with corpus-duplicated 8-gram spans removed
+    (stages/dedup.py: remove_duplicate_spans — the gram phases shared
+    with dup_span_marks; text moves exactly once, on the doc_id
+    rewrite exchange). Canonical token-level rebuild: kept tokens
+    joined by one space, matching the oracle's ordered string_agg."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.dedup import remove_duplicate_spans
+
+    def _aug(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        s = tbl.column("text").to_pandas().fillna("")
+        aug = np.where(ids % 5 == 0, s + " " + _SPAN_PHRASE, s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "text": pa.array(aug, pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir).map_batches(_aug, batch_format="pyarrow")
+    return remove_duplicate_spans(docs, k=_SPAN_K, num_partitions=16)
+
+
+QUERIES["dup_span_clean"] = q_dup_span_clean
+ORACLE_SQL["dup_span_clean"] = f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    text || CASE WHEN doc_id % 5 = 0 THEN ' {_SPAN_PHRASE}' ELSE '' END AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS tk
+  FROM aug
+), pos AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) - {_SPAN_K - 2})) AS pos
+  FROM tok
+), grams AS (
+  SELECT doc_id, pos, {{gspan}} AS g FROM pos
+), dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+), hits AS (
+  SELECT grams.doc_id, grams.pos FROM grams JOIN dupg USING (g)
+), cover AS (
+  SELECT DISTINCT doc_id, i FROM (
+    SELECT doc_id, unnest(range(pos, pos + {_SPAN_K})) AS i FROM hits)
+), alltok AS (
+  SELECT doc_id, unnest(tk) AS token,
+    unnest(range(1, len(tk) + 1)) AS i
+  FROM tok
+), kept AS (
+  SELECT a.doc_id, a.i, a.token
+  FROM alltok a ANTI JOIN cover c
+    ON a.doc_id = c.doc_id AND a.i = c.i
+), rebuilt AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY i) AS clean_text,
+    count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM tok t LEFT JOIN rebuilt r USING (doc_id)
+""".strip().replace(
+    "{gspan}", "||' '||".join(f"tk[pos+{j}]" for j in range(_SPAN_K))
+)
+
+
 QUERIES["decontaminate"] = q_decontaminate
 _G8 = "||' '||".join(f"tk[i+{j}]" for j in range(_DECON_K))
 ORACLE_SQL["decontaminate"] = f"""

@@ -1457,6 +1457,47 @@ def _word_shingles_pos(
     return row[valid], pos[valid], acc[valid]
 
 
+def _dup_gram_occurrences(
+    docs_ds, k: int, num_partitions: int, text_col: str, id_col: str
+):
+    """Phases 1-2 shared by the mark and the rewrite operators:
+    per-batch ``(gram_hash, doc_id, pos)`` emission (20 B/gram on the
+    wire, never text) → gram-hash exchange where runs with global
+    count > 1 emit their ``(doc_id, pos)`` occurrences."""
+    from .exchange import hash_exchange
+
+    def _grams(tbl: pa.Table) -> pa.Table:
+        row, pos, gh = _word_shingles_pos(tbl.column(text_col), k)
+        ids = tbl.column(id_col).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "gh": pa.array(gh.view(np.int64)),
+                "doc_id": pa.array(ids[row]),
+                "pos": pa.array(pos.astype(np.int32)),
+            }
+        )
+
+    grams = docs_ds.map_batches(_grams, batch_format="pyarrow")
+    occ_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int32())]
+    )
+
+    def _dups(pidx: int, tbl: pa.Table) -> pa.Table:
+        gh = tbl.column("gh").to_numpy()
+        o = np.argsort(gh, kind="stable")
+        ghs = gh[o]
+        new = np.r_[True, ghs[1:] != ghs[:-1]]
+        run_id = np.cumsum(new) - 1
+        dup = np.bincount(run_id)[run_id] > 1
+        if not dup.any():
+            return occ_schema.empty_table()
+        return tbl.select(["doc_id", "pos"]).take(pa.array(o[dup]))
+
+    return hash_exchange(
+        grams, "gh", num_partitions, _dups, empty_schema=occ_schema
+    )
+
+
 def duplicate_ngram_spans(
     docs_ds,
     k: int = 8,
@@ -1490,36 +1531,8 @@ def duplicate_ngram_spans(
     """
     from .exchange import hash_exchange
 
-    def _grams(tbl: pa.Table) -> pa.Table:
-        row, pos, gh = _word_shingles_pos(tbl.column(text_col), k)
-        ids = tbl.column(id_col).to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "gh": pa.array(gh.view(np.int64)),
-                "doc_id": pa.array(ids[row]),
-                "pos": pa.array(pos.astype(np.int32)),
-            }
-        )
-
-    grams = docs_ds.map_batches(_grams, batch_format="pyarrow")
-    occ_schema = pa.schema(
-        [("doc_id", pa.int64()), ("pos", pa.int32())]
-    )
-
-    def _dup_occurrences(pidx: int, tbl: pa.Table) -> pa.Table:
-        gh = tbl.column("gh").to_numpy()
-        o = np.argsort(gh, kind="stable")
-        ghs = gh[o]
-        new = np.r_[True, ghs[1:] != ghs[:-1]]
-        run_id = np.cumsum(new) - 1
-        dup = np.bincount(run_id)[run_id] > 1
-        if not dup.any():
-            return occ_schema.empty_table()
-        return tbl.select(["doc_id", "pos"]).take(pa.array(o[dup]))
-
-    occurrences = hash_exchange(
-        grams, "gh", num_partitions, _dup_occurrences,
-        empty_schema=occ_schema,
+    occurrences = _dup_gram_occurrences(
+        docs_ds, k, num_partitions, text_col, id_col
     )
     out_schema = pa.schema(
         [
@@ -1563,6 +1576,146 @@ def duplicate_ngram_spans(
 
     return hash_exchange(
         occurrences, "doc_id", num_partitions, _spans,
+        empty_schema=out_schema,
+    )
+
+
+def remove_duplicate_spans(
+    docs_ds,
+    k: int = 8,
+    num_partitions: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """APPLY the Lee-et-al exact-substring dedup: every document
+    rewritten with all tokens covered by a corpus-duplicated
+    word-``k``-gram removed. Output text is the kept tokens joined by
+    one space — the operator's canonical token-level rebuild (original
+    inter-token whitespace is not preserved; the mark-only companion
+    :func:`duplicate_ngram_spans` leaves text untouched). Every doc is
+    emitted, rewritten or not: ``(doc_id, clean_text, n_kept,
+    n_removed)``.
+
+    Scale: the gram phases are shared with the mark operator
+    (20 B/gram on the wire); the rewrite phase is the one place text
+    must move — a single ``doc_id`` exchange where each document
+    co-locates with its duplicate-gram occurrences (union of the two
+    streams, side-discriminated by a null text column). The edit is
+    then a vectorized coverage cumsum + one Arrow ``binary_join`` per
+    partition; no per-doc Python."""
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import ws_tokens
+    from .exchange import hash_exchange
+
+    occurrences = _dup_gram_occurrences(
+        docs_ds, k, num_partitions, text_col, id_col
+    )
+    union_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pos", pa.int32()),
+            ("text", pa.string()),
+        ]
+    )
+
+    def _tag_docs(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": tbl.column(id_col).cast(pa.int64()),
+                "pos": pa.nulls(tbl.num_rows, pa.int32()),
+                "text": pc.fill_null(
+                    tbl.column(text_col).cast(pa.string()), ""
+                ),
+            }
+        )
+
+    def _tag_occ(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "pos": tbl.column("pos"),
+                "text": pa.nulls(tbl.num_rows, pa.string()),
+            }
+        )
+
+    tagged = docs_ds.map_batches(
+        _tag_docs, batch_format="pyarrow"
+    ).union(occurrences.map_batches(_tag_occ, batch_format="pyarrow"))
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("clean_text", pa.string()),
+            ("n_kept", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+
+    def _rewrite(pidx: int, tbl: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(tbl.column("text")).to_numpy(
+            zero_copy_only=False
+        )
+        docs = tbl.filter(pa.array(is_doc))
+        occ = tbl.filter(pa.array(~is_doc))
+        ids = docs.column("doc_id").to_numpy()
+        o = np.argsort(ids, kind="stable")
+        docs = docs.take(pa.array(o))
+        ids = ids[o]
+        row, flat = ws_tokens(docs.column("text"))
+        n_docs = docs.num_rows
+        n_tok = np.bincount(row, minlength=n_docs) if len(row) else (
+            np.zeros(n_docs, np.int64)
+        )
+        starts = np.concatenate(([0], np.cumsum(n_tok)))
+        total = int(starts[-1])
+        covered = np.zeros(total, bool)
+        if occ.num_rows and total:
+            oid = occ.column("doc_id").to_numpy()
+            opos = occ.column("pos").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            r = np.searchsorted(ids, oid)
+            # occurrences always reference a doc in this partition
+            # (both streams rode the same key); guard anyway
+            ok = (r < n_docs) & (ids[np.minimum(r, n_docs - 1)] == oid)
+            r, opos = r[ok], opos[ok]
+            delta = np.zeros(total + 1, np.int64)
+            lo = starts[r] + opos
+            hi = starts[r] + np.minimum(opos + k, n_tok[r])
+            np.add.at(delta, lo, 1)
+            np.add.at(delta, hi, -1)
+            covered = np.cumsum(delta[:-1]) > 0
+        kept = ~covered
+        kept_per_doc = (
+            np.bincount(row[kept], minlength=n_docs).astype(np.int64)
+            if total
+            else np.zeros(n_docs, np.int64)
+        )
+        kept_flat = flat.filter(pa.array(kept)) if total else flat
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        # int64 offsets: a partition can legally hold > 2^31 tokens
+        offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            kept_flat.cast(pa.large_string()),
+        )
+        clean = pc.binary_join(
+            lists, pa.scalar(" ", pa.large_string())
+        ).cast(pa.string())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "clean_text": clean,
+                "n_kept": pa.array(kept_per_doc.astype(np.int64)),
+                "n_removed": pa.array(
+                    (n_tok - kept_per_doc).astype(np.int64)
+                ),
+            }
+        )
+
+    return hash_exchange(
+        tagged, "doc_id", num_partitions, _rewrite,
         empty_schema=out_schema,
     )
 

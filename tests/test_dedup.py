@@ -859,3 +859,57 @@ def test_duplicate_ngram_spans_brute_force():
         ) == (ng, ns, dt), d
     # sanity on the fixture itself: multi-island and solid-block cases
     assert exp[1][1] == 2 and exp[3][1] == 1 and 5 not in exp and 4 not in exp
+
+
+def test_remove_duplicate_spans_consistency():
+    """remove_duplicate_spans agrees with duplicate_ngram_spans
+    (n_removed == dup_tokens), keeps non-dup docs byte-identical under
+    the canonical single-space rebuild, and clears fully-covered
+    docs."""
+    import ray.data as rd
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        duplicate_ngram_spans,
+        remove_duplicate_spans,
+    )
+
+    k = 3
+    dup = "x1 x2 x3"
+    docs = {
+        1: f"{dup} a b c d e f g h {dup} tail1",
+        2: f"lead2 {dup} mid2a mid2b {dup}",
+        3: f"{dup} {dup}",
+        4: "unique4 tokens4 only4 here4 now4",
+        5: "short doc",
+        6: f"{dup}",
+        7: f"p q {dup} r s",
+        8: "",
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values()), pa.string()),
+            }
+        )
+    )
+    clean = (
+        remove_duplicate_spans(ds, k=k, num_partitions=4)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    marks = (
+        duplicate_ngram_spans(ds, k=k, num_partitions=4)
+        .to_pandas().set_index("doc_id")
+    )
+    assert sorted(clean.index) == sorted(docs)  # every doc emitted
+    for d in docs:
+        toks = docs[d].split()
+        assert clean.loc[d, "n_kept"] + clean.loc[d, "n_removed"] == len(
+            toks
+        )
+        if d in marks.index:
+            assert clean.loc[d, "n_removed"] == marks.loc[d, "dup_tokens"]
+        else:
+            assert clean.loc[d, "n_removed"] == 0
+            assert clean.loc[d, "clean_text"] == " ".join(toks)
+    assert clean.loc[3, "clean_text"] == ""  # fully duplicated doc
+    assert clean.loc[1, "clean_text"] == "a b c d e f g h tail1"

@@ -436,9 +436,14 @@ def q_mktsegment_order_counts(sf_dir: str):
         [("n", "sum"), ("price_c", "sum")],
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    # hot_keys="auto": the exact skew pre-pass runs in the gate every
+    # round — on uniform TPC-H custkeys it detects nothing and the join
+    # degrades to the plain exchange (detect_hot_join_keys is the
+    # auto form of the salting detector; a skewed probe side would be
+    # broadcast-pre-joined map-side instead of melting one partition)
     joined = hash_equi_join(
         per_cust, cust, "o_custkey", "c_custkey",
-        right_columns=["c_mktsegment"], how="inner",
+        right_columns=["c_mktsegment"], how="inner", hot_keys="auto",
     )
     final = hash_grouped_aggregate(
         joined, ["c_mktsegment"], [("n", "sum"), ("price_c", "sum")]

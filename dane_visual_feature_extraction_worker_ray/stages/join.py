@@ -89,6 +89,71 @@ def arrow_schema_of(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
+def detect_hot_join_keys(
+    ds,
+    key: str,
+    num_partitions: int,
+    hot_factor: float = 4.0,
+) -> list:
+    """EXACT skew pre-pass for the probe side of a join: keys whose row
+    count exceeds ``hot_factor × (total_rows / num_partitions)`` —
+    i.e. whose single reduce partition would hold ≥ ``hot_factor``
+    average-partitions' worth of one key. Per-batch partial counts →
+    key-hash grouped sum (the salting detector's pattern,
+    `salting.conversation_counts`); the aggregated (key, n) table is
+    distinct-key-bounded and stays in the object store — only the
+    per-partition count sums (O(partitions) ints) and the skewed tail
+    itself reach the driver. Null keys are never hot (they never
+    match). Detection is exact, not sampled: a sampling pass can miss
+    a key that is hot only in aggregate across blocks."""
+    import ray
+
+    from .groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        keyed = tbl.select([key]).append_column(
+            "one", pa.array(np.ones(tbl.num_rows, np.int64))
+        )
+        return group_aggregate_table(
+            keyed, [key], [("one", "sum")], [key, "n_rows"]
+        )
+
+    counts = hash_grouped_aggregate(
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       batch_size=None),
+        [key],
+        [("n_rows", "sum")],
+    ).materialize()
+    refs = counts.to_arrow_refs()
+
+    @ray.remote
+    def _total(t):
+        import pyarrow.compute as pc
+
+        tt = t if isinstance(t, pa.Table) else pa.table(t)
+        return int(pc.sum(tt.column("n_rows")).as_py() or 0)
+
+    total = sum(ray.get([_total.remote(r) for r in refs]))
+    if total == 0:
+        return []
+    threshold = hot_factor * total / num_partitions
+
+    def _tail(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flt = t.filter(pc.greater(t.column("n_rows"), threshold))
+        return flt.filter(pc.is_valid(flt.column(key)))
+
+    tail = counts.map_batches(_tail, batch_format="pyarrow").to_pandas()
+    # all-empty Dataset.to_pandas() drops the schema (0 columns) — an
+    # empty tail means no hot keys, not an error
+    hot = sorted(tail[key].tolist()) if key in tail.columns else []
+    from ..state import counters as _counters
+
+    _counters.add("join_auto_hot_keys", len(hot))
+    return hot
+
+
 def hash_equi_join(
     left_ds,
     right_ds,
@@ -98,7 +163,8 @@ def hash_equi_join(
     how: str = "inner",
     num_partitions: int = 32,
     right_suffix: str = "_r",
-    hot_keys: list | None = None,
+    hot_keys: list | str | None = None,
+    hot_factor: float = 4.0,
 ):
     """Join ``left_ds`` with ``right_ds`` on ``left_on == right_on``.
 
@@ -119,7 +185,11 @@ def hash_equi_join(
     right rows fit a broadcast (the standard skew-join premise —
     hot×hot pairs are output-quadratic under any strategy). Null keys
     are never hot. The caller supplies the keys (e.g. from the salting
-    detector's counting pre-pass, stages/salting.py).
+    detector's counting pre-pass, stages/salting.py) — or passes
+    ``hot_keys="auto"`` to run :func:`detect_hot_join_keys` on the LEFT
+    (probe) side with ``hot_factor`` (one extra scan of the key column;
+    the detected tail is recorded in the ``join_auto_hot_keys`` lineage
+    counter).
     """
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(
@@ -130,6 +200,12 @@ def hash_equi_join(
         # broadcast pre-join, so their unmatched remainder could not
         # surface on the right-outer side
         raise ValueError("hot_keys is not supported with how='outer'")
+    if isinstance(hot_keys, str):
+        if hot_keys != "auto":
+            raise ValueError(f"hot_keys must be a list or 'auto', got {hot_keys!r}")
+        hot_keys = detect_hot_join_keys(
+            left_ds, left_on, num_partitions, hot_factor
+        ) or None
     if how in ("semi", "anti"):
         if right_columns:
             raise ValueError(f"how={how!r} joins emit no right columns")

@@ -333,3 +333,88 @@ def test_multi_key_join_matches_pandas(ray_session):
             check_names=False,
         )
     assert (got["b"] == exp["b"]).all()
+
+
+def test_auto_hot_key_detection_and_join_parity():
+    """hot_keys='auto' detects the skewed tail exactly and produces the
+    identical join result as the plain exchange path and pandas."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.join import (
+        detect_hot_join_keys,
+        hash_equi_join,
+    )
+
+    n = 5000
+    keys = np.where(np.arange(n) % 10 < 9, 7, np.arange(n) % 50)
+    left = pa.table(
+        {
+            "k": pa.array(keys.astype(np.int64)),
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(np.arange(50, dtype=np.int64)),
+            "w": pa.array(np.arange(50, dtype=np.int64) * 100),
+        }
+    )
+    lds = rd.from_arrow(left).repartition(8)
+    rds = rd.from_arrow(right)
+
+    hot = detect_hot_join_keys(lds, "k", num_partitions=8)
+    assert hot == [7]
+
+    out_auto = (
+        hash_equi_join(lds, rds, "k", "k", ["w"], hot_keys="auto",
+                       num_partitions=8)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    out_plain = (
+        hash_equi_join(lds, rds, "k", "k", ["w"], num_partitions=8)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    exp = (
+        left.to_pandas().merge(right.to_pandas(), on="k")
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out_auto[exp.columns.tolist()], exp, check_dtype=False
+    )
+    pd.testing.assert_frame_equal(out_auto, out_plain)
+
+
+def test_auto_hot_keys_none_detected_falls_through():
+    """A uniform key distribution detects no hot keys and 'auto'
+    degrades to the plain path (hot_keys=None)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.join import (
+        detect_hot_join_keys,
+        hash_equi_join,
+    )
+
+    left = pa.table(
+        {
+            "k": pa.array((np.arange(1000) % 100).astype(np.int64)),
+            "v": pa.array(np.arange(1000, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(np.arange(100, dtype=np.int64)),
+            "w": pa.array(np.arange(100, dtype=np.int64)),
+        }
+    )
+    lds = rd.from_arrow(left).repartition(4)
+    assert detect_hot_join_keys(lds, "k", num_partitions=4) == []
+    out = hash_equi_join(
+        lds, rd.from_arrow(right), "k", "k", ["w"],
+        hot_keys="auto", num_partitions=4,
+    )
+    assert out.count() == 1000

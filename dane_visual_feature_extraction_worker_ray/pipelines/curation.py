@@ -237,3 +237,207 @@ QUERIES["checkpointed_write_roundtrip"] = q_checkpointed_write_roundtrip
 ORACLE_SQL["checkpointed_write_roundtrip"] = (
     "SELECT doc_id, lang, n_chars FROM documents"
 )
+
+
+# --------------------------------------------------------------------------
+# constraint validation suite (Deequ-style data-quality checks)
+
+ACCEPTED_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_data_quality_checks(sf_dir: str):
+    """Constraint-validation report — the data-quality gate a 100-TB
+    ingest runs before anything downstream trusts the corpus: one row
+    per check with its exact violation count. The clean synthetic
+    tables satisfy every constraint, so violations are PLANTED
+    (deterministic doc_id/o_orderkey mod classes, mirrored in the
+    oracle — the engine's planted-oracle pattern): duplicated ids
+    (%41), null text (%37), corrupted n_chars (%43), an unaccepted
+    lang code (%47), and dangling order custkeys (%53).
+
+    Scale shape per check: uniqueness = distributed distinct count
+    (key-hash grouped, distributed row count — the distinct table
+    never reaches the driver); the three column constraints share ONE
+    scan emitting 1-row count partials; referential integrity is the
+    distributed anti join's count. Only O(checks) rows ever reach the
+    driver."""
+    import ray
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.join import hash_equi_join
+
+    def _aug(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = tbl.column("doc_id").cast(pa.int64()).to_numpy()
+        text = tbl.column("text").to_pandas()
+        text = text.where(ids % 37 != 0, None)
+        n_chars = tbl.column("n_chars").cast(pa.int64()).to_numpy()
+        n_chars = n_chars + (ids % 43 == 0)
+        lang = tbl.column("lang").to_pandas()
+        lang = lang.where(ids % 47 != 0, "xx")
+        base = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pa.array(text, pa.string()),
+                "n_chars": pa.array(n_chars.astype(np.int64)),
+                "lang": pa.array(lang, pa.string()),
+            }
+        )
+        dup = base.filter(pa.array(ids % 41 == 0))
+        return pa.concat_tables([base, dup])
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars", "lang"],
+    ).map_batches(_aug, batch_format="pyarrow")
+
+    # --- the three column checks + row count: ONE shared scan -------
+    def _scan_partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = tbl.column("text")
+        null_text = text.null_count
+        tlen = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        nch = tbl.column("n_chars").to_numpy()
+        valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+        mismatch = int((valid & (nch != np.where(valid, tlen, 0))).sum())
+        lang = tbl.column("lang").to_pandas()
+        bad_lang = int(
+            (~lang.isin(ACCEPTED_LANGS) | lang.isna()).sum()
+        )
+        neg = int((nch < 0).sum())
+        return pa.table(
+            {
+                "n_rows": pa.array([tbl.num_rows], pa.int64()),
+                "null_text": pa.array([null_text], pa.int64()),
+                "mismatch": pa.array([mismatch], pa.int64()),
+                "bad_lang": pa.array([bad_lang], pa.int64()),
+                "neg": pa.array([neg], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            docs.map_batches(
+                _scan_partial, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    tot = {
+        c: sum(int(t.column(c)[i].as_py()) for t in parts
+               for i in range(t.num_rows))
+        for c in ["n_rows", "null_text", "mismatch", "bad_lang", "neg"]
+    }
+
+    # --- uniqueness: distributed distinct count ----------------------
+    def _distinct_partial(tbl: pa.Table) -> pa.Table:
+        ids = np.unique(tbl.column("doc_id").to_numpy())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "one": pa.array(np.ones(len(ids), np.int64)),
+            }
+        )
+
+    distinct = hash_grouped_aggregate(
+        docs.map_batches(
+            _distinct_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["doc_id"],
+        [("one", "sum")],
+    ).count()
+
+    # --- referential integrity: distributed anti join ----------------
+    def _aug_orders(tbl: pa.Table) -> pa.Table:
+        ok = tbl.column("o_orderkey").cast(pa.int64()).to_numpy()
+        ck = tbl.column("o_custkey").cast(pa.int64()).to_numpy()
+        ck = ck + np.where(ok % 53 == 0, 10_000_000, 0)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "o_custkey": pa.array(ck.astype(np.int64)),
+            }
+        )
+
+    orders = read_parquet_tuned(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(_aug_orders, batch_format="pyarrow")
+    customer = read_parquet_tuned(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    orphans = hash_equi_join(
+        orders, customer, "o_custkey", "c_custkey", how="anti",
+        num_partitions=16,
+    ).count()
+
+    names = [
+        "doc_id_unique",
+        "lang_accepted",
+        "n_chars_matches_text",
+        "n_chars_nonnegative",
+        "orders_custkey_refs_customer",
+        "text_not_null",
+    ]
+    viol = [
+        tot["n_rows"] - distinct,
+        tot["bad_lang"],
+        tot["mismatch"],
+        tot["neg"],
+        orphans,
+        tot["null_text"],
+    ]
+    return pa.table(
+        {
+            "check_name": pa.array(names, pa.string()),
+            "violations": pa.array(np.array(viol, np.int64)),
+            "passed": pa.array([v == 0 for v in viol]),
+        }
+    )
+
+
+QUERIES["data_quality_checks"] = q_data_quality_checks
+ORACLE_SQL["data_quality_checks"] = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN doc_id % 37 = 0 THEN NULL ELSE text END AS text,
+    CAST(CASE WHEN doc_id % 43 = 0 THEN n_chars + 1 ELSE n_chars END
+         AS BIGINT) AS n_chars,
+    CASE WHEN doc_id % 47 = 0 THEN 'xx' ELSE lang END AS lang
+  FROM documents
+), docs AS (
+  SELECT * FROM base
+  UNION ALL SELECT * FROM base WHERE doc_id % 41 = 0
+), ord AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+    CAST(CASE WHEN o_orderkey % 53 = 0 THEN o_custkey + 10000000
+         ELSE o_custkey END AS BIGINT) AS o_custkey
+  FROM orders
+), checks AS (
+  SELECT 'doc_id_unique' AS check_name,
+    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS violations
+  FROM docs
+  UNION ALL SELECT 'lang_accepted',
+    CAST(sum(CASE WHEN lang IS NULL
+      OR lang NOT IN ('de','en','es','fr','zh')
+      THEN 1 ELSE 0 END) AS BIGINT) FROM docs
+  UNION ALL SELECT 'n_chars_matches_text',
+    CAST(sum(CASE WHEN text IS NOT NULL AND n_chars <> length(text)
+      THEN 1 ELSE 0 END) AS BIGINT) FROM docs
+  UNION ALL SELECT 'n_chars_nonnegative',
+    CAST(sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM docs
+  UNION ALL SELECT 'orders_custkey_refs_customer',
+    CAST((SELECT count(*) FROM ord
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = ord.o_custkey))
+         AS BIGINT)
+  UNION ALL SELECT 'text_not_null',
+    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM docs
+)
+SELECT check_name, violations, violations = 0 AS passed FROM checks
+""".strip()

@@ -336,3 +336,137 @@ SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
   min(v) AS min_v, max(v) AS max_v, CAST(count(*) AS BIGINT) AS n
 FROM ex GROUP BY dim_idx
 """.strip()
+
+
+def q_embedding_int8_quantize(sf_dir: str):
+    """Scalar int8 quantization of the embedding column — the vector-
+    store compression step (per-dimension affine min/max codes, the
+    standard SQ8 scheme ANN libraries ship): pass 1 computes exact
+    per-dim min/max (order-free reductions, no accumulation hazard),
+    pass 2 streams codes. Long-format output carries the code and the
+    reconstruction error per (vec, dim).
+
+    Float parity is engineered, not lucky: ``floor(x + 0.5)`` instead
+    of ``round`` (DuckDB rounds half away from zero, numpy half to
+    even — floor(+0.5) is identical on both), and every expression is
+    the same left-to-right shape as the SQL
+    (``(v-mn)*255.0/(mx-mn)``, ``code*(mx-mn)/255.0``) so each IEEE
+    op sees bit-identical inputs. At 100 TB the min/max table is
+    O(dims) — the only driver state — and the code pass is a pure
+    streaming map."""
+    import pyarrow as pa
+    import ray
+
+    from ..stages.groupagg import group_aggregate_table
+
+    emb = _emb(sf_dir)
+
+    def _flat(tbl: pa.Table):
+        col = tbl.column("embedding").combine_chunks()
+        arr = col.chunk(0) if hasattr(col, "chunk") else col
+        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        lens = arr.value_lengths().to_numpy(zero_copy_only=False)
+        if len(lens) and lens.min() != lens.max():
+            raise ValueError(
+                "embedding_int8_quantize: ragged embedding lists"
+            )
+        d = int(lens[0]) if len(lens) else 0
+        return vals, d
+
+    def _mm_partial(tbl: pa.Table) -> pa.Table:
+        vals, d = _flat(tbl)
+        if d == 0:
+            return pa.table(
+                {
+                    "dim_idx": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                }
+            )
+        v2 = vals.reshape(-1, d)
+        return pa.table(
+            {
+                "dim_idx": pa.array(np.arange(d, dtype=np.int64)),
+                "mn": pa.array(v2.min(axis=0)),
+                "mx": pa.array(v2.max(axis=0)),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            emb.map_batches(
+                _mm_partial, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    mm = group_aggregate_table(
+        pa.concat_tables(parts), ["dim_idx"],
+        [("mn", "min"), ("mx", "max")],
+    ).sort_by("dim_idx")
+    mn = mm.column("mn").to_numpy(zero_copy_only=False)
+    mx = mm.column("mx").to_numpy(zero_copy_only=False)
+    mm_ref = ray.put((mn, mx))
+
+    def _codes(tbl: pa.Table) -> pa.Table:
+        mn, mx = ray.get(mm_ref)
+        vals, d = _flat(tbl)
+        n = tbl.num_rows
+        if d == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim_idx": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.int64()),
+                    "abs_err": pa.array([], pa.float64()),
+                }
+            )
+        v2 = vals.reshape(n, d)
+        span = mx - mn
+        ok = span > 0
+        # same left-to-right expression shape as the SQL oracle
+        scaled = np.where(ok, (v2 - mn) * 255.0 / np.where(ok, span, 1.0), 0.0)
+        code = np.floor(scaled + 0.5)
+        dq = mn + code * span / 255.0
+        err = np.abs(v2 - dq)
+        vec = np.repeat(
+            tbl.column("vec_id").to_numpy(zero_copy_only=False), d
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(vec.astype(np.int64)),
+                "dim_idx": pa.array(
+                    np.tile(np.arange(d, dtype=np.int64), n)
+                ),
+                "code": pa.array(code.reshape(-1).astype(np.int64)),
+                "abs_err": pa.array(err.reshape(-1)),
+            }
+        )
+
+    return emb.map_batches(_codes, batch_format="pyarrow",
+                           batch_size=None)
+
+
+QUERIES["embedding_int8_quantize"] = q_embedding_int8_quantize
+ORACLE_SQL["embedding_int8_quantize"] = """
+WITH ex AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS dim_idx,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+), mm AS (
+  SELECT dim_idx, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim_idx
+), coded AS (
+  SELECT ex.vec_id, ex.dim_idx, ex.v, mm.mn, mm.mx,
+    CASE WHEN mm.mx > mm.mn
+         THEN floor((ex.v - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5)
+         ELSE 0.0 END AS code
+  FROM ex JOIN mm USING (dim_idx)
+)
+SELECT vec_id, CAST(dim_idx AS BIGINT) AS dim_idx,
+  CAST(code AS BIGINT) AS code,
+  abs(v - (mn + code * (mx - mn) / 255.0)) AS abs_err
+FROM coded
+""".strip()

@@ -149,3 +149,25 @@ def test_knn_ivf_kmeans_gather_bounded():
     assert bf[["vec_id", "score"]].reset_index(drop=True).equals(
         part[["vec_id", "score"]].reset_index(drop=True)
     )  # full probe == exact, for ANY trained centroid set
+
+
+def test_int8_quantize_error_bound(tmp_path):
+    """SQ8 codes reconstruct within half a quantization step per dim."""
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.similarity_queries import (
+        q_embedding_int8_quantize,
+    )
+
+    tbl, m = _emb_table(n=100, d=16, seed=9)
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = q_embedding_int8_quantize(str(tmp_path)).to_pandas()
+    assert len(out) == 100 * 16
+    codes = out["code"].to_numpy()
+    assert codes.min() >= 0 and codes.max() <= 255
+    span = m.astype(np.float64).max(axis=0) - m.astype(np.float64).min(
+        axis=0
+    )
+    half_step = span / 255.0 / 2.0
+    err = out.sort_values(["vec_id", "dim_idx"])["abs_err"].to_numpy()
+    assert (err.reshape(100, 16) <= half_step + 1e-12).all()

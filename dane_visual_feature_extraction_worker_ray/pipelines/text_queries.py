@@ -2253,3 +2253,114 @@ FROM sp GROUP BY lang, split
 
 QUERIES["dataset_split_counts"] = q_dataset_split_counts
 ORACLE_SQL["dataset_split_counts"] = SQL_SPLIT_COUNTS
+
+
+# --------------------------------------------------------------------------
+# phrase search: positional adjacency over whitespace tokens
+
+PHRASE_TERMS = ("big", "order", "scan")
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact phrase search — find every document containing the query
+    terms at consecutive token positions, with the occurrence count
+    and first match position (the positional-index probe of a lexical
+    search stack, next to token_postings' doc-level index).
+
+    Scale shape: phrase matching only needs tokens of ONE document,
+    and the raw layout already co-locates them — so this is a pure
+    streaming per-batch map, no shuffle at all. Vectorized anchor
+    intersection: each occurrence of term i at position p becomes
+    anchor p−i (packed row<<32|pos); a document matches where one
+    anchor survives all k intersections (np.intersect1d chain — sorted
+    C merges, no Python per-token loop)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def _match(tbl: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_matches", pa.int64()),
+                ("first_pos", pa.int64()),
+            ]
+        )
+        s = tbl.column("text").to_pandas().fillna("").reset_index(
+            drop=True
+        )
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        ex = s.str.split().explode().dropna()
+        if len(ex) == 0:
+            return out_schema.empty_table()
+        row = ex.index.to_numpy().astype(np.int64)
+        pos = ex.groupby(level=0).cumcount().to_numpy().astype(np.int64)
+        tok = ex.to_numpy()
+        key = (row << np.int64(32)) | pos
+        anchors = None
+        for i, term in enumerate(PHRASE_TERMS):
+            k_i = key[tok == term] - i
+            anchors = (
+                k_i if anchors is None else np.intersect1d(
+                    anchors, k_i, assume_unique=True
+                )
+            )
+            if len(anchors) == 0:
+                return out_schema.empty_table()
+        arow = (anchors >> np.int64(32)).astype(np.int64)
+        apos = (anchors & np.int64(0xFFFFFFFF)).astype(np.int64)
+        order = np.lexsort((apos, arow))
+        arow, apos = arow[order], apos[order]
+        first = np.ones(len(arow), dtype=bool)
+        first[1:] = arow[1:] != arow[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.r_[starts, len(arow)])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[arow[starts]].astype(np.int64)),
+                "n_matches": pa.array(counts.astype(np.int64)),
+                # 1-based, matching the SQL list indexing
+                "first_pos": pa.array(apos[starts] + 1),
+            }
+        )
+
+    return docs.map_batches(_match, batch_format="pyarrow",
+                            batch_size=None)
+
+
+QUERIES["phrase_search"] = q_phrase_search
+
+
+def _phrase_sql() -> str:
+    sets = "\nINTERSECT\n".join(
+        "SELECT doc_id, p - {i} AS anchor FROM pos WHERE tok = '{t}'".format(
+            i=i, t=t
+        )
+        for i, t in enumerate(PHRASE_TERMS)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS p, unnest(tk) AS tok
+  FROM toks
+), anchors AS (
+{sets}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_matches,
+  CAST(min(anchor) AS BIGINT) AS first_pos
+FROM anchors GROUP BY doc_id
+""".strip()
+
+
+ORACLE_SQL["phrase_search"] = _phrase_sql()

@@ -434,3 +434,52 @@ def test_weighted_sample_docs_matches_single_node_formula(
     assert (got["n_chars"] > 0).all()
     # heavier docs dominate: sampled mean weight >> corpus mean
     assert got["n_chars"].mean() > w.mean()
+
+
+def test_phrase_search_overlaps_and_positions(ray_session, tmp_path):
+    """Overlapping occurrences each count; first_pos is 1-based; docs
+    without the phrase are absent; brute-force oracle agrees."""
+    import pyarrow.parquet as pq
+
+    import dane_visual_feature_extraction_worker_ray.pipelines.text_queries as tq
+
+    texts = [
+        "big order scan big order scan x",      # two matches, pos 1 & 4
+        "big order scan",                        # one match at pos 1
+        "order scan big",                        # no match
+        "big big order scan order scan",         # one match at pos 2
+        "",                                      # empty
+        "big order",                             # truncated phrase
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        tq.q_phrase_search(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    assert out["n_matches"].tolist() == [2, 1, 1]
+    assert out["first_pos"].tolist() == [1, 1, 2]
+
+    # brute force over every doc
+    terms = tq.PHRASE_TERMS
+    for did, s in enumerate(texts):
+        tk = s.split()
+        hits = [
+            i + 1
+            for i in range(len(tk) - len(terms) + 1)
+            if tuple(tk[i : i + len(terms)]) == terms
+        ]
+        row = out[out.doc_id == did]
+        if hits:
+            assert row.n_matches.iloc[0] == len(hits)
+            assert row.first_pos.iloc[0] == hits[0]
+        else:
+            assert row.empty

@@ -2364,3 +2364,86 @@ FROM anchors GROUP BY doc_id
 
 
 ORACLE_SQL["phrase_search"] = _phrase_sql()
+
+
+# --------------------------------------------------------------------------
+# reciprocal-rank fusion of the two lexical rankers
+
+RRF_K = 60
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the tfidf and
+    BM25 rankings — the standard way a retrieval stack combines
+    heterogeneous scorers without calibrating their score scales:
+    rrf = Σ 1/(K + rank_i) over the fused systems.
+
+    Scale shape: each ranker is the existing streaming scorer, each
+    global rank is the sample-partitioned distributed sort
+    (stages/sort.py — the one wide op, O(n log n) total, never a
+    driver gather), and the fuse is the hash equi-join on doc_id.
+    Ranks are integers (deterministic: score DESC, doc_id ASC with
+    hash-exact scores), so the fused float is two single divisions in
+    fixed order — identical IEEE shape to the SQL."""
+    import pyarrow as pa
+
+    from ..stages.join import hash_equi_join
+    from ..stages.sort import sort_by
+
+    def _ranked(ds, rank_col: str):
+        ds = ds.map_batches(
+            lambda t: t.select(["doc_id", "score"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        ranked = sort_by(
+            ds,
+            [("score", "descending"), ("doc_id", "ascending")],
+            num_partitions=8,
+            rank_col=rank_col,
+        )
+        return ranked.map_batches(
+            lambda t: t.select(["doc_id", rank_col]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    ra = _ranked(q_tfidf_scores(sf_dir), "r_lex")
+    rb = _ranked(q_bm25_scores(sf_dir), "r_bm")
+    joined = hash_equi_join(
+        ra, rb, "doc_id", "doc_id", right_columns=["r_bm"],
+        num_partitions=8,
+    )
+
+    def _fuse(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rl = tbl.column("r_lex").to_numpy().astype(np.float64)
+        rb_ = tbl.column("r_bm").to_numpy().astype(np.float64)
+        rrf = 1.0 / (60.0 + rl) + 1.0 / (60.0 + rb_)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "r_lex": tbl.column("r_lex"),
+                "r_bm": tbl.column("r_bm"),
+                "rrf_score": pa.array(rrf),
+            }
+        )
+
+    return joined.map_batches(_fuse, batch_format="pyarrow",
+                              batch_size=None)
+
+
+QUERIES["rrf_fusion"] = q_rrf_fusion
+ORACLE_SQL["rrf_fusion"] = f"""
+WITH a AS (SELECT doc_id, score FROM ({_tfidf_sql()}) t),
+b AS (SELECT doc_id, score FROM ({_bm25_sql()}) t),
+ra AS (SELECT doc_id, CAST(row_number() OVER (
+         ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex FROM a),
+rb AS (SELECT doc_id, CAST(row_number() OVER (
+         ORDER BY score DESC, doc_id) AS BIGINT) AS r_bm FROM b)
+SELECT CAST(ra.doc_id AS BIGINT) AS doc_id, r_lex, r_bm,
+  1.0 / (60.0 + CAST(r_lex AS DOUBLE))
+    + 1.0 / (60.0 + CAST(r_bm AS DOUBLE)) AS rrf_score
+FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+""".strip()

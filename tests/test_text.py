@@ -483,3 +483,35 @@ def test_phrase_search_overlaps_and_positions(ray_session, tmp_path):
             assert row.first_pos.iloc[0] == hits[0]
         else:
             assert row.empty
+
+
+def test_rrf_fusion_rank_invariants(ray_session, tmp_path):
+    """Both rank columns are permutations of 1..n, every doc appears
+    exactly once, and the fused score equals the two-term RRF formula
+    recomputed from the ranks."""
+    import pyarrow.parquet as pq
+
+    import dane_visual_feature_extraction_worker_ray.pipelines.text_queries as tq
+
+    rng = np.random.default_rng(3)
+    vocab = ["scan", "sort", "hash", "join", "batch", "query"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+        for _ in range(80)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(80), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = tq.q_rrf_fusion(str(tmp_path)).to_pandas()
+    assert len(out) == 80
+    assert sorted(out["doc_id"]) == list(range(80))
+    assert sorted(out["r_lex"]) == list(range(1, 81))
+    assert sorted(out["r_bm"]) == list(range(1, 81))
+    expect = 1.0 / (60.0 + out["r_lex"].astype(float)) + 1.0 / (
+        60.0 + out["r_bm"].astype(float)
+    )
+    assert (out["rrf_score"].to_numpy() == expect.to_numpy()).all()

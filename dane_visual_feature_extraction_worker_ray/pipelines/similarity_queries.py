@@ -470,3 +470,75 @@ SELECT vec_id, CAST(dim_idx AS BIGINT) AS dim_idx,
   abs(v - (mn + code * (mx - mn) / 255.0)) AS abs_err
 FROM coded
 """.strip()
+
+
+PCA_K = 4
+
+
+def q_embedding_pca(sf_dir: str):
+    """Top-k PCA of the embedding column — loadings in long format
+    (component, dim_idx, loading) plus the eigenvalue and explained-
+    variance ratio per component. Rows-only gate (no SQL eigensolver);
+    the planted-anisotropy recovery oracle lives in
+    tests/test_similarity.py. Scale shape: distributed moments pass
+    (one (d+d²)-double partial per block), d×d eigensolve at the
+    driver — see stages/pca.py."""
+    import pyarrow as pa
+
+    from ..stages.pca import pca_top_components
+
+    w, v, evr, _mean, _n = pca_top_components(
+        _emb(sf_dir), "embedding", k=PCA_K
+    )
+    d = v.shape[0]
+    comp = np.repeat(np.arange(len(w), dtype=np.int64), d)
+    return pa.table(
+        {
+            "component": pa.array(comp),
+            "dim_idx": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        len(w))),
+            "loading": pa.array(v.T.reshape(-1)),
+            "eigval": pa.array(np.repeat(w, d)),
+            "evr": pa.array(np.repeat(evr, d)),
+        }
+    )
+
+
+def q_embedding_pca_project(sf_dir: str):
+    """Project every embedding onto the top-k principal components —
+    the dimensionality-reduction map a 100-TB pipeline runs before
+    clustering or visualization. The (d×k) loading matrix from the
+    moments pass is broadcast once (``ray.put``); the projection is a
+    streaming per-batch matmul. Rows-only gate; invariants (variance
+    ordering, orthogonality) tested in tests/test_similarity.py."""
+    import pyarrow as pa
+    import ray
+
+    from ..stages.pca import _flat_fixed, pca_top_components
+
+    emb = _emb(sf_dir)
+    _w, v, _evr, mean, _n = pca_top_components(emb, "embedding", k=PCA_K)
+    vm_ref = ray.put((v, mean))
+
+    def _proj(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v, mean = ray.get(vm_ref)
+        x, d = _flat_fixed(tbl, "embedding")
+        if d == 0:
+            cols = {"vec_id": pa.array([], pa.int64())}
+            for j in range(v.shape[1]):
+                cols[f"pc{j}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        p = (x - mean) @ v
+        cols = {"vec_id": tbl.column("vec_id")}
+        for j in range(v.shape[1]):
+            cols[f"pc{j}"] = pa.array(p[:, j])
+        return pa.table(cols)
+
+    return emb.map_batches(_proj, batch_format="pyarrow",
+                           batch_size=None)
+
+
+QUERIES["embedding_pca"] = q_embedding_pca
+QUERIES["embedding_pca_project"] = q_embedding_pca_project

@@ -171,3 +171,43 @@ def test_int8_quantize_error_bound(tmp_path):
     half_step = span / 255.0 / 2.0
     err = out.sort_values(["vec_id", "dim_idx"])["abs_err"].to_numpy()
     assert (err.reshape(100, 16) <= half_step + 1e-12).all()
+
+
+def test_pca_recovers_planted_anisotropy():
+    """Moments-pass PCA matches in-memory eigh on the exact covariance
+    and recovers planted high-variance directions (up to sign)."""
+    from dane_visual_feature_extraction_worker_ray.stages.pca import (
+        pca_top_components,
+    )
+
+    rng = np.random.default_rng(11)
+    d, n = 24, 4000
+    # planted orthonormal basis; first two directions dominate
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    scales = np.ones(d) * 0.1
+    scales[0], scales[1] = 5.0, 2.5
+    x = (rng.standard_normal((n, d)) * scales) @ q.T
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                list(x.astype(np.float32)), pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(7)
+    w, v, evr, mean, cnt = pca_top_components(ds, "embedding", k=3)
+    assert cnt == n
+    # oracle: exact eigh on the in-memory population covariance
+    xf = x.astype(np.float32).astype(np.float64)
+    c = (xf - xf.mean(axis=0)).T @ (xf - xf.mean(axis=0)) / n
+    w_ref, v_ref = np.linalg.eigh(c)
+    w_ref = w_ref[::-1][:3]
+    np.testing.assert_allclose(w, w_ref, rtol=1e-8)
+    assert w[0] > w[1] > w[2]
+    assert evr[0] > 0.5  # dominant direction carries most variance
+    # planted-direction recovery (sign-free)
+    assert abs(v[:, 0] @ q[:, 0]) > 0.99
+    assert abs(v[:, 1] @ q[:, 1]) > 0.99
+    # orthonormal loadings
+    np.testing.assert_allclose(v.T @ v, np.eye(3), atol=1e-10)

@@ -1566,3 +1566,97 @@ SELECT event_type AS t1, nxt AS t2, nxt2 AS t3,
 FROM o WHERE nxt IS NOT NULL AND nxt2 IS NOT NULL
 GROUP BY 1, 2, 3
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# key-skew profiler: the shuffle-planning diagnostic
+
+def q_key_skew_profile(sf_dir: str):
+    """Key-skew profile of events.user_id — the diagnostic that decides
+    whether a downstream shuffle needs salting (stages/salting.py) or a
+    hot-key split (stages/join.py hot_keys): per-key counts bucketed by
+    bit length (⌊log2⌋+1), with how many keys and rows land in each
+    bucket and the exact share of the hottest key in basis points.
+
+    Integer-exact end to end: per-batch partial key counts combine on
+    the hash exchange (the distinct key table never reaches the
+    driver); bucket = searchsorted against powers of two, NOT
+    float log2 (exact at powers of two where floats round either way);
+    the hot-key share is integer basis points, no IEEE division."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    ds = _events(sf_dir, ["user_id"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        u, c = np.unique(tbl.column("user_id").to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(u.astype(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    per_key = hash_grouped_aggregate(
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    pows = 2 ** np.arange(62, dtype=np.int64)
+
+    def _bucketize(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("n").to_numpy()
+        blen = np.searchsorted(pows, c, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "bucket_bits": pa.array(blen),
+                "n_keys": pa.array(np.ones(len(c), np.int64)),
+                "n_rows": pa.array(c.astype(np.int64)),
+                "max_key_rows": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    hist = hash_grouped_aggregate(
+        per_key.map_batches(_bucketize, batch_format="pyarrow",
+                            batch_size=None),
+        ["bucket_bits"],
+        [("n_keys", "sum"), ("n_rows", "sum"), ("max_key_rows", "max")],
+        num_buckets=2,
+    )
+    tbl = pa.Table.from_pandas(hist.to_pandas(), preserve_index=False)
+    total = int(tbl.column("n_rows").to_numpy().sum())
+    hot = int(tbl.column("max_key_rows").to_numpy().max()) if total else 0
+    out = tbl.append_column(
+        "hot_share_bp",
+        pa.array(
+            np.full(tbl.num_rows, (hot * 10_000) // total if total else 0,
+                    np.int64)
+        ),
+    )
+    return out
+
+
+QUERIES["key_skew_profile"] = q_key_skew_profile
+ORACLE_SQL["key_skew_profile"] = """
+WITH per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+), hist AS (
+  SELECT CAST(length(bin(n)) AS BIGINT) AS bucket_bits,
+    CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(n) AS BIGINT) AS n_rows,
+    CAST(max(n) AS BIGINT) AS max_key_rows
+  FROM per_key GROUP BY 1
+)
+SELECT *,
+  CAST((SELECT max(n) FROM per_key) * 10000
+       // (SELECT sum(n) FROM per_key) AS BIGINT) AS hot_share_bp
+FROM hist
+""".strip()

@@ -535,3 +535,43 @@ def test_event_trigrams_user_boundaries(ray_session, tmp_path):
         ("view", "click", "purchase"): 1,
         ("click", "purchase", "view"): 1,
     }
+
+
+def test_key_skew_profile_planted_hot_key(ray_session, tmp_path):
+    """One key holding 90% of rows dominates its bit-length bucket and
+    the basis-point share is exact integer math."""
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.events_queries import (
+        q_key_skew_profile,
+    )
+
+    n_hot, n_cold_keys = 900, 50  # 900 + 100 rows
+    uid = np.r_[
+        np.zeros(n_hot, np.int64),
+        np.repeat(np.arange(1, n_cold_keys + 1, dtype=np.int64), 2),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(uid), dtype=np.int64)),
+            "ts": pa.array(
+                np.arange(len(uid), dtype=np.int64).astype(
+                    "datetime64[us]"
+                )
+            ),
+            "user_id": pa.array(uid),
+            "event_type": pa.array(["view"] * len(uid)),
+            "value": pa.array(np.zeros(len(uid))),
+            "props": pa.array(["{}"] * len(uid)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_key_skew_profile(str(tmp_path)).to_pandas()
+    assert (out["hot_share_bp"] == 9000).all()
+    hot_row = out[out["max_key_rows"] == n_hot]
+    assert len(hot_row) == 1
+    # 900 needs 10 bits
+    assert hot_row["bucket_bits"].iloc[0] == 10
+    cold = out[out["bucket_bits"] == 2]  # count 2 → 2 bits
+    assert cold["n_keys"].iloc[0] == n_cold_keys
+    assert out["n_rows"].sum() == len(uid)

@@ -2447,3 +2447,189 @@ SELECT CAST(ra.doc_id AS BIGINT) AS doc_id, r_lex, r_bm,
     + 1.0 / (60.0 + CAST(r_bm AS DOUBLE)) AS rrf_score
 FROM ra JOIN rb ON ra.doc_id = rb.doc_id
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# bigram novelty: the n-gram-LM-flavored fluency/novelty signal
+
+def q_bigram_novelty(sf_dir: str):
+    """Per-document rare-bigram ratio — the n-gram language-model
+    style fluency signal (documents full of corpus-rare bigrams are
+    OCR noise, boilerplate mashups, or genuinely novel text; both ends
+    matter to a curation pipeline). A bigram is RARE when its corpus
+    count is under a quarter of the mean bigram count — the threshold
+    is an exact integer cross-multiplication
+    (cn · n_distinct · 4 ≤ total), scale-free so the gate stays
+    non-vacuous at every tier.
+
+    Scale shape: (1) per-batch (bigram, count) partials → hash-grouped
+    corpus counts (the distinct-bigram table stays distributed);
+    (2) two integer scalars (distinct, total) from tiny per-batch
+    partials — the only driver state; (3) per-doc bigram pairs join
+    the count table on the hash exchange (never broadcast — the rare
+    SET can be corpus-proportional, the drop-set lesson); (4) per-doc
+    integer aggregate + ONE final IEEE division."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import hash_grouped_aggregate
+    from ..stages.join import hash_equi_join
+
+    def _docs_ds():
+        return read_parquet_tuned(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+
+    def _bigram_pairs(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("text").to_pandas().fillna("").reset_index(
+            drop=True
+        )
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        ex = s.str.split().explode().dropna()
+        if len(ex) == 0:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        row = ex.index.to_numpy().astype(np.int64)
+        tok = ex.to_numpy().astype(object)
+        same = row[1:] == row[:-1]
+        bg = tok[:-1][same] + " " + tok[1:][same]
+        brow = row[:-1][same]
+        df = (
+            pd.DataFrame({"bigram": bg, "doc_id": ids[brow]})
+            .groupby(["bigram", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "bigram": pa.array(df["bigram"].to_numpy(dtype=object)),
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy().astype(np.int64)
+                ),
+                "c": pa.array(df["c"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    pairs = _docs_ds().map_batches(
+        _bigram_pairs, batch_format="pyarrow", batch_size=None
+    )
+
+    cnt = hash_grouped_aggregate(
+        pairs.map_batches(
+            lambda t: t.select(["bigram", "c"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["bigram"],
+        [("c", "sum")],
+        num_buckets=8,
+    ).map_batches(
+        lambda t: t.rename_columns(["bigram", "cn"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    # global scalars: tiny per-batch partials, O(blocks) driver rows
+    def _scal(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "d": pa.array([tbl.num_rows], pa.int64()),
+                "t": pa.array(
+                    [int(tbl.column("cn").to_numpy().sum())], pa.int64()
+                ),
+            }
+        )
+
+    sparts = [
+        t
+        for t in ray.get(
+            cnt.map_batches(
+                _scal, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    n_distinct = sum(int(t.column("d")[i].as_py())
+                     for t in sparts for i in range(t.num_rows))
+    total = sum(int(t.column("t")[i].as_py())
+                for t in sparts for i in range(t.num_rows))
+
+    joined = hash_equi_join(
+        pairs, cnt, "bigram", "bigram", right_columns=["cn"],
+        num_partitions=8,
+    )
+
+    def _doc_partial(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("c").to_numpy()
+        cn = tbl.column("cn").to_numpy()
+        rare = (cn * n_distinct * 4 <= total).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_bigrams": pa.array(c.astype(np.int64)),
+                "n_rare": pa.array(c * rare),
+            }
+        )
+
+    per_doc = hash_grouped_aggregate(
+        joined.map_batches(
+            _doc_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["doc_id"],
+        [("n_bigrams", "sum"), ("n_rare", "sum")],
+        num_buckets=8,
+    )
+
+    def _score(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nb = tbl.column("n_bigrams").to_numpy().astype(np.float64)
+        nr = tbl.column("n_rare").to_numpy().astype(np.float64)
+        return tbl.append_column("novelty", pa.array(nr / nb))
+
+    return per_doc.map_batches(_score, batch_format="pyarrow",
+                               batch_size=None)
+
+
+QUERIES["bigram_novelty"] = q_bigram_novelty
+ORACLE_SQL["bigram_novelty"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS p, unnest(tk) AS tok
+  FROM toks
+), bg AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (
+    PARTITION BY doc_id ORDER BY p) AS bigram
+  FROM pos
+  QUALIFY bigram IS NOT NULL
+), cnt AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS cn FROM bg GROUP BY bigram
+), scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(cn) AS BIGINT) AS total
+  FROM cnt
+), per AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_bigrams,
+    CAST(sum(CASE WHEN cn * (SELECT n_distinct FROM scal) * 4
+                       <= (SELECT total FROM scal)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM bg JOIN cnt USING (bigram)
+  GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, n_rare,
+  CAST(n_rare AS DOUBLE) / n_bigrams AS novelty
+FROM per
+""".strip()

@@ -515,3 +515,36 @@ def test_rrf_fusion_rank_invariants(ray_session, tmp_path):
         60.0 + out["r_bm"].astype(float)
     )
     assert (out["rrf_score"].to_numpy() == expect.to_numpy()).all()
+
+
+def test_bigram_novelty_planted_noise_doc(ray_session, tmp_path):
+    """A doc made of corpus-unique bigrams scores novelty 1.0; docs of
+    the dominant repeated bigram score 0.0; counts are exact."""
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.text_queries import (
+        q_bigram_novelty,
+    )
+
+    common = "a b " * 50            # bigrams (a,b) x50, (b,a) x49 per doc
+    noise = " ".join(f"z{i}" for i in range(20))  # 19 unique bigrams
+    texts = [common.strip()] * 10 + [noise]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        q_bigram_novelty(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 11
+    assert (out.loc[out.doc_id < 10, "novelty"] == 0.0).all()
+    noise_row = out[out.doc_id == 10].iloc[0]
+    assert noise_row["n_bigrams"] == 19
+    assert noise_row["n_rare"] == 19
+    assert noise_row["novelty"] == 1.0

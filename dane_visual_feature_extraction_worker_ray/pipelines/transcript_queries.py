@@ -1110,3 +1110,198 @@ SELECT b.conv_id, b.turn_idx,
   END AS kind
 FROM b JOIN f ON b.conv_id = f.conv_id AND b.turn_idx = f.turn_idx
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# SFT pair assembly: (prompt, completion) extraction from turn pairs
+
+SFT_PROMPT_ROLE = "view"
+SFT_COMPLETION_ROLE = "purchase"
+
+
+def q_sft_pairs(sf_dir: str):
+    """Training-pair assembly — the step that turns raw transcripts
+    into supervised examples: every turn whose role is the completion
+    role, paired with the immediately preceding turn when that turn
+    has the prompt role, with byte-exact prompt/completion text and
+    the response latency. The pair boundary is the same stable
+    (conv_id, ts, order_key) turn order every transcript kernel uses.
+
+    Scale shape: one conv_id hash exchange (pairs never cross a
+    conversation), one lexsort + vectorized shift inside the kernel,
+    latency in integer µs with a single final IEEE division."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import hash_exchange
+
+    turns = events_to_turns(_events(sf_dir))
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("prompt", pa.string()),
+            ("completion", pa.string()),
+            ("latency_s", pa.float64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        t = tbl.take(
+            pc.sort_indices(
+                tbl,
+                sort_keys=[
+                    ("conv_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("order_key", "ascending"),
+                ],
+            )
+        )
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        text = t.column("text").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        n = len(conv)
+        if n < 2:
+            return out_schema.empty_table()
+        same = conv[1:] == conv[:-1]
+        hit = (
+            same
+            & (role[:-1] == SFT_PROMPT_ROLE)
+            & (role[1:] == SFT_COMPLETION_ROLE)
+        )
+        i = np.flatnonzero(hit)
+        lat = (ts[i + 1] - ts[i]).astype(np.float64) / 1000000.0
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[i], pa.string()),
+                "prompt": pa.array(text[i], pa.string()),
+                "completion": pa.array(text[i + 1], pa.string()),
+                "latency_s": pa.array(lat),
+            }
+        )
+
+    return hash_exchange(turns, ["conv_id"], 16, _kernel, out_schema)
+
+
+SQL_SFT = f"""
+WITH {SQL_TURNS_CTE},
+seq AS (
+  SELECT conv_id, role, text, ts,
+    lag(role) OVER w AS prev_role,
+    lag(text) OVER w AS prev_text,
+    lag(epoch_us(ts)) OVER w AS prev_us
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, prev_text AS prompt, text AS completion,
+  CAST(epoch_us(ts) - prev_us AS DOUBLE) / 1000000 AS latency_s
+FROM seq
+WHERE prev_role = '{SFT_PROMPT_ROLE}' AND role = '{SFT_COMPLETION_ROLE}'
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# conversation-level exact dedup via ordered transcript fingerprints
+
+def q_dedup_conversations(sf_dir: str):
+    """Whole-conversation exact dedup: the transcript fingerprint is
+    the ordered concatenation of turn texts (unit separator \\x1f,
+    never present in text), survivors keep the MIN conv_id per
+    distinct transcript. The clean events table has no duplicate
+    conversations, so duplicates are PLANTED (user_id % 11 == 0 convs
+    replayed under conv_id+1000000 — mirrored in the oracle).
+
+    Scale shape: the ordered join is grouped_string_agg's C++
+    binary_join on the conv_id exchange; the dedup group-by runs on
+    the fingerprint itself at gate scale (production would key the
+    exchange on hash64(transcript) and verify inside the group — the
+    dedup_exact convention, stages/dedup.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import hash_grouped_aggregate
+    from ..stages.scan import grouped_string_agg
+
+    turns = events_to_turns(_events(sf_dir))
+
+    def _plant(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        uid = pc.cast(tbl.column("conv_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        dup = tbl.filter(pa.array(uid % 11 == 0))
+        new_id = pc.cast(
+            pc.add(pc.cast(dup.column("conv_id"), pa.int64()), 1000000),
+            pa.string(),
+        )
+        dup = dup.set_column(
+            dup.schema.get_field_index("conv_id"), "conv_id", new_id
+        )
+        return pa.concat_tables([tbl, dup])
+
+    planted = turns.map_batches(
+        _plant, batch_format="pyarrow", batch_size=None
+    )
+
+    fp = grouped_string_agg(
+        planted,
+        "conv_id",
+        order_by=[("ts", "ascending"), ("order_key", "ascending")],
+        value_col="text",
+        sep="\x1f",
+        out="transcript",
+        count_col="n_turns",
+        num_partitions=16,
+    )
+
+    def _one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_convs", pa.array([1] * t.num_rows, pa.int64())
+        )
+
+    agg = hash_grouped_aggregate(
+        fp.map_batches(_one, batch_format="pyarrow", batch_size=None),
+        ["transcript"],
+        [("conv_id", "min"), ("n_convs", "sum"), ("n_turns", "min")],
+        num_buckets=8,
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(
+            ["transcript", "survivor_conv_id", "n_convs", "n_turns"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+SQL_DEDUP_CONV = f"""
+WITH {SQL_TURNS_CTE},
+planted AS (
+  SELECT conv_id, text, ts, event_id FROM turns
+  UNION ALL
+  SELECT CAST(CAST(conv_id AS BIGINT) + 1000000 AS VARCHAR) AS conv_id,
+         text, ts, event_id
+  FROM turns WHERE CAST(conv_id AS BIGINT) % 11 = 0
+),
+fp AS (
+  SELECT conv_id,
+    string_agg(text, chr(31) ORDER BY ts, event_id) AS transcript,
+    CAST(count(*) AS BIGINT) AS n_turns
+  FROM planted GROUP BY conv_id
+)
+SELECT transcript, min(conv_id) AS survivor_conv_id,
+  CAST(count(*) AS BIGINT) AS n_convs,
+  CAST(min(n_turns) AS BIGINT) AS n_turns
+FROM fp GROUP BY transcript
+""".strip()
+
+
+QUERIES["sft_pairs"] = q_sft_pairs
+ORACLE_SQL["sft_pairs"] = SQL_SFT
+QUERIES["dedup_conversations"] = q_dedup_conversations
+ORACLE_SQL["dedup_conversations"] = SQL_DEDUP_CONV

@@ -210,3 +210,50 @@ def test_extra_feature_ops(corpus):
         compute_features(
             rd.from_arrow(turns), None, extra_ops=["nope"]
         )
+
+
+def test_sft_pairs_adjacency(ray_session, tmp_path):
+    """Pairs only form on immediately-consecutive (view, purchase)
+    turns inside one conversation; text is byte-exact; latency is the
+    integer-us delta divided once."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.transcript_queries import (
+        q_sft_pairs,
+    )
+
+    rows = [
+        # conv 1: view -> purchase (pair), then error breaks adjacency
+        (1, 1, "view", "p1"),
+        (2, 1, "purchase", "c1"),
+        (3, 1, "view", "p2"),
+        (4, 1, "error", "x"),
+        (5, 1, "purchase", "c2"),   # NOT paired (prev is error)
+        # conv 2: purchase first (no prompt), then view at the end
+        (6, 2, "purchase", "c3"),
+        (7, 2, "view", "p3"),
+        # conv 3: view then purchase but in DIFFERENT conversations
+        (8, 3, "view", "p4"),
+        (9, 4, "purchase", "c4"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[0] * 1_000_000 for r in rows], np.int64)
+                .astype("datetime64[us]")
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_sft_pairs(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["conv_id"], r["prompt"], r["completion"]) == ("1", "p1", "c1")
+    assert r["latency_s"] == 1.0

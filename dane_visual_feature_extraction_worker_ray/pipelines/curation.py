@@ -441,3 +441,112 @@ WITH base AS (
 )
 SELECT check_name, violations, violations = 0 AS passed FROM checks
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# per-source language diversity (Gini impurity)
+
+def q_source_lang_gini(sf_dir: str):
+    """Language-diversity profile per source — the mixture-planning
+    diagnostic (a source whose Gini impurity ≈ 0 is monolingual; high
+    impurity means the language-ID stage matters for that source).
+    Gini = (n² − Σc²)/n² over per-(source, lang) counts c.
+
+    Integer-exact until ONE final IEEE division: the (source, lang)
+    count table combines on the hash exchange, the per-source reduce
+    is Σc and Σc² in int64, and both engines evaluate
+    CAST(n*n − sumsq AS DOUBLE) / (n*n) identically."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import hash_grouped_aggregate
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang"],
+    )
+
+    def _pair_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            pd.DataFrame(
+                {
+                    "source": tbl.column("source").to_pandas(),
+                    "lang": tbl.column("lang").to_pandas(),
+                }
+            )
+            .groupby(["source", "lang"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "source": pa.array(df["source"].to_numpy(dtype=object)),
+                "lang": pa.array(df["lang"].to_numpy(dtype=object)),
+                "c": pa.array(df["c"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    pair_counts = hash_grouped_aggregate(
+        docs.map_batches(
+            _pair_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["source", "lang"],
+        [("c", "sum")],
+        num_buckets=8,
+    )
+
+    def _sq(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("c").to_numpy()
+        return pa.table(
+            {
+                "source": tbl.column("source"),
+                "n_docs": pa.array(c.astype(np.int64)),
+                "n_langs": pa.array(np.ones(len(c), np.int64)),
+                "sumsq": pa.array((c * c).astype(np.int64)),
+            }
+        )
+
+    per_source = hash_grouped_aggregate(
+        pair_counts.map_batches(
+            _sq, batch_format="pyarrow", batch_size=None
+        ),
+        ["source"],
+        [("n_docs", "sum"), ("n_langs", "sum"), ("sumsq", "sum")],
+        num_buckets=4,
+    )
+
+    def _gini(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n_docs").to_numpy()
+        sq = tbl.column("sumsq").to_numpy()
+        g = (n * n - sq).astype(np.float64) / (n * n).astype(np.float64)
+        return pa.table(
+            {
+                "source": tbl.column("source"),
+                "n_docs": tbl.column("n_docs"),
+                "n_langs": tbl.column("n_langs"),
+                "gini": pa.array(g),
+            }
+        )
+
+    return per_source.map_batches(_gini, batch_format="pyarrow",
+                                  batch_size=None)
+
+
+QUERIES["source_lang_gini"] = q_source_lang_gini
+ORACLE_SQL["source_lang_gini"] = """
+WITH pc AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+), per AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+    CAST(count(*) AS BIGINT) AS n_langs,
+    CAST(sum(c * c) AS BIGINT) AS sumsq
+  FROM pc GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+  CAST(n_docs * n_docs - sumsq AS DOUBLE) / (n_docs * n_docs) AS gini
+FROM per
+""".strip()

@@ -542,3 +542,24 @@ def q_embedding_pca_project(sf_dir: str):
 
 QUERIES["embedding_pca"] = q_embedding_pca
 QUERIES["embedding_pca_project"] = q_embedding_pca_project
+
+
+PQ_M, PQ_K, PQ_ITERS = 8, 16, 3
+
+
+def q_embedding_pq_codes(sf_dir: str):
+    """Product-quantization codes for every embedding (m=8 subspaces,
+    k=16 codes each, 3 shared distributed Lloyd rounds) plus the
+    per-vector reconstruction error. Rows-only gate (iterative
+    training, not SQL-expressible); monotone-objective and
+    planted-codebook recovery oracles live in tests/test_similarity.py.
+    Scale shape: stages/pq.py — one moments partial per block per
+    round, codebooks broadcast once, encode fully streaming."""
+    from ..stages.pq import pq_encode, pq_train
+
+    emb = _emb(sf_dir)
+    books = pq_train(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    return pq_encode(emb, books)
+
+
+QUERIES["embedding_pq_codes"] = q_embedding_pq_codes

@@ -1,0 +1,152 @@
+"""Product quantization (PQ) of an embedding column.
+
+The next compression step after the scalar SQ8 quantizer
+(``pipelines/similarity_queries.q_embedding_int8_quantize``): split
+each d-dim vector into ``m`` contiguous subspaces and vector-quantize
+each against its own k-entry codebook (Jégou, Douze & Schmid 2011 —
+public method). A vector compresses to ``m`` small codes; an ANN stack
+scans codes with per-subspace lookup tables.
+
+Scale shape (same contract as ``stages/clustering.py``):
+
+- **train**: ONE streaming pass per Lloyd round covers ALL subspaces —
+  each batch emits a single ``(m·k)``-row moments partial
+  ``(sub, cluster, n, Σsubvec)``; the driver combines
+  ``m·k × n_blocks`` tiny rows and refreshes the ``(m, k, d/m)``
+  codebook tensor. The corpus never moves; the codebooks are broadcast
+  once per round via ``ray.put``.
+- **encode**: one streaming pass against the broadcast codebooks;
+  codes + reconstruction error per vector, no shuffle.
+
+Determinism: seed codebooks come from the k smallest-id vectors
+(bounded gather, ``clustering.kmeans_init_centroids``); partials are
+combined in block order; assignment ties break toward the smallest
+code (first argmin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .clustering import _sq_dists, kmeans_init_centroids
+from .similarity import _matrix
+
+
+def _split(mtx: np.ndarray, m: int) -> np.ndarray:
+    """(n, d) → (m, n, d/m) contiguous subspace views."""
+    n, d = mtx.shape
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    dsub = d // m
+    return mtx.reshape(n, m, dsub).transpose(1, 0, 2)
+
+
+def pq_train(
+    emb_ds,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train the ``(m, k, d/m)`` codebook tensor with distributed
+    Lloyd rounds shared across subspaces."""
+    seed = kmeans_init_centroids(emb_ds, k, vec_col, id_col)
+    d = seed.shape[1]
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = _split(seed, m).copy()  # (m, k, dsub)
+
+    for _ in range(iters):
+        b_ref = ray.put(books)
+
+        def _partial(tbl: pa.Table) -> pa.Table:
+            B = ray.get(b_ref)
+            x = _split(_matrix(tbl, vec_col).astype(np.float64), m)
+            subs = []
+            clusters = []
+            counts = []
+            sums = []
+            for j in range(m):
+                a = np.argmin(_sq_dists(x[j], B[j]), axis=1)
+                cnt = np.bincount(a, minlength=k).astype(np.int64)
+                s = np.zeros((k, dsub), np.float64)
+                for c in np.unique(a):
+                    s[c] = x[j][a == c].sum(axis=0)
+                subs.append(np.full(k, j, np.int64))
+                clusters.append(np.arange(k, dtype=np.int64))
+                counts.append(cnt)
+                sums.append(s)
+            return pa.table(
+                {
+                    "sub": pa.array(np.concatenate(subs)),
+                    "cluster": pa.array(np.concatenate(clusters)),
+                    "n": pa.array(np.concatenate(counts)),
+                    "s": pa.FixedSizeListArray.from_arrays(
+                        pa.array(np.concatenate(sums).ravel()), dsub
+                    ),
+                }
+            )
+
+        total_n = np.zeros((m, k), np.int64)
+        total_s = np.zeros((m, k, dsub), np.float64)
+        for t in ray.get(
+            emb_ds.map_batches(
+                _partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ):
+            if t.num_rows == 0:
+                continue
+            sub = t.column("sub").to_numpy()
+            clu = t.column("cluster").to_numpy()
+            total_n[sub, clu] += t.column("n").to_numpy()
+            total_s[sub, clu] += (
+                t.column("s")
+                .combine_chunks()
+                .flatten()
+                .to_numpy()
+                .reshape(-1, dsub)
+            )
+        live = total_n > 0
+        books = np.where(
+            live[..., None],
+            total_s / np.maximum(total_n, 1)[..., None],
+            books,
+        )
+    return books
+
+
+def pq_encode(
+    emb_ds,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Encode every vector: Dataset of (vec_id, code_0..code_{m-1},
+    recon_err) where recon_err is the euclidean distance between the
+    vector and its codebook reconstruction."""
+    books = np.asarray(books, np.float64)
+    m = books.shape[0]
+    b_ref = ray.put(books)
+
+    def _enc(tbl: pa.Table) -> pa.Table:
+        B = ray.get(b_ref)
+        mtx = _matrix(tbl, vec_col).astype(np.float64)
+        x = _split(mtx, m)
+        n = mtx.shape[0]
+        codes = np.zeros((m, n), np.int64)
+        err2 = np.zeros(n, np.float64)
+        for j in range(m):
+            d2 = _sq_dists(x[j], B[j])
+            codes[j] = np.argmin(d2, axis=1)
+            err2 += d2[np.arange(n), codes[j]]
+        cols = {id_col: tbl.column(id_col).cast(pa.int64())}
+        for j in range(m):
+            cols[f"code_{j}"] = pa.array(codes[j])
+        cols["recon_err"] = pa.array(np.sqrt(err2))
+        return pa.table(cols)
+
+    return emb_ds.map_batches(_enc, batch_format="pyarrow")

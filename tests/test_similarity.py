@@ -211,3 +211,60 @@ def test_pca_recovers_planted_anisotropy():
     assert abs(v[:, 1] @ q[:, 1]) > 0.99
     # orthonormal loadings
     np.testing.assert_allclose(v.T @ v, np.eye(3), atol=1e-10)
+
+
+def test_pq_planted_codebook_recovery_and_monotone_objective():
+    """If each subspace has exactly k distinct sub-vectors, PQ recovers
+    them (reconstruction error 0); on random data the Lloyd objective
+    is non-increasing in the iteration count."""
+    from dane_visual_feature_extraction_worker_ray.stages.pq import (
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(21)
+    m, k, dsub = 4, 8, 4
+    d = m * dsub
+    # planted: each subspace draws from exactly k distinct sub-vectors
+    banks = rng.standard_normal((m, k, dsub)) * 5
+    picks = rng.integers(0, k, size=(600, m))
+    # the k smallest-id vectors enumerate the codebook in order, so the
+    # deterministic smallest-id seed IS the planted codebook and Lloyd
+    # holds it fixed (every cluster's members are identical points)
+    picks[:k] = np.arange(k)[:, None]
+    x = np.concatenate(
+        [banks[j, picks[:, j]] for j in range(m)], axis=1
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(600), pa.int64()),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(5)
+    books = pq_train(ds, m=m, k=k, iters=8)
+    out = pq_encode(ds, books).to_pandas()
+    assert len(out) == 600
+    assert out["recon_err"].max() < 1e-6
+    for j in range(m):
+        assert out[f"code_{j}"].between(0, k - 1).all()
+        assert out[f"code_{j}"].nunique() == k
+
+    # monotone objective on random data
+    noise = rng.standard_normal((400, d)).astype(np.float32)
+    nt = pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array(list(noise), pa.list_(pa.float32())),
+        }
+    )
+    nds = rd.from_arrow(nt).repartition(3)
+    prev = None
+    for it in [0, 2, 5]:
+        b = pq_train(nds, m=m, k=k, iters=it)
+        mse = float(
+            (pq_encode(nds, b).to_pandas()["recon_err"] ** 2).mean()
+        )
+        if prev is not None:
+            assert mse <= prev + 1e-9
+        prev = mse

@@ -563,3 +563,21 @@ def q_embedding_pq_codes(sf_dir: str):
 
 
 QUERIES["embedding_pq_codes"] = q_embedding_pq_codes
+
+
+def q_knn_pq_topk(sf_dir: str):
+    """Top-k nearest neighbours of the fixed query vector via the PQ
+    asymmetric-distance scan (codes never decompress; the query-to-
+    codeword lookup table is built once per batch). Rows-only gate —
+    ADC is an approximation by construction; the exact-regime
+    equivalence (recovered codebook ⇒ ADC == brute force) and recall
+    floor are pinned in tests/test_similarity.py."""
+    from ..stages.pq import knn_pq_adc, pq_train
+
+    emb = _emb(sf_dir)
+    books = pq_train(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    df = knn_pq_adc(emb, books, _query_vec(sf_dir), k=K)
+    return df
+
+
+QUERIES["knn_pq_topk"] = q_knn_pq_topk

@@ -150,3 +150,66 @@ def pq_encode(
         return pa.table(cols)
 
     return emb_ds.map_batches(_enc, batch_format="pyarrow")
+
+
+def knn_pq_adc(
+    emb_ds,
+    books: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Asymmetric-distance top-k: the query stays float, the corpus is
+    scanned through its PQ codes — per batch the (m, k_codes) table of
+    exact query-to-codeword squared distances is built once (tiny) and
+    summed by lookup, the standard ADC scan of an IVF-PQ index.
+
+    Per-batch top-k partials (k rows each) are the only driver gather
+    — O(k · n_blocks), same bound as knn_brute_force. Returns a pandas
+    frame (vec_id, adc_dist) sorted ascending, ties to smaller id."""
+    import pandas as pd
+
+    books = np.asarray(books, np.float64)
+    m, kc, dsub = books.shape
+    q = np.asarray(query, np.float64).reshape(m, dsub)
+    # (m, kc) exact query→codeword squared distances
+    lut = ((books - q[:, None, :]) ** 2).sum(axis=2)
+    lut_ref = ray.put(lut)
+    b_ref = ray.put(books)
+
+    def _scan(tbl: pa.Table) -> pa.Table:
+        B = ray.get(b_ref)
+        L = ray.get(lut_ref)
+        mtx = _matrix(tbl, vec_col).astype(np.float64)
+        x = _split(mtx, m)
+        n = mtx.shape[0]
+        dist2 = np.zeros(n, np.float64)
+        for j in range(m):
+            codes = np.argmin(_sq_dists(x[j], B[j]), axis=1)
+            dist2 += L[j, codes]
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        if n > k:
+            part = np.argpartition(dist2, k)[:k]
+            ids, dist2 = ids[part], dist2[part]
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64)),
+                "adc_dist": pa.array(np.sqrt(dist2)),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            emb_ds.map_batches(_scan, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    allp = pa.concat_tables(parts).to_pandas()
+    return (
+        allp.sort_values(["adc_dist", id_col])
+        .head(k)
+        .reset_index(drop=True)
+    )

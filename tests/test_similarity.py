@@ -268,3 +268,59 @@ def test_pq_planted_codebook_recovery_and_monotone_objective():
         if prev is not None:
             assert mse <= prev + 1e-9
         prev = mse
+
+
+def test_knn_pq_adc_exact_when_codebook_exact():
+    """When PQ reconstruction is exact (planted codebook), the ADC
+    scan returns exactly the brute-force top-k; on lossy random data
+    recall@10 against brute force stays above a floor."""
+    from dane_visual_feature_extraction_worker_ray.stages.pq import (
+        knn_pq_adc,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(31)
+    m, k, dsub = 4, 8, 4
+    d = m * dsub
+    banks = rng.standard_normal((m, k, dsub)) * 3
+    picks = rng.integers(0, k, size=(500, m))
+    picks[:k] = np.arange(k)[:, None]
+    x = np.concatenate(
+        [banks[j, picks[:, j]] for j in range(m)], axis=1
+    ).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(500), pa.int64()),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    books = pq_train(ds, m=m, k=k, iters=2)
+    q = x[7].astype(np.float64)
+
+    got = knn_pq_adc(ds, books, q, k=10)
+    xf = x.astype(np.float64)
+    true = np.sqrt(((xf - q) ** 2).sum(axis=1))
+    order = np.lexsort((np.arange(500), true))[:10]
+    # exact-regime: identical id set and distances
+    assert set(got["vec_id"]) == set(order.tolist())
+    np.testing.assert_allclose(
+        np.sort(got["adc_dist"].to_numpy()), np.sort(true[order]),
+        rtol=1e-10,
+    )
+
+    # lossy regime: random corpus, recall@10 floor
+    noise = rng.standard_normal((500, d)).astype(np.float32)
+    nt = pa.table(
+        {
+            "vec_id": pa.array(range(500), pa.int64()),
+            "embedding": pa.array(list(noise), pa.list_(pa.float32())),
+        }
+    )
+    nds = rd.from_arrow(nt).repartition(4)
+    nb = pq_train(nds, m=m, k=k, iters=4)
+    nq = noise[3].astype(np.float64)
+    napprox = set(knn_pq_adc(nds, nb, nq, k=10)["vec_id"])
+    ntrue = np.sqrt(((noise.astype(np.float64) - nq) ** 2).sum(axis=1))
+    ntop = set(np.lexsort((np.arange(500), ntrue))[:10].tolist())
+    assert len(napprox & ntop) >= 3  # self + a plausible ADC floor

@@ -84,6 +84,25 @@ def ensure_skew_corpus() -> tuple[str, str]:
     return tp, sp
 
 
+def ensure_doc_corpus() -> tuple[str, int]:
+    """Cached 1M-doc corpus (testdata documents schema, ~51% exact-dup
+    rate from a 600k text pool) for the doc-scale curation stages.
+    ``GRAFT_BENCH_DOCS`` overrides the size; 0 disables the stages."""
+    from dane_visual_feature_extraction_worker_ray.sources.synthetic import (
+        write_doc_corpus,
+    )
+
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "1000000"))
+    d = os.path.join(BENCH_DIR, f"docs_{n_docs}_{BENCH_SEED}")
+    p = os.path.join(d, "documents.parquet")
+    if n_docs and not os.path.isfile(p):
+        write_doc_corpus(
+            d, n_docs=n_docs, seed=BENCH_SEED,
+            text_pool=max(1, int(n_docs * 0.6)),
+        )
+    return d, n_docs
+
+
 def _memcpy_gbps() -> float:
     """Single-thread 100 MB memcpy probe (GB/s, read+write counted).
     This VM's host-side DRAM starvation is invisible to loadavg and
@@ -286,6 +305,29 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         lambda: relational_queries.q_part_pagerank(sf_dir),
     )
 
+    # doc-scale curation stages: exact dedup + the bigram-novelty text
+    # shuffle over a 1M-doc corpus with a realistic (~51%) dup rate —
+    # the LLM-curation path timed at data scale, not sf0.1's 5k docs
+    doc_dir, bench_docs = ensure_doc_corpus()
+    if bench_docs:
+        from dane_visual_feature_extraction_worker_ray.pipelines import (
+            text_queries,
+        )
+
+        rd.read_parquet(
+            os.path.join(doc_dir, "documents.parquet")
+        ).count()  # warm page cache
+        timed(
+            "dedup_exact_1m",
+            lambda: dedup_queries.q_dedup_exact(doc_dir),
+            repeats=heavy_repeats,
+        )
+        timed(
+            "bigram_novelty_1m",
+            lambda: text_queries.q_bigram_novelty(doc_dir),
+            repeats=heavy_repeats,
+        )
+
     # 29M-turn tier (3.4x the headline corpus), recorded per-round so
     # scale-flatness is a JSON datum, not a prose claim (round-4 #8).
     # One repeat: the point is the big-tier turns/s next to the 8.5M
@@ -360,6 +402,11 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         result["synthetic_turns_big"] = big_turns
         result["synthetic_turns_per_sec_big"] = round(
             big_turns / timings["synthetic_flagship_big"], 1
+        )
+    if bench_docs:
+        result["bench_docs"] = bench_docs
+        result["bench_docs_per_sec_dedup"] = round(
+            bench_docs / timings["dedup_exact_1m"], 1
         )
     ray.shutdown()
     return result

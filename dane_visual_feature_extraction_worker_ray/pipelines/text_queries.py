@@ -2485,37 +2485,51 @@ def q_bigram_novelty(sf_dir: str):
         )
 
     def _bigram_pairs(tbl: pa.Table) -> pa.Table:
+        # bigrams ride every exchange as 64-bit hashed keys, never as
+        # strings (the output carries no bigram text): tokens are
+        # hashed ONCE per batch-distinct token, pairs mix with a
+        # splitmix finalizer, and per-(key, doc) counts are a lexsort
+        # run-length — no pandas string groupby, ~3x narrower shuffle.
+        # 64-bit-key equality is the engine's exact-dedup convention
+        # (stages/dedup.py dedup_exact); a collision merging two
+        # distinct bigrams is ~n^2/2^65.
+        from ..functions.hashing import _MIX, hash64, rehash64
+
         s = tbl.column("text").to_pandas().fillna("").reset_index(
             drop=True
         )
         ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
         ex = s.str.split().explode().dropna()
-        if len(ex) == 0:
-            return pa.table(
-                {
-                    "bigram": pa.array([], pa.string()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "c": pa.array([], pa.int64()),
-                }
-            )
-        row = ex.index.to_numpy().astype(np.int64)
-        tok = ex.to_numpy().astype(object)
-        same = row[1:] == row[:-1]
-        bg = tok[:-1][same] + " " + tok[1:][same]
-        brow = row[:-1][same]
-        df = (
-            pd.DataFrame({"bigram": bg, "doc_id": ids[brow]})
-            .groupby(["bigram", "doc_id"], sort=False)
-            .size()
-            .reset_index(name="c")
+        empty = pa.table(
+            {
+                "bigram": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
         )
+        if len(ex) == 0:
+            return empty
+        row = ex.index.to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(ex.to_numpy(), sort=False)
+        h = hash64(uniq)[codes]
+        same = row[1:] == row[:-1]
+        if not same.any():
+            return empty
+        bkey = rehash64(h[:-1][same] * _MIX + h[1:][same], 0xB1)
+        doc = ids[row[:-1][same]].astype(np.int64)
+        order = np.lexsort((bkey, doc))
+        bkey, doc = bkey[order], doc[order]
+        new = np.ones(len(bkey), dtype=bool)
+        new[1:] = (bkey[1:] != bkey[:-1]) | (doc[1:] != doc[:-1])
+        starts = np.flatnonzero(new)
+        c = np.diff(np.r_[starts, len(bkey)])
         return pa.table(
             {
-                "bigram": pa.array(df["bigram"].to_numpy(dtype=object)),
-                "doc_id": pa.array(
-                    df["doc_id"].to_numpy().astype(np.int64)
+                "bigram": pa.array(
+                    bkey[starts].view(np.int64)
                 ),
-                "c": pa.array(df["c"].to_numpy().astype(np.int64)),
+                "doc_id": pa.array(doc[starts]),
+                "c": pa.array(c.astype(np.int64)),
             }
         )
 
@@ -2523,28 +2537,71 @@ def q_bigram_novelty(sf_dir: str):
         _bigram_pairs, batch_format="pyarrow", batch_size=None
     )
 
-    cnt = hash_grouped_aggregate(
-        pairs.map_batches(
-            lambda t: t.select(["bigram", "c"]),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["bigram"],
-        [("c", "sum")],
-        num_buckets=8,
-    ).map_batches(
-        lambda t: t.rename_columns(["bigram", "cn"]),
-        batch_format="pyarrow",
-        batch_size=None,
+    # ONE bigram exchange does everything key-side: every occurrence of
+    # a bigram is co-located, so the kernel computes its corpus count
+    # locally (run-length over one lexsort) and attaches it to each
+    # (doc, c) row — no separate count table, no join, and the
+    # extraction map runs ONCE. Each partition also emits one sentinel
+    # row (doc_id = -1) carrying its (n_distinct, total) contribution;
+    # the materialized output is scanned once for the two global
+    # scalars (O(blocks) driver rows) before the per-doc reduce.
+    import ray as _ray
+
+    from ..stages.exchange import hash_exchange
+
+    nb = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    ann_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("c", pa.int64()),
+            ("cn", pa.int64()),
+        ]
     )
 
-    # global scalars: tiny per-batch partials, O(blocks) driver rows
+    def _attach_cn(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return ann_schema.empty_table()
+        bkey = tbl.column("bigram").to_numpy()
+        doc = tbl.column("doc_id").to_numpy()
+        c = tbl.column("c").to_numpy()
+        order = np.argsort(bkey, kind="stable")
+        bkey, doc, c = bkey[order], doc[order], c[order]
+        new = np.ones(len(bkey), dtype=bool)
+        new[1:] = bkey[1:] != bkey[:-1]
+        run_id = np.cumsum(new) - 1
+        cn_run = np.bincount(run_id, weights=c.astype(np.float64))
+        cn = cn_run.astype(np.int64)[run_id]
+        out = pa.table(
+            {
+                "doc_id": pa.array(doc.astype(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+                "cn": pa.array(cn),
+            }
+        )
+        sentinel = pa.table(
+            {
+                "doc_id": pa.array([-1], pa.int64()),
+                "c": pa.array([int(new.sum())], pa.int64()),
+                "cn": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, sentinel])
+
+    annotated = hash_exchange(
+        pairs, ["bigram"], nb, _attach_cn, ann_schema
+    ).materialize()
+
     def _scal(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sent = tbl.filter(pc.equal(tbl.column("doc_id"), -1))
         return pa.table(
             {
-                "d": pa.array([tbl.num_rows], pa.int64()),
+                "d": pa.array(
+                    [int(sent.column("c").to_numpy().sum())], pa.int64()
+                ),
                 "t": pa.array(
-                    [int(tbl.column("cn").to_numpy().sum())], pa.int64()
+                    [int(sent.column("cn").to_numpy().sum())], pa.int64()
                 ),
             }
         )
@@ -2552,7 +2609,7 @@ def q_bigram_novelty(sf_dir: str):
     sparts = [
         t
         for t in ray.get(
-            cnt.map_batches(
+            annotated.map_batches(
                 _scal, batch_format="pyarrow", batch_size=None
             ).to_arrow_refs()
         )
@@ -2563,30 +2620,28 @@ def q_bigram_novelty(sf_dir: str):
     total = sum(int(t.column("t")[i].as_py())
                 for t in sparts for i in range(t.num_rows))
 
-    joined = hash_equi_join(
-        pairs, cnt, "bigram", "bigram", right_columns=["cn"],
-        num_partitions=8,
-    )
-
     def _doc_partial(tbl: pa.Table) -> pa.Table:
-        c = tbl.column("c").to_numpy()
-        cn = tbl.column("cn").to_numpy()
+        import pyarrow.compute as pc
+
+        keep = tbl.filter(pc.not_equal(tbl.column("doc_id"), -1))
+        c = keep.column("c").to_numpy()
+        cn = keep.column("cn").to_numpy()
         rare = (cn * n_distinct * 4 <= total).astype(np.int64)
         return pa.table(
             {
-                "doc_id": tbl.column("doc_id"),
+                "doc_id": keep.column("doc_id"),
                 "n_bigrams": pa.array(c.astype(np.int64)),
                 "n_rare": pa.array(c * rare),
             }
         )
 
     per_doc = hash_grouped_aggregate(
-        joined.map_batches(
+        annotated.map_batches(
             _doc_partial, batch_format="pyarrow", batch_size=None
         ),
         ["doc_id"],
         [("n_bigrams", "sum"), ("n_rare", "sum")],
-        num_buckets=8,
+        num_buckets=nb,
     )
 
     def _score(tbl: pa.Table) -> pa.Table:

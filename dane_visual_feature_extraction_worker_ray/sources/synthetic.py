@@ -236,3 +236,68 @@ def write_corpus(
     pq.write_table(t, tp, row_group_size=row_group_size)
     pq.write_table(s, sp, row_group_size=row_group_size)
     return tp, sp
+
+
+_LANGS = np.array(["de", "en", "es", "fr", "zh"])
+
+
+def make_documents(
+    n_docs: int = 1_000_000,
+    seed: int = 42,
+    text_pool: int | None = None,
+    words_per_doc: tuple[int, int] = (15, 40),
+) -> pa.Table:
+    """Documents table ``(doc_id, text, lang, source, n_chars)`` in the
+    testdata schema, for doc-scale bench stages. ``text_pool`` draws
+    texts from a pool of distinct strings (sampling with replacement
+    plants exact duplicates for the dedup stages — pool 60% of n gives
+    a ~30% dup rate, web-crawl territory)."""
+    rng = np.random.default_rng(seed)
+    lo, hi = words_per_doc
+    pool_n = text_pool or n_docs
+    # compose each pool text from ~(lo..hi)/5.5 snippets of 3-8 words:
+    # O(snippets) vectorized concat rounds instead of O(words) rounds
+    # over full-width U arrays (40x fewer wide np.char.add passes)
+    n_snip = max(2, (lo + hi) // 11)
+    snips = _random_texts(rng, max(4096, pool_n // 8)).astype("U50")
+    pick = rng.integers(0, len(snips), size=(pool_n, n_snip))
+    text = snips[pick[:, 0]].astype(f"U{n_snip * 50}")
+    for j in range(1, n_snip):
+        text = np.char.add(np.char.add(text, " "), snips[pick[:, j]])
+    pool = text.astype(object)
+    docs = pool if pool_n == n_docs else pool[
+        rng.integers(0, pool_n, size=n_docs)
+    ]
+    n_chars = np.char.str_len(docs.astype(str)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(
+                _LANGS[rng.integers(0, len(_LANGS), size=n_docs)],
+                pa.string(),
+            ),
+            "source": pa.array(
+                np.char.add(
+                    "src", rng.integers(0, 20, size=n_docs).astype(str)
+                ).astype(object),
+                pa.string(),
+            ),
+            "n_chars": pa.array(n_chars),
+        }
+    )
+
+
+def write_doc_corpus(
+    out_dir: str,
+    n_docs: int = 1_000_000,
+    seed: int = 42,
+    row_group_size: int = 131_072,
+    **kw,
+) -> str:
+    """Write documents.parquet (testdata schema); returns the path."""
+    os.makedirs(out_dir, exist_ok=True)
+    t = make_documents(n_docs=n_docs, seed=seed, **kw)
+    p = os.path.join(out_dir, "documents.parquet")
+    pq.write_table(t, p, row_group_size=row_group_size)
+    return p

@@ -550,3 +550,56 @@ SELECT source, n_docs, n_langs,
   CAST(n_docs * n_docs - sumsq AS DOUBLE) / (n_docs * n_docs) AS gini
 FROM per
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# compression-ratio quality signal
+
+def q_compression_quality(sf_dir: str):
+    """Per-document zlib compression ratio — the classic redundancy
+    signal (highly compressible text is boilerplate/repetition;
+    incompressible text is noise or non-text; both tails get pruned in
+    a curation pass, cf. the Gopher/C4 repetition filters it
+    complements in stages/text.py).
+
+    Shape: pure streaming per-batch map. The per-doc loop calls C zlib
+    on whole documents (compression is not expressible as a columnar
+    kernel; each iteration is one C call, the standard shape for this
+    operator). Deterministic: zlib level 6 output is stable for a
+    given input across runs/processes. Rows-only gate (no SQL zlib);
+    the pytest oracle recomputes ratios directly and pins the
+    repetitive/random tails."""
+    import zlib
+
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def _ratio(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        raw = np.zeros(len(texts), np.int64)
+        comp = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            b = (t or "").encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, 6))
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 1.0)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_bytes": pa.array(raw),
+                "n_zlib_bytes": pa.array(comp),
+                "zlib_ratio": pa.array(ratio),
+            }
+        )
+
+    return docs.map_batches(_ratio, batch_format="pyarrow",
+                            batch_size=None)
+
+
+QUERIES["compression_quality"] = q_compression_quality

@@ -79,3 +79,61 @@ ORACLE_SQL = {
         "CAST(n_chars AS BIGINT) AS n_chars FROM documents"
     ),
 }
+
+
+def _ensure_csv_fixture(sf_dir: str, n_files: int = 4) -> str:
+    """Write the documents table as ``n_files`` RFC-4180 CSV shards
+    (same determinism contract as the JSONL fixture: doc_id order,
+    round-robin sharding, atomic renames)."""
+    import csv
+
+    tier = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"graft_csv_fixture_{tier}_v1")
+    done = os.path.join(d, "_SUCCESS")
+    if os.path.isfile(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=_FIXTURE_COLS
+    ).sort_by("doc_id")
+    rows = tbl.to_pylist()
+    pid = os.getpid()
+    for s in range(n_files):
+        tmp = os.path.join(d, f"part-{s:03d}.csv.tmp.{pid}")
+        with open(tmp, "w", encoding="utf-8", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(_FIXTURE_COLS)
+            for r in rows:
+                if int(r["doc_id"]) % n_files == s:
+                    w.writerow([r[c] for c in _FIXTURE_COLS])
+        os.replace(tmp, os.path.join(d, f"part-{s:03d}.csv"))
+    tmp = done + f".tmp.{pid}"
+    with open(tmp, "w") as f:
+        f.write("ok\n")
+    os.replace(tmp, done)
+    return d
+
+
+def q_csv_ingest(sf_dir: str):
+    """Documents round-tripped through sharded RFC-4180 CSV: parquet
+    truth → quoted CSV shards (JSON-ish props text with braces and
+    quotes exercises the quoting path) → ``read_csv_tuned`` with a
+    pinned schema so numeric-looking strings stay strings. Hash-exact
+    against the source parquet."""
+    from ..sources.csv import read_csv_tuned
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    d = _ensure_csv_fixture(sf_dir)
+    return read_csv_tuned(d, schema=schema)
+
+
+QUERIES["csv_ingest"] = q_csv_ingest
+ORACLE_SQL["csv_ingest"] = ORACLE_SQL["jsonl_ingest"]

@@ -77,3 +77,45 @@ def test_roundtrip_text_bytes(tmp_path):
         .to_pandas().sort_values("id").reset_index(drop=True)
     )
     assert df["text"].tolist() == texts
+
+
+def test_csv_ingest_quoting_and_drift(ray_session, tmp_path):
+    """CSV shards with embedded commas, quotes, and newlines round-trip
+    byte-exactly; a shard missing a column aligns with typed nulls."""
+    import pyarrow as pa
+
+    from dane_visual_feature_extraction_worker_ray.sources.csv import (
+        read_csv_tuned,
+    )
+
+    (tmp_path / "a.csv").write_text(
+        'doc_id,text,lang\n'
+        '1,"hello, world",en\n'
+        '2,"she said ""hi""",de\n'
+        '3,"line1\nline2",fr\n',
+        encoding="utf-8",
+    )
+    (tmp_path / "b.csv").write_text(  # drifted shard: no lang column
+        "doc_id,text\n4,plain\n", encoding="utf-8"
+    )
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    out = (
+        read_csv_tuned(str(tmp_path), schema=schema)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "hello, world",
+        'she said "hi"',
+        "line1\nline2",
+        "plain",
+    ]
+    assert out["lang"].tolist()[:3] == ["en", "de", "fr"]
+    assert out["lang"].isna().tolist() == [False, False, False, True]

@@ -548,3 +548,43 @@ def test_bigram_novelty_planted_noise_doc(ray_session, tmp_path):
     assert noise_row["n_bigrams"] == 19
     assert noise_row["n_rare"] == 19
     assert noise_row["novelty"] == 1.0
+
+
+def test_compression_quality_tails(ray_session, tmp_path):
+    """Repetitive text compresses far better than high-entropy text;
+    ratios recompute exactly from zlib; empty docs get ratio 1."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.curation import (
+        q_compression_quality,
+    )
+
+    rng = np.random.default_rng(5)
+    texts = [
+        "spam ham " * 400,                               # boilerplate
+        "".join(chr(rng.integers(33, 1000)) for _ in range(3000)),
+        "a normal sentence about stream processing engines",
+        "",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        q_compression_quality(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, s in enumerate(texts):
+        b = s.encode("utf-8")
+        assert out.loc[i, "n_bytes"] == len(b)
+        assert out.loc[i, "n_zlib_bytes"] == len(zlib.compress(b, 6))
+    assert out.loc[0, "zlib_ratio"] < 0.05   # boilerplate tail
+    assert out.loc[1, "zlib_ratio"] > 0.5    # entropy tail
+    assert out.loc[3, "zlib_ratio"] == 1.0   # empty

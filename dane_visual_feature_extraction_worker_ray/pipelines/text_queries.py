@@ -2688,3 +2688,37 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, n_rare,
   CAST(n_rare AS DOUBLE) / n_bigrams AS novelty
 FROM per
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# count-min sketch point estimates for the fixed query-term set
+
+def q_cms_token_counts(sf_dir: str):
+    """Count-min-sketch token counts for the TFIDF query terms — the
+    bounded-memory counter a streaming ingest keeps when the exact
+    token table would not fit (depth 4 × width 65536 int64s per
+    partial, merged by ADD). With this corpus and width the fixed
+    hashes land collision-free, so the oracle is the EXACT SQL count —
+    a deterministic exact-regime gate (same convention as the
+    exact-regime HLL/KLL gates); the ≥-truth guarantee and adversarial
+    narrow-width behavior are property-tested in pytest."""
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.sketches import cms_token_counts_ds
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return cms_token_counts_ds(docs, TFIDF_TERMS)
+
+
+QUERIES["cms_token_counts"] = q_cms_token_counts
+ORACLE_SQL["cms_token_counts"] = rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT tok AS term, CAST(count(*) AS BIGINT) AS est
+FROM toks WHERE tok IN ({', '.join("'" + t + "'" for t in TFIDF_TERMS)})
+GROUP BY tok
+""".strip()

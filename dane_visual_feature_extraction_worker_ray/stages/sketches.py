@@ -562,3 +562,87 @@ def mg_topk_tokens(
             ),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005 — public method)
+
+CMS_DEPTH = 4
+
+
+def cms_partial(
+    toks: np.ndarray, cnt: np.ndarray, width: int,
+    depth: int = CMS_DEPTH,
+) -> np.ndarray:
+    """(depth, width) int64 count matrix from (token, count) pairs —
+    mergeable by elementwise ADD (the whole point of CMS: a 100-TB
+    corpus reduces to depth·width integers per partial). Row d uses
+    the engine's stable hash rehashed with seed d (functions/hashing),
+    so sketches from any block/run/parallelism merge consistently."""
+    from ..functions.hashing import hash64, rehash64
+
+    h = hash64(toks)
+    m = np.zeros((depth, width), np.int64)
+    for d in range(depth):
+        idx = (rehash64(h, d + 1) % np.uint64(width)).astype(np.int64)
+        np.add.at(m[d], idx, cnt)
+    return m
+
+
+def cms_estimate(
+    sketch: np.ndarray, terms: list[str]
+) -> np.ndarray:
+    """Point estimates for ``terms``: min over rows (always ≥ truth;
+    equal when the term collides with nothing in at least one row)."""
+    from ..functions.hashing import hash64, rehash64
+
+    depth, width = sketch.shape
+    h = hash64(np.array(terms, dtype=object))
+    est = np.full(len(terms), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        idx = (rehash64(h, d + 1) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, sketch[d, idx])
+    return est
+
+
+def cms_token_counts_ds(
+    docs_ds, terms: list[str], width: int = 1 << 16,
+    depth: int = CMS_DEPTH, text_col: str = "text",
+):
+    """Build a corpus CMS over whitespace tokens (one (depth·width)
+    partial per block, merged by addition) and return the point
+    estimates for ``terms`` as an Arrow table (term, est)."""
+    import pyarrow as pa
+    import ray
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = tbl.column(text_col).to_pandas().fillna("")
+        ex = s.str.split().explode().dropna()
+        if len(ex) == 0:
+            m = np.zeros((depth, width), np.int64)
+        else:
+            vc = pd.Series(ex.to_numpy()).value_counts(sort=False)
+            m = cms_partial(
+                vc.index.to_numpy(dtype=object),
+                vc.to_numpy().astype(np.int64),
+                width, depth,
+            )
+        return pa.table({"m": pa.array([m.reshape(-1)])})
+
+    total = np.zeros(depth * width, np.int64)
+    for t in ray.get(
+        docs_ds.map_batches(
+            _partial, batch_format="pyarrow", batch_size=None
+        ).to_arrow_refs()
+    ):
+        for i in range(t.num_rows):
+            total += np.asarray(t.column("m")[i].as_py(), np.int64)
+    est = cms_estimate(total.reshape(depth, width), terms)
+    return pa.table(
+        {
+            "term": pa.array(list(terms), pa.string()),
+            "est": pa.array(est),
+        }
+    )

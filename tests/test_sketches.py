@@ -224,3 +224,54 @@ def test_quantile_sketch_empty_returns_nan():
     assert np.isnan(got).all()
     sk.add(np.array([np.nan, np.nan]))  # all-null input strips to empty
     assert np.isnan(sk.quantiles([0.5])).all()
+
+
+def test_cms_overestimates_never_under_and_merges(ray_session):
+    """CMS point estimates are >= truth always (narrow adversarial
+    width forces collisions), exact at generous width, and partial
+    merge-by-add equals the single-pass sketch."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.sketches import (
+        cms_estimate,
+        cms_partial,
+        cms_token_counts_ds,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = np.array([f"tok{i}" for i in range(200)], dtype=object)
+    toks = vocab[rng.integers(0, len(vocab), size=5000)]
+    truth = pd.Series(toks).value_counts()
+    terms = [f"tok{i}" for i in range(0, 200, 17)]
+
+    # adversarial narrow width: estimates may inflate, never deflate
+    narrow = cms_partial(truth.index.to_numpy(dtype=object),
+                         truth.to_numpy().astype(np.int64), width=32)
+    est = cms_estimate(narrow, terms)
+    for t, e in zip(terms, est):
+        assert e >= truth[t]
+    assert (est > np.array([truth[t] for t in terms])).any()
+
+    # merge-by-add == single pass
+    half = 2500
+    a = cms_partial(*_vc(toks[:half]), width=32)
+    b = cms_partial(*_vc(toks[half:]), width=32)
+    assert (a + b == narrow).all()
+
+    # generous width over a Dataset: exact
+    texts = [" ".join(toks[i::50]) for i in range(50)]
+    ds = rd.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).repartition(4)
+    out = cms_token_counts_ds(ds, terms, width=1 << 16).to_pandas()
+    for _, r in out.iterrows():
+        assert r["est"] == truth[r["term"]]
+
+
+def _vc(toks):
+    import pandas as pd
+
+    vc = pd.Series(toks).value_counts(sort=False)
+    return vc.index.to_numpy(dtype=object), vc.to_numpy().astype(np.int64)

@@ -603,3 +603,145 @@ def q_compression_quality(sf_dir: str):
 
 
 QUERIES["compression_quality"] = q_compression_quality
+
+
+# --------------------------------------------------------------------------
+# feature hashing (the hashing trick) over categorical columns
+
+FH_BUCKETS = 32
+FH_COLS = ("lang", "source")
+_FH_OFFSET = 1 << 20  # column separator in code space
+
+
+def q_feature_hashing(sf_dir: str):
+    """Hashing-trick featurization of the categorical columns — the
+    fixed-width sparse encoding a linear model consumes without a
+    vocabulary file (Weinberger et al. 2009): each (column, value)
+    maps through splitmix64 to a bucket in [0, 32) with a ±1 sign from
+    the hash's top bit; collisions sum (the method's defining
+    property). Output is long-format (doc_id, bucket, val).
+
+    Cross-engine exactness: values are dictionary-encoded first
+    (sorted distinct → dense code, the token_dictionary pattern;
+    bounded-cardinality columns, legitimately broadcast), so both
+    engines hash the same INTEGER code through the bit-exact
+    splitmix64 chain (UBIGINT xor/shift + 32-bit-split modular
+    multiply in SQL — the weighted_sample_docs machinery)."""
+    import pyarrow as pa
+    import ray
+
+    from ..functions.hashing import rehash64
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", *FH_COLS],
+    )
+
+    # bounded dictionaries: per-batch distinct partials -> driver sort
+    def _distinct(tbl: pa.Table) -> pa.Table:
+        cols = {}
+        for j, c in enumerate(FH_COLS):
+            u = np.unique(tbl.column(c).to_numpy(zero_copy_only=False))
+            cols.setdefault("col_idx", []).extend([j] * len(u))
+            cols.setdefault("v", []).extend(u.tolist())
+        return pa.table(
+            {
+                "col_idx": pa.array(cols.get("col_idx", []), pa.int64()),
+                "v": pa.array(cols.get("v", []), pa.string()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            docs.map_batches(
+                _distinct, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    dd = pa.concat_tables(parts).to_pandas().drop_duplicates()
+    dicts = {}
+    for j, c in enumerate(FH_COLS):
+        vals = sorted(dd.loc[dd.col_idx == j, "v"])
+        dicts[c] = {v: i for i, v in enumerate(vals)}
+    d_ref = ray.put(dicts)
+
+    def _hash(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        dicts = ray.get(d_ref)
+        n = tbl.num_rows
+        out_doc, out_bucket, out_sign = [], [], []
+        for j, c in enumerate(FH_COLS):
+            code = (
+                pd.Series(tbl.column(c).to_pandas())
+                .map(dicts[c])
+                .to_numpy()
+                .astype(np.uint64)
+            )
+            x = rehash64(code + np.uint64(j * _FH_OFFSET), 0)
+            out_doc.append(tbl.column("doc_id").to_numpy())
+            out_bucket.append(
+                (x % np.uint64(FH_BUCKETS)).astype(np.int64)
+            )
+            out_sign.append(
+                np.where(x >> np.uint64(63), -1, 1).astype(np.int64)
+            )
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(out_doc).astype(np.int64)
+                ),
+                "bucket": pa.array(np.concatenate(out_bucket)),
+                "val": pa.array(np.concatenate(out_sign)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["doc_id", "bucket"], [("val", "sum")]
+        )
+
+    return docs.map_batches(_hash, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def _fh_sql() -> str:
+    from .text_queries import _splitmix_mulmod
+
+    chains = []
+    for j, c in enumerate(FH_COLS):
+        chains.append(f"""
+d_{c} AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 + {j * _FH_OFFSET}
+       AS UBIGINT) AS x
+  FROM (SELECT DISTINCT {c} AS v FROM documents)
+)""".strip())
+    dict_ctes = ",\n".join(chains)
+    pairs = "\nUNION ALL\n".join(
+        f"SELECT doc_id, d_{c}.x FROM documents JOIN d_{c} "
+        f"ON documents.{c} = d_{c}.v"
+        for c in FH_COLS
+    )
+    return f"""
+WITH {dict_ctes},
+p0 AS (
+{pairs}
+), s1 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM p0
+), s2 AS (SELECT doc_id, {_splitmix_mulmod(0xBF58476D1CE4E5B9)} AS x FROM s1
+), s3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM s2
+), s4 AS (SELECT doc_id, {_splitmix_mulmod(0x94D049BB133111EB)} AS x FROM s3
+), s5 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM s4
+), feat AS (
+  SELECT doc_id, CAST(x % {FH_BUCKETS} AS BIGINT) AS bucket,
+    CASE WHEN x >= 9223372036854775808 THEN -1 ELSE 1 END AS sign
+  FROM s5
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, bucket,
+  CAST(sum(sign) AS BIGINT) AS val
+FROM feat GROUP BY doc_id, bucket
+""".strip()
+
+
+QUERIES["feature_hashing"] = q_feature_hashing
+ORACLE_SQL["feature_hashing"] = _fh_sql()

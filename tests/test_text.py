@@ -588,3 +588,39 @@ def test_compression_quality_tails(ray_session, tmp_path):
     assert out.loc[0, "zlib_ratio"] < 0.05   # boilerplate tail
     assert out.loc[1, "zlib_ratio"] > 0.5    # entropy tail
     assert out.loc[3, "zlib_ratio"] == 1.0   # empty
+
+
+def test_feature_hashing_collision_sums(ray_session, tmp_path):
+    """Each doc contributes one ±1 per categorical column; same-bucket
+    contributions sum (including to 0 — the hashing trick's defining
+    collision behavior); buckets stay in range."""
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.curation import (
+        FH_BUCKETS,
+        q_feature_hashing,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(["x"] * 6, pa.string()),
+            "lang": pa.array(["en", "de", "en", "fr", "de", "en"]),
+            "source": pa.array(["s1", "s2", "s1", "s3", "s2", "s1"]),
+            "n_chars": pa.array([1] * 6, pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_feature_hashing(str(tmp_path)).to_pandas()
+    assert out["bucket"].between(0, FH_BUCKETS - 1).all()
+    # identical (lang, source) rows get identical feature vectors
+    g = {
+        did: sorted(map(tuple, out[out.doc_id == did][["bucket", "val"]]
+                        .to_numpy()))
+        for did in range(6)
+    }
+    assert g[0] == g[2] == g[5]
+    assert g[1] == g[4]
+    # per-doc total |val| is 2 unless a collision cancelled (even gap)
+    tot = out.groupby("doc_id")["val"].apply(lambda v: v.abs().sum())
+    assert ((tot <= 2) & ((2 - tot) % 2 == 0)).all()

@@ -745,3 +745,94 @@ FROM feat GROUP BY doc_id, bucket
 
 QUERIES["feature_hashing"] = q_feature_hashing
 ORACLE_SQL["feature_hashing"] = _fh_sql()
+
+
+# --------------------------------------------------------------------------
+# per-domain frequency capping
+
+DOMAIN_CAP = 20
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-domain frequency capping — the anti-overrepresentation rule
+    every web-corpus build applies (no single domain/source may
+    contribute more than CAP documents; survivors are the CAP earliest
+    doc_ids, deterministic). Same skew-safe shape as
+    ``top_docs_per_lang``: per-batch ≤CAP-row partials per source ride
+    the exchange, so a source holding half the corpus still reduces in
+    O(CAP · n_blocks) rows, never a stratum-sized task."""
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.exchange import hash_grouped_map
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "lang"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "doc_id": tbl.column("doc_id").to_numpy(),
+                "source": tbl.column("source").to_pandas(),
+                "lang": tbl.column("lang").to_pandas(),
+            }
+        ).sort_values(["source", "doc_id"])
+        keep = df.groupby("source", sort=False).cumcount() < DOMAIN_CAP
+        df = df[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy().astype(np.int64)
+                ),
+                "source": pa.array(df["source"].to_numpy(dtype=object)),
+                "lang": pa.array(df["lang"].to_numpy(dtype=object)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("lang", pa.string()),
+            ("rnk", pa.int64()),
+        ]
+    )
+
+    def _final(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        order = np.argsort(ids, kind="stable")[:DOMAIN_CAP]
+        t = g.take(pa.array(order))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "source": t.column("source"),
+                "lang": t.column("lang"),
+                "rnk": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    return hash_grouped_map(
+        docs.map_batches(
+            _partial, batch_format="pyarrow", batch_size=None
+        ),
+        "source",
+        lambda g: _final(g),
+        num_partitions=8,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["domain_cap"] = q_domain_cap
+ORACLE_SQL["domain_cap"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       AS BIGINT) AS rnk
+FROM documents
+QUALIFY rnk <= {DOMAIN_CAP}
+""".strip()

@@ -581,3 +581,56 @@ def q_knn_pq_topk(sf_dir: str):
 
 
 QUERIES["knn_pq_topk"] = q_knn_pq_topk
+
+
+def q_semantic_dedup_drops(sf_dir: str):
+    """SemDeDup semantic-duplicate pruning over the embeddings table:
+    cluster-scoped cosine near-dup groups, keep-min-id survivors.
+    The synthetic embeddings are mutually near-orthogonal, so semantic
+    duplicates are PLANTED (vec_id % 29 == 0 vectors replayed under
+    vec_id + 1000000 with a deterministic 1e-3 sign perturbation — the
+    planted-oracle pattern), keeping the gate non-vacuous at every
+    tier. Rows-only (iterative k-means upstream); the planted-groups
+    oracle (exact drop set, transitive chains, boundary caveat) lives
+    in tests/test_clustering.py."""
+    import pyarrow as pa
+
+    from ..stages.clustering import semantic_dedup
+
+    def _plant(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("vec_id").to_numpy()
+        sel = ids % 29 == 0
+        if not sel.any():
+            return tbl
+        dup = tbl.filter(pa.array(sel))
+        col = dup.column("embedding").combine_chunks()
+        arr = col.chunk(0) if hasattr(col, "chunk") else col
+        d = int(arr.value_lengths()[0].as_py())
+        m = arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+        # deterministic perturbation: alternate-sign 1e-3 per dim
+        pert = (m + 0.001 * ((-1.0) ** np.arange(d))).astype(np.float32)
+        return pa.concat_tables(
+            [
+                tbl,
+                pa.table(
+                    {
+                        "vec_id": pa.array(
+                            ids[sel].astype(np.int64) + 1_000_000
+                        ),
+                        "embedding": pa.array(
+                            list(pert), pa.list_(pa.float32())
+                        ),
+                    }
+                ),
+            ]
+        )
+
+    emb = _emb(sf_dir).map_batches(
+        lambda t: _plant(t.select(["vec_id", "embedding"])),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return semantic_dedup(emb, k=8, iters=3, threshold=0.95)
+
+
+QUERIES["semantic_dedup_drops"] = q_semantic_dedup_drops

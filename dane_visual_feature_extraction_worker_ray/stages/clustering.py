@@ -195,3 +195,94 @@ def kmeans_cluster_sizes(
         [("n_vecs", "sum")],
         num_buckets=4,
     )
+
+
+def semantic_dedup(
+    emb_ds,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 —
+    public method): k-means-cluster the embeddings, then prune
+    near-duplicates WITHIN each cluster (cosine ≥ ``threshold``),
+    keeping the smallest id per connected duplicate group. Returns a
+    Dataset of drops ``(vec_id, kept_id, cluster)``.
+
+    Scale shape: the all-pairs scan is cluster-scoped by construction
+    — SemDeDup's own argument: choose k ∝ corpus so clusters stay
+    bounded (the O(c²) kernel below is per cluster, on the cluster
+    hash exchange, never a corpus-wide pair scan). Near-duplicates
+    split across cluster boundaries are missed; that is the method's
+    documented recall trade, not an engine limitation (the LSH path in
+    stages/similarity.py is the boundary-free alternative)."""
+    from .exchange import hash_grouped_map
+
+    centroids = kmeans_fit(emb_ds, k=k, iters=iters, vec_col=vec_col,
+                           id_col=id_col)
+    c_ref = ray.put(np.asarray(centroids, np.float64))
+
+    def _assign_keep_vec(tbl: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        m = _matrix(tbl, vec_col).astype(np.float64)
+        a = np.argmin(_sq_dists(m, C), axis=1)
+        return pa.table(
+            {
+                id_col: tbl.column(id_col).cast(pa.int64()),
+                "cluster": pa.array(a.astype(np.int64)),
+                vec_col: tbl.column(vec_col),
+            }
+        )
+
+    assigned = emb_ds.map_batches(
+        _assign_keep_vec, batch_format="pyarrow", batch_size=None
+    )
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("kept_id", pa.int64()),
+            ("cluster", pa.int64()),
+        ]
+    )
+
+    def _prune(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy()
+        m = _matrix(g, vec_col).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        order = np.argsort(ids, kind="stable")
+        ids, mn = ids[order], mn[order]
+        sim = mn @ mn.T
+        n = len(ids)
+        # union toward the smallest index: parent[j] = min i<j with
+        # sim >= threshold (transitive groups resolved by path walk)
+        parent = np.arange(n)
+        for j in range(1, n):
+            hits = np.flatnonzero(sim[j, :j] >= threshold)
+            if len(hits):
+                parent[j] = hits[0]
+        # path-compress (chains are short; clusters are bounded)
+        for j in range(n):
+            while parent[parent[j]] != parent[j]:
+                parent[j] = parent[parent[j]]
+        drop = parent != np.arange(n)
+        cl = int(g.column("cluster")[0].as_py())
+        return pa.table(
+            {
+                id_col: pa.array(ids[drop].astype(np.int64)),
+                "kept_id": pa.array(ids[parent[drop]].astype(np.int64)),
+                "cluster": pa.array(
+                    np.full(int(drop.sum()), cl, np.int64)
+                ),
+            }
+        )
+
+    return hash_grouped_map(
+        assigned, "cluster", _prune,
+        num_partitions=min(32, max(4, k)),
+        empty_schema=out_schema,
+    )

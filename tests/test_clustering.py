@@ -117,3 +117,42 @@ def test_cluster_sizes_cover_corpus():
     )
     assert sizes["n_vecs"].sum() == 257
     assert set(sizes["cluster"]).issubset(set(range(4)))
+
+
+def test_semantic_dedup_planted_groups(ray_session):
+    """Planted near-identical groups are pruned to their min id
+    (transitively); distinct vectors survive; drops point at their
+    group representative."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.clustering import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((40, 16)).astype(np.float32) * 3
+    rows = [base[i] for i in range(40)]
+    # group A: ids 40,41,42 ~ base[0]; group B: ids 43,44 ~ base[1]
+    for i, proto in [(40, 0), (41, 0), (42, 0), (43, 1), (44, 1)]:
+        rows.append(
+            (base[proto] + 0.001 * rng.standard_normal(16)).astype(
+                np.float32
+            )
+        )
+    m = np.stack(rows)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(m)), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    drops = (
+        semantic_dedup(ds, k=4, iters=4, threshold=0.95)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    # exactly the non-min group members drop, toward the group min
+    assert drops["vec_id"].tolist() == [40, 41, 42, 43, 44]
+    assert drops["kept_id"].tolist() == [0, 0, 0, 1, 1]

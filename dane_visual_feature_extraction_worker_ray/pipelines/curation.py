@@ -836,3 +836,137 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
 FROM documents
 QUALIFY rnk <= {DOMAIN_CAP}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# grouped percent_rank via bounded-domain histograms
+
+def q_chars_percent_rank(sf_dir: str):
+    """percent_rank of n_chars WITHIN each source — the stratified
+    score normalization a mixture pipeline applies before comparing
+    quality across sources (SQL tie semantics: rank = 1 + count of
+    strictly smaller rows, pr = (rank−1)/(n−1)).
+
+    Scale shape — NO per-group sort anywhere: with ties, the rank is a
+    pure function of the per-(source, value) count histogram, so the
+    engine builds mergeable histogram partials on the hash exchange
+    (bounded by source_cardinality × value_domain, the same
+    bounded-domain trick as price_quantiles), prefix-sums each
+    source's histogram, and joins ranks back by (source, value) —
+    a stratum never concentrates in one task and rows never reorder.
+    One final IEEE division, same expression shape as the oracle."""
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import hash_grouped_aggregate
+    from ..stages.join import hash_equi_join_multi
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+    def _hist_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            pd.DataFrame(
+                {
+                    "source": tbl.column("source").to_pandas(),
+                    "n_chars": tbl.column("n_chars").to_numpy(),
+                }
+            )
+            .groupby(["source", "n_chars"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "source": pa.array(df["source"].to_numpy(dtype=object)),
+                "n_chars": pa.array(
+                    df["n_chars"].to_numpy().astype(np.int64)
+                ),
+                "c": pa.array(df["c"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    hist = hash_grouped_aggregate(
+        docs.map_batches(
+            _hist_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["source", "n_chars"],
+        [("c", "sum")],
+        num_buckets=8,
+    )
+
+    def _ranks(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "source": tbl.column("source").to_pandas(),
+                "n_chars": tbl.column("n_chars").to_numpy(),
+                "c": tbl.column("c").to_numpy(),
+            }
+        ).sort_values(["source", "n_chars"])
+        csum = df.groupby("source", sort=False)["c"].cumsum()
+        df["rnk"] = csum - df["c"] + 1  # 1 + strictly smaller
+        df["n"] = df.groupby("source", sort=False)["c"].transform("sum")
+        return pa.table(
+            {
+                "source": pa.array(df["source"].to_numpy(dtype=object)),
+                "n_chars": pa.array(
+                    df["n_chars"].to_numpy().astype(np.int64)
+                ),
+                "rnk": pa.array(df["rnk"].to_numpy().astype(np.int64)),
+                "n": pa.array(df["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    # the source/value histogram is already co-located per source after
+    # the aggregate exchange, but blocks may split a source — re-group
+    # by source only for the prefix sum (bounded rows per source)
+    from ..stages.exchange import hash_grouped_map
+
+    rank_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+            ("rnk", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+    ranks = hash_grouped_map(
+        hist, "source", lambda g: _ranks(g),
+        num_partitions=8, empty_schema=rank_schema,
+    )
+
+    joined = hash_equi_join_multi(
+        docs, ranks, ["source", "n_chars"], ["source", "n_chars"],
+        right_columns=["rnk", "n"], num_partitions=8,
+    )
+
+    def _pr(tbl: pa.Table) -> pa.Table:
+        rnk = tbl.column("rnk").to_numpy().astype(np.float64)
+        n = tbl.column("n").to_numpy().astype(np.float64)
+        pr = np.where(n > 1, (rnk - 1.0) / (n - 1.0), 0.0)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "source": tbl.column("source"),
+                "n_chars": tbl.column("n_chars").cast(pa.int64()),
+                "pr": pa.array(pr),
+            }
+        )
+
+    return joined.map_batches(_pr, batch_format="pyarrow",
+                              batch_size=None)
+
+
+QUERIES["chars_percent_rank"] = q_chars_percent_rank
+ORACLE_SQL["chars_percent_rank"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+FROM documents
+""".strip()

@@ -624,3 +624,34 @@ def test_feature_hashing_collision_sums(ray_session, tmp_path):
     # per-doc total |val| is 2 unless a collision cancelled (even gap)
     tot = out.groupby("doc_id")["val"].apply(lambda v: v.abs().sum())
     assert ((tot <= 2) & ((2 - tot) % 2 == 0)).all()
+
+
+def test_chars_percent_rank_tie_semantics(ray_session, tmp_path):
+    """SQL percent_rank tie semantics: equal values share a rank
+    (1 + strictly-smaller count); single-row groups get 0."""
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.curation import (
+        q_chars_percent_rank,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(7), pa.int64()),
+            "text": pa.array(["x"] * 7, pa.string()),
+            "lang": pa.array(["en"] * 7, pa.string()),
+            "source": pa.array(
+                ["a", "a", "a", "a", "a", "b", "c"], pa.string()
+            ),
+            # source a: values 10,10,20,20,30 -> pr 0,0,.5,.5,1
+            "n_chars": pa.array([10, 10, 20, 20, 30, 5, 7], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        q_chars_percent_rank(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["pr"].tolist() == [0.0, 0.0, 0.5, 0.5, 1.0, 0.0, 0.0]

@@ -970,3 +970,242 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
   percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
 FROM documents
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# end-to-end corpus build: the whole curation chain in ONE pipeline
+
+SHARD_CHAR_BUDGET = 50_000
+
+
+def q_corpus_build_manifest(sf_dir: str):
+    """The complete corpus build as one streaming pipeline — what a
+    user actually runs end to end: quality gate → per-domain cap →
+    exact dedup (keep min doc_id) → deterministic global shuffle order
+    (splitmix64, RNG-state-free) → char-budget shard packing on the
+    global prefix scan → per-shard manifest. Every stage is the
+    engine's named operator; the oracle nests the same six steps in
+    SQL, so the composition (not just each piece) is hash-verified.
+
+    Scale shape: streaming filters, the skew-safe ≤cap domain
+    partials, a text-hash dedup exchange + doc_id semi join, ONE
+    range-partitioned sort for the shuffle order, the two-phase prefix
+    scan, and a tiny manifest aggregate. Driver state: O(blocks)
+    scalars from the scan."""
+    import pyarrow as pa
+
+    from ..functions.hashing import rehash64
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import hash_grouped_aggregate
+    from ..stages.join import hash_equi_join
+    from ..stages.scan import global_scan
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source", "n_chars"],
+    )
+    stop_set = frozenset(_STOPWORDS)
+
+    def _quality(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = tbl.column("text").to_pandas().fillna("")
+        words = s.str.split(" ")
+        n_words = words.str.len().to_numpy(dtype=np.int64)
+        ex = words.explode()
+        mask = ex.notna()
+        row = ex.index.to_numpy()[mask].astype(np.int64)
+        stop_hits = ex[mask].isin(stop_set).to_numpy()
+        n_stop = np.bincount(
+            row, weights=stop_hits.astype(np.float64), minlength=len(s)
+        ).astype(np.int64)
+        nw_safe = np.where(n_words == 0, 1, n_words)
+        ratio = n_stop.astype(np.float64) / nw_safe.astype(np.float64)
+        keep = (n_words >= MIN_WORDS) & (ratio <= MAX_STOPWORD_RATIO)
+        return tbl.filter(pa.array(keep))
+
+    q = docs.map_batches(_quality, batch_format="pyarrow",
+                         batch_size=None)
+
+    # per-domain cap: <=CAP-row partials per source on the exchange
+    from ..stages.exchange import hash_grouped_map
+
+    def _cap_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "doc_id": tbl.column("doc_id").to_numpy(),
+                "source": tbl.column("source").to_pandas(),
+                "n_chars": tbl.column("n_chars").to_numpy(),
+                "text": tbl.column("text").to_pandas(),
+            }
+        ).sort_values(["source", "doc_id"])
+        keep = df.groupby("source", sort=False).cumcount() < DOMAIN_CAP
+        df = df[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy().astype(np.int64)),
+                "source": pa.array(df["source"].to_numpy(dtype=object)),
+                "n_chars": pa.array(
+                    df["n_chars"].to_numpy().astype(np.int64)
+                ),
+                "text": pa.array(df["text"].to_numpy(dtype=object)),
+            }
+        )
+
+    cap_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+            ("text", pa.string()),
+        ]
+    )
+
+    def _cap_final(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        order = np.argsort(ids, kind="stable")[:DOMAIN_CAP]
+        return g.take(pa.array(order)).select(
+            ["doc_id", "source", "n_chars", "text"]
+        )
+
+    capped = hash_grouped_map(
+        q.map_batches(_cap_partial, batch_format="pyarrow",
+                      batch_size=None),
+        "source",
+        lambda g: _cap_final(g),
+        num_partitions=8,
+        empty_schema=cap_schema,
+    )
+
+    # exact dedup keep-min: survivor ids via text-keyed aggregate, then
+    # a doc_id semi join back (keeps lang/source/n_chars without a
+    # corpus-scale broadcast)
+    def _dedup_partial(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            pd.DataFrame(
+                {
+                    "text": tbl.column("text").to_pandas(),
+                    "doc_id": tbl.column("doc_id").to_numpy(),
+                }
+            )
+            .groupby("text", sort=False)["doc_id"]
+            .min()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "text": pa.array(df["text"].to_numpy(dtype=object)),
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    survivors = hash_grouped_aggregate(
+        capped.map_batches(_dedup_partial, batch_format="pyarrow",
+                           batch_size=None),
+        ["text"],
+        [("doc_id", "min")],
+        num_buckets=8,
+    ).map_batches(
+        lambda t: t.select(["doc_id"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    deduped = hash_equi_join(
+        capped, survivors, "doc_id", "doc_id", right_columns=[],
+        how="semi", num_partitions=8,
+    )
+
+    # deterministic shuffle order + shard packing on the prefix scan
+    def _order_key(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy().astype(np.uint64)
+        x = rehash64(ids, 0)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "n_chars": tbl.column("n_chars").cast(pa.int64()),
+                "x": pa.array(x, pa.uint64()),
+            }
+        )
+
+    keyed = deduped.map_batches(_order_key, batch_format="pyarrow",
+                                batch_size=None)
+    scanned = global_scan(
+        keyed,
+        sort_keys=[("x", "ascending"), ("doc_id", "ascending")],
+        cum_cols=[("n_chars", "cum")],
+    )
+
+    def _shard(tbl: pa.Table) -> pa.Table:
+        cum = tbl.column("cum").to_numpy(zero_copy_only=False)
+        n = tbl.column("n_chars").to_numpy(zero_copy_only=False)
+        start = cum - n
+        return pa.table(
+            {
+                "shard_id": pa.array(
+                    (start // SHARD_CHAR_BUDGET).astype(np.int64)
+                ),
+                "n_docs": pa.array(np.ones(len(n), np.int64)),
+                "total_chars": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return hash_grouped_aggregate(
+        scanned.map_batches(_shard, batch_format="pyarrow",
+                            batch_size=None),
+        ["shard_id"],
+        [("n_docs", "sum"), ("total_chars", "sum")],
+        num_buckets=4,
+    )
+
+
+def _corpus_build_sql() -> str:
+    from .text_queries import _splitmix_mulmod
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, text, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {MIN_WORDS}
+    AND CAST(len(list_filter(string_split(text, ' '),
+          x -> x IN ({_STOPLIST_SQL}))) AS DOUBLE)
+        / len(string_split(text, ' ')) <= {MAX_STOPWORD_RATIO}
+), cap AS (
+  SELECT * FROM q
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+          <= {DOMAIN_CAP}
+), d AS (
+  SELECT text, min(doc_id) AS doc_id FROM cap GROUP BY text
+), s AS (
+  SELECT cap.doc_id, cap.n_chars FROM cap JOIN d
+  ON cap.doc_id = d.doc_id
+), s0 AS (
+  SELECT doc_id, n_chars, CAST(doc_id AS UBIGINT) AS x FROM s
+), s1 AS (SELECT doc_id, n_chars, xor(x, x >> 30) AS x FROM s0
+), s2 AS (SELECT doc_id, n_chars, {_splitmix_mulmod(0xBF58476D1CE4E5B9)} AS x FROM s1
+), s3 AS (SELECT doc_id, n_chars, xor(x, x >> 27) AS x FROM s2
+), s4 AS (SELECT doc_id, n_chars, {_splitmix_mulmod(0x94D049BB133111EB)} AS x FROM s3
+), s5 AS (SELECT doc_id, n_chars, xor(x, x >> 31) AS x FROM s4
+), sc AS (
+  SELECT doc_id, n_chars,
+    CAST(sum(n_chars) OVER (
+      ORDER BY CAST(x AS HUGEINT), doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum
+  FROM s5
+)
+SELECT (cum - n_chars) // {SHARD_CHAR_BUDGET} AS shard_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM sc GROUP BY shard_id
+""".strip()
+
+
+QUERIES["corpus_build_manifest"] = q_corpus_build_manifest
+ORACLE_SQL["corpus_build_manifest"] = _corpus_build_sql()

@@ -634,3 +634,20 @@ def q_semantic_dedup_drops(sf_dir: str):
 
 
 QUERIES["semantic_dedup_drops"] = q_semantic_dedup_drops
+
+
+def q_knn_ivf_pq_topk(sf_dir: str):
+    """IVF-PQ probe for the fixed query vector — coarse lists restrict
+    the scan, residual PQ codes + per-list lookup tables supply the
+    distances (the production ANN index shape). Rows-only gate
+    (doubly approximate by construction); recall floor and
+    distance-recompute invariants in tests/test_similarity.py."""
+    from ..stages.pq import knn_ivf_pq
+
+    return knn_ivf_pq(
+        _emb(sf_dir), _query_vec(sf_dir), k=K, n_lists=16, n_probe=8,
+        m=PQ_M, k_codes=PQ_K, iters=2,
+    )
+
+
+QUERIES["knn_ivf_pq_topk"] = q_knn_ivf_pq_topk

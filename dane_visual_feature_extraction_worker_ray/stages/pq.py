@@ -213,3 +213,117 @@ def knn_pq_adc(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def knn_ivf_pq(
+    emb_ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-PQ: the production ANN index shape — an IVF coarse
+    quantizer restricts the scan to ``n_probe`` lists, and within a
+    probed list distances come from PQ codes over the RESIDUAL
+    (x − centroid), scanned asymmetrically with a per-list lookup
+    table (the query's residual differs per list). Jégou et al. 2011.
+
+    Scale shape: coarse centroids via the bounded-gather k-means
+    (``clustering.kmeans_fit``); residual codebooks via the
+    shared-round PQ trainer over a derived residual dataset (one
+    moments partial per block per round); the probe is one streaming
+    pass — batches drop rows outside probed lists BEFORE computing
+    codes, and only k-row top-k partials reach the driver."""
+    from .clustering import kmeans_fit
+
+    cents = kmeans_fit(emb_ds, k=n_lists, iters=iters,
+                       vec_col=vec_col, id_col=id_col)
+    c_ref = ray.put(cents)
+
+    def _residual(tbl: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        x = _matrix(tbl, vec_col).astype(np.float64)
+        a = np.argmin(_sq_dists(x, C), axis=1)
+        r = (x - C[a]).astype(np.float32)
+        return pa.table(
+            {
+                id_col: tbl.column(id_col).cast(pa.int64()),
+                "list_id": pa.array(a.astype(np.int64)),
+                vec_col: pa.array(list(r), pa.list_(pa.float32())),
+            }
+        )
+
+    res_ds = emb_ds.map_batches(
+        _residual, batch_format="pyarrow", batch_size=None
+    )
+    books = pq_train(res_ds, m=m, k=k_codes, iters=iters,
+                     vec_col=vec_col, id_col=id_col)
+
+    q = np.asarray(query, np.float64)
+    qd = ((cents - q) ** 2).sum(axis=1)
+    probed = np.sort(np.argsort(qd, kind="stable")[:n_probe])
+    # per-probed-list LUT: exact (q - centroid_l) residual vs codewords
+    dsub = books.shape[2]
+    luts = {}
+    for l in probed:
+        qr = (q - cents[l]).reshape(m, dsub)
+        luts[int(l)] = ((books - qr[:, None, :]) ** 2).sum(axis=2)
+    luts_ref = ray.put(luts)
+    b_ref = ray.put(books)
+
+    def _probe(tbl: pa.Table) -> pa.Table:
+        B = ray.get(b_ref)
+        L = ray.get(luts_ref)
+        lists = tbl.column("list_id").to_numpy()
+        keep = np.isin(lists, np.fromiter(L.keys(), np.int64))
+        if not keep.any():
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "adc_dist": pa.array([], pa.float64()),
+                }
+            )
+        t = tbl.filter(pa.array(keep))
+        lists = t.column("list_id").to_numpy()
+        x = _split(_matrix(t, vec_col).astype(np.float64), B.shape[0])
+        n = x.shape[1]
+        dist2 = np.zeros(n, np.float64)
+        for j in range(B.shape[0]):
+            codes = np.argmin(_sq_dists(x[j], B[j]), axis=1)
+            for l, lut in L.items():
+                sel = lists == l
+                dist2[sel] += lut[j, codes[sel]]
+        ids = t.column(id_col).to_numpy()
+        if n > k:
+            part = np.argpartition(dist2, k)[:k]
+            ids, dist2 = ids[part], dist2[part]
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64)),
+                "adc_dist": pa.array(np.sqrt(dist2)),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            res_ds.map_batches(_probe, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        import pandas as pd
+
+        return pd.DataFrame({id_col: [], "adc_dist": []})
+    allp = pa.concat_tables(parts).to_pandas()
+    return (
+        allp.sort_values(["adc_dist", id_col])
+        .head(k)
+        .reset_index(drop=True)
+    )

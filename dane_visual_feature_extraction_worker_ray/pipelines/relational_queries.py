@@ -1865,3 +1865,55 @@ SELECT n_name, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
   CAST(rev_c AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
 FROM nr, tot
 """.strip()
+
+
+def q_orders_mktsegment_auto(sf_dir: str):
+    """orders ⋈ customer routed through the size-gated join planner
+    (``stages/join.auto_equi_join``): the right side is MEASURED —
+    customer fits the 64 MiB broadcast gate at sf tiers (map-side
+    join, zero shuffle) and flips to the exchange join at the scale
+    where it stops being broadcast-side. The same query text covers
+    both plans; the decision lands in the auto_join_* counters."""
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.join import auto_equi_join
+    from ..stages.groupagg import hash_grouped_aggregate
+
+    orders = read_parquet_tuned(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    customer = read_parquet_tuned(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    joined = auto_equi_join(
+        orders, customer, "o_custkey", "c_custkey",
+        right_columns=["c_mktsegment"], how="inner",
+    )
+
+    def _one(t):
+        import numpy as np
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    return hash_grouped_aggregate(
+        joined.map_batches(_one, batch_format="pyarrow",
+                           batch_size=None),
+        ["c_mktsegment"],
+        [("n_orders", "sum")],
+        num_buckets=4,
+    )
+
+
+QUERIES["orders_mktsegment_auto"] = q_orders_mktsegment_auto
+ORACLE_SQL["orders_mktsegment_auto"] = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""".strip()

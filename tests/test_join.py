@@ -418,3 +418,55 @@ def test_auto_hot_keys_none_detected_falls_through():
         hot_keys="auto", num_partitions=4,
     )
     assert out.count() == 1000
+
+
+def test_auto_equi_join_paths_agree(ray_session):
+    """The size-gated planner returns identical rows on both paths
+    (broadcast vs exchange), records its decision, and honors
+    inner/left/semi/anti semantics including null keys and dup keys."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.join import (
+        auto_equi_join,
+        hash_equi_join,
+    )
+    from dane_visual_feature_extraction_worker_ray.state import counters
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 2, None, 5], pa.int64()),
+            "lv": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([2, 2, 3, None], pa.int64()),
+            "rv": pa.array(["x", "y", "z", "n"]),
+        }
+    )
+    lds = rd.from_arrow(left).repartition(3)
+    rds = rd.from_arrow(right).repartition(2)
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for how in ["inner", "left", "semi", "anti"]:
+        rc = ["rv"] if how in ("inner", "left") else None
+        counters.reset()
+        bc = auto_equi_join(lds, rds, "k", "k", right_columns=rc,
+                            how=how)
+        assert counters.snapshot().get("auto_join_broadcast") == 1
+        counters.reset()
+        ex = auto_equi_join(lds, rds, "k", "k", right_columns=rc,
+                            how=how, broadcast_max_bytes=0)
+        assert counters.snapshot().get("auto_join_exchange") == 1
+        ref = hash_equi_join(lds, rds, "k", "k",
+                             right_columns=rc, how=how,
+                             num_partitions=4)
+        pd.testing.assert_frame_equal(norm(bc), norm(ref),
+                                      check_dtype=False)
+        pd.testing.assert_frame_equal(norm(ex), norm(ref),
+                                      check_dtype=False)

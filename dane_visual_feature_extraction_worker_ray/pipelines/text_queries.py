@@ -2285,51 +2285,10 @@ def q_phrase_search(sf_dir: str):
         columns=["doc_id", "text"],
     )
 
+    from ..stages.text import phrase_match_table
+
     def _match(tbl: pa.Table) -> pa.Table:
-        out_schema = pa.schema(
-            [
-                ("doc_id", pa.int64()),
-                ("n_matches", pa.int64()),
-                ("first_pos", pa.int64()),
-            ]
-        )
-        s = tbl.column("text").to_pandas().fillna("").reset_index(
-            drop=True
-        )
-        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-        ex = s.str.split().explode().dropna()
-        if len(ex) == 0:
-            return out_schema.empty_table()
-        row = ex.index.to_numpy().astype(np.int64)
-        pos = ex.groupby(level=0).cumcount().to_numpy().astype(np.int64)
-        tok = ex.to_numpy()
-        key = (row << np.int64(32)) | pos
-        anchors = None
-        for i, term in enumerate(PHRASE_TERMS):
-            k_i = key[tok == term] - i
-            anchors = (
-                k_i if anchors is None else np.intersect1d(
-                    anchors, k_i, assume_unique=True
-                )
-            )
-            if len(anchors) == 0:
-                return out_schema.empty_table()
-        arow = (anchors >> np.int64(32)).astype(np.int64)
-        apos = (anchors & np.int64(0xFFFFFFFF)).astype(np.int64)
-        order = np.lexsort((apos, arow))
-        arow, apos = arow[order], apos[order]
-        first = np.ones(len(arow), dtype=bool)
-        first[1:] = arow[1:] != arow[:-1]
-        starts = np.flatnonzero(first)
-        counts = np.diff(np.r_[starts, len(arow)])
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[arow[starts]].astype(np.int64)),
-                "n_matches": pa.array(counts.astype(np.int64)),
-                # 1-based, matching the SQL list indexing
-                "first_pos": pa.array(apos[starts] + 1),
-            }
-        )
+        return phrase_match_table(tbl, PHRASE_TERMS)
 
     return docs.map_batches(_match, batch_format="pyarrow",
                             batch_size=None)

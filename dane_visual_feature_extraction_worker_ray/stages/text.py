@@ -415,3 +415,55 @@ def doc_fingerprints(
         )
 
     return docs_ds.map_batches(_fp, batch_format="pyarrow")
+
+
+def phrase_match_table(tbl, terms) -> "pa.Table":
+    """Exact phrase matching over one Arrow batch — the pure kernel
+    behind ``pipelines/text_queries.q_phrase_search`` (vectorized
+    anchor intersection; see that query's docstring for the scale
+    argument). Returns (doc_id, n_matches, first_pos) with 1-based
+    positions; overlapping occurrences each count."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_matches", pa.int64()),
+            ("first_pos", pa.int64()),
+        ]
+    )
+    s = tbl.column("text").to_pandas().fillna("").reset_index(drop=True)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    ex = s.str.split().explode().dropna()
+    if len(ex) == 0:
+        return out_schema.empty_table()
+    row = ex.index.to_numpy().astype(np.int64)
+    pos = ex.groupby(level=0).cumcount().to_numpy().astype(np.int64)
+    tok = ex.to_numpy()
+    key = (row << np.int64(32)) | pos
+    anchors = None
+    for i, term in enumerate(terms):
+        k_i = key[tok == term] - i
+        anchors = (
+            k_i if anchors is None else np.intersect1d(
+                anchors, k_i, assume_unique=True
+            )
+        )
+        if len(anchors) == 0:
+            return out_schema.empty_table()
+    arow = (anchors >> np.int64(32)).astype(np.int64)
+    apos = (anchors & np.int64(0xFFFFFFFF)).astype(np.int64)
+    order = np.lexsort((apos, arow))
+    arow, apos = arow[order], apos[order]
+    first = np.ones(len(arow), dtype=bool)
+    first[1:] = arow[1:] != arow[:-1]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.r_[starts, len(arow)])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[arow[starts]].astype(np.int64)),
+            "n_matches": pa.array(counts.astype(np.int64)),
+            "first_pos": pa.array(apos[starts] + 1),
+        }
+    )

@@ -378,3 +378,47 @@ def test_interval_overlap_join_property(ray_session, left, right, w):
             if s < e:
                 brute[(li, ri)] = (s, e)
     assert got == brute
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0,
+                 max_size=20),
+        min_size=1, max_size=12,
+    ),
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3),
+)
+def test_phrase_match_property(docs, phrase):
+    """Anchor-intersection phrase matching == brute-force sliding
+    window, on random small-alphabet corpora (overlaps, repeats,
+    empty docs, single-term phrases)."""
+    import pyarrow as pa
+
+    from dane_visual_feature_extraction_worker_ray.stages.text import (
+        phrase_match_table,
+    )
+
+    texts = [" ".join(d) for d in docs]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = phrase_match_table(tbl, tuple(phrase)).to_pandas()
+    got = {
+        int(r.doc_id): (int(r.n_matches), int(r.first_pos))
+        for r in out.itertuples()
+    }
+    k = len(phrase)
+    for did, d in enumerate(docs):
+        hits = [
+            i + 1
+            for i in range(len(d) - k + 1)
+            if d[i : i + k] == phrase
+        ]
+        if hits:
+            assert got[did] == (len(hits), hits[0])
+        else:
+            assert did not in got

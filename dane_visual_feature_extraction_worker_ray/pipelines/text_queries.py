@@ -2681,3 +2681,238 @@ SELECT tok AS term, CAST(count(*) AS BIGINT) AS est
 FROM toks WHERE tok IN ({', '.join("'" + t + "'" for t in TFIDF_TERMS)})
 GROUP BY tok
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# bigram language-model log-probability scoring (perplexity signal)
+
+def q_bigram_lm_score(sf_dir: str):
+    """Per-document average bigram log-probability under a
+    Laplace-smoothed corpus bigram LM — the perplexity-style fluency
+    score (Σ c·ln((c(w1,w2)+1)/(c(w1)+V)) / n_bigrams): the
+    n-gram-LM quality filter classic curation stacks run (CCNet's
+    KenLM stage, linear core) with the LM trained on the corpus
+    itself.
+
+    Scale shape: ONE exchange keyed on hash(w1) co-locates every
+    occurrence of a first-token — the kernel computes c(w1) and every
+    c(w1, w2) locally and annotates per-doc pair rows in place (the
+    bigram_novelty shape); V rides sentinel rows; the per-doc reduce
+    sums contributions in sorted (h1, h2) order so the float is
+    deterministic across runs, partitions, and parallelism. Rows-only
+    gate (ln: numpy SIMD log vs DuckDB libm differ by 1 ulp — the PMI
+    lesson); the pytest oracle recomputes the identical formula in the
+    identical order and matches bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from ..functions.hashing import hash64
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.exchange import hash_exchange, hash_grouped_map
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    pair_schema = pa.schema(
+        [
+            ("h1", pa.int64()),   # exchange key: hash(w1); -1 rows are
+            ("h2", pa.int64()),   # unigram-count carriers (doc_id -1)
+            ("doc_id", pa.int64()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def _extract(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("text").to_pandas().fillna("").reset_index(
+            drop=True
+        )
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        ex = s.str.split().explode().dropna()
+        if len(ex) == 0:
+            return pair_schema.empty_table()
+        row = ex.index.to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(ex.to_numpy(), sort=False)
+        uh = hash64(uniq).view(np.int64)
+        h = uh[codes]
+        # unigram carriers: per-batch (h(tok), count), doc_id = -1
+        utok, ucnt = np.unique(h, return_counts=True)
+        uni = pa.table(
+            {
+                "h1": pa.array(utok),
+                "h2": pa.array(np.zeros(len(utok), np.int64)),
+                "doc_id": pa.array(np.full(len(utok), -1, np.int64)),
+                "c": pa.array(ucnt.astype(np.int64)),
+            }
+        )
+        same = row[1:] == row[:-1]
+        if not same.any():
+            return uni
+        h1, h2 = h[:-1][same], h[1:][same]
+        doc = ids[row[:-1][same]].astype(np.int64)
+        df = (
+            pd.DataFrame({"h1": h1, "h2": h2, "doc_id": doc})
+            .groupby(["h1", "h2", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        bi = pa.table(
+            {
+                "h1": pa.array(df["h1"].to_numpy()),
+                "h2": pa.array(df["h2"].to_numpy()),
+                "doc_id": pa.array(df["doc_id"].to_numpy()),
+                "c": pa.array(df["c"].to_numpy().astype(np.int64)),
+            }
+        )
+        return pa.concat_tables([uni, bi])
+
+    pairs = docs.map_batches(_extract, batch_format="pyarrow",
+                             batch_size=None)
+
+    nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ann_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("h1", pa.int64()),
+            ("h2", pa.int64()),
+            ("c", pa.int64()),
+            ("cn_pair", pa.int64()),
+            ("c_w1", pa.int64()),
+        ]
+    )
+
+    def _annotate(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return ann_schema.empty_table()
+        doc = tbl.column("doc_id").to_numpy()
+        h1 = tbl.column("h1").to_numpy()
+        h2 = tbl.column("h2").to_numpy()
+        c = tbl.column("c").to_numpy()
+        is_uni = doc == -1
+        # c(w1): total unigram count per first-token in this partition
+        uk, inv = np.unique(h1, return_inverse=True)
+        cw1 = np.bincount(inv[is_uni], weights=c[is_uni].astype(
+            np.float64), minlength=len(uk)).astype(np.int64)
+        # c(w1,w2): corpus bigram count (all occurrences co-located)
+        bi = ~is_uni
+        if not bi.any():
+            # still emit one sentinel carrying this partition's
+            # distinct-unigram contribution to V
+            return pa.table(
+                {
+                    "doc_id": pa.array([-1], pa.int64()),
+                    "h1": pa.array([0], pa.int64()),
+                    "h2": pa.array([0], pa.int64()),
+                    "c": pa.array([int(is_uni.sum())], pa.int64()),
+                    "cn_pair": pa.array([0], pa.int64()),
+                    "c_w1": pa.array([0], pa.int64()),
+                }
+            )
+        key = np.stack([h1[bi], h2[bi]], axis=1)
+        order = np.lexsort((key[:, 1], key[:, 0]))
+        kb = key[order]
+        cb = c[bi][order]
+        new = np.ones(len(kb), dtype=bool)
+        new[1:] = (kb[1:] != kb[:-1]).any(axis=1)
+        run = np.cumsum(new) - 1
+        cn_run = np.bincount(run, weights=cb.astype(np.float64)).astype(
+            np.int64
+        )
+        cn = cn_run[run]
+        out = pa.table(
+            {
+                "doc_id": pa.array(doc[bi][order]),
+                "h1": pa.array(kb[:, 0]),
+                "h2": pa.array(kb[:, 1]),
+                "c": pa.array(cb),
+                "cn_pair": pa.array(cn),
+                "c_w1": pa.array(cw1[inv[bi][order]]),
+            }
+        )
+        sentinel = pa.table(
+            {
+                "doc_id": pa.array([-1], pa.int64()),
+                "h1": pa.array([0], pa.int64()),
+                "h2": pa.array([0], pa.int64()),
+                "c": pa.array([int(np.unique(h1[is_uni]).size)],
+                              pa.int64()),
+                "cn_pair": pa.array([0], pa.int64()),
+                "c_w1": pa.array([0], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, sentinel])
+
+    annotated = hash_exchange(
+        pairs, ["h1"], nb, _annotate, ann_schema
+    ).materialize()
+
+    # V: distinct unigrams (sentinel rows, disjoint across partitions)
+    vparts = [
+        t
+        for t in ray.get(
+            annotated.map_batches(
+                lambda t: pa.table(
+                    {
+                        "v": pa.array(
+                            [
+                                int(
+                                    t.filter(
+                                        pa.compute.equal(
+                                            t.column("doc_id"), -1
+                                        )
+                                    ).column("c").to_numpy().sum()
+                                )
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    V = sum(int(t.column("v")[i].as_py())
+            for t in vparts for i in range(t.num_rows))
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("avg_logprob", pa.float64()),
+        ]
+    )
+
+    def _score(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy()
+        if len(doc) and doc[0] == -1:
+            return out_schema.empty_table()
+        h1 = g.column("h1").to_numpy()
+        h2 = g.column("h2").to_numpy()
+        c = g.column("c").to_numpy().astype(np.float64)
+        cn = g.column("cn_pair").to_numpy().astype(np.float64)
+        cw = g.column("c_w1").to_numpy().astype(np.float64)
+        order = np.lexsort((h2, h1))  # deterministic summation order
+        c, cn, cw = c[order], cn[order], cw[order]
+        contrib = c * np.log((cn + 1.0) / (cw + float(V)))
+        n = c.sum()
+        s = np.add.reduce(contrib)  # fixed order after the lexsort
+        return pa.table(
+            {
+                "doc_id": pa.array([int(doc[0])], pa.int64()),
+                "n_bigrams": pa.array([int(n)], pa.int64()),
+                "avg_logprob": pa.array([s / n], pa.float64()),
+            }
+        )
+
+    return hash_grouped_map(
+        annotated, "doc_id", _score, num_partitions=nb,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["bigram_lm_score"] = q_bigram_lm_score

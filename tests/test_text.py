@@ -655,3 +655,71 @@ def test_chars_percent_rank_tie_semantics(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert out["pr"].tolist() == [0.0, 0.0, 0.5, 0.5, 1.0, 0.0, 0.0]
+
+
+def test_bigram_lm_score_bit_exact_vs_brute(ray_session, tmp_path):
+    """Distributed LM scoring equals a single-process recompute of the
+    identical formula in the identical (h1, h2)-sorted order —
+    bit-for-bit, not allclose (the determinism contract)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.functions.hashing import (
+        hash64,
+    )
+    from dane_visual_feature_extraction_worker_ray.pipelines.text_queries import (
+        q_bigram_lm_score,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 25)))
+        for _ in range(60)
+    ] + ["single", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        q_bigram_lm_score(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # brute force with identical hashing, order, and float ops
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for s in texts:
+        tk = s.split()
+        uni.update(tk)
+        bi.update(zip(tk[:-1], tk[1:]))
+    V = len(uni)
+    hv = {w: int(hash64(np.array([w], dtype=object)).view(np.int64)[0])
+          for w in uni}
+    for did, s in enumerate(texts):
+        tk = s.split()
+        pairs = collections.Counter(zip(tk[:-1], tk[1:]))
+        if not pairs:
+            assert did not in out.index
+            continue
+        rows = sorted(
+            ((hv[a], hv[b], c) for (a, b), c in pairs.items())
+        )
+        by_hash = {(hv[a], hv[b]): (a, b) for (a, b) in pairs}
+        c = np.array([r[2] for r in rows], np.float64)
+        cn = np.array(
+            [bi[by_hash[(r[0], r[1])]] for r in rows], np.float64
+        )
+        cw = np.array(
+            [uni[by_hash[(r[0], r[1])][0]] for r in rows], np.float64
+        )
+        contrib = c * np.log((cn + 1.0) / (cw + float(V)))
+        expect = np.add.reduce(contrib) / c.sum()
+        assert out.loc[did, "n_bigrams"] == len(tk) - 1
+        assert out.loc[did, "avg_logprob"] == expect

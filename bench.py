@@ -328,6 +328,21 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
             repeats=heavy_repeats,
         )
 
+        # the composed corpus build (quality -> cap -> dedup -> shuffle
+        # order -> shard packing -> manifest) uncapped at this tier so
+        # the dedup/sort/scan stages see real volume
+        from dane_visual_feature_extraction_worker_ray.pipelines import (
+            curation,
+        )
+
+        timed(
+            "corpus_build_1m",
+            lambda: curation.q_corpus_build_manifest(
+                doc_dir, domain_cap=1_000_000, shard_budget=5_000_000
+            ),
+            repeats=heavy_repeats,
+        )
+
     # 29M-turn tier (3.4x the headline corpus), recorded per-round so
     # scale-flatness is a JSON datum, not a prose claim (round-4 #8).
     # One repeat: the point is the big-tier turns/s next to the 8.5M

@@ -978,7 +978,11 @@ FROM documents
 SHARD_CHAR_BUDGET = 50_000
 
 
-def q_corpus_build_manifest(sf_dir: str):
+def q_corpus_build_manifest(
+    sf_dir: str,
+    domain_cap: int = DOMAIN_CAP,
+    shard_budget: int = SHARD_CHAR_BUDGET,
+):
     """The complete corpus build as one streaming pipeline — what a
     user actually runs end to end: quality gate → per-domain cap →
     exact dedup (keep min doc_id) → deterministic global shuffle order
@@ -1041,7 +1045,7 @@ def q_corpus_build_manifest(sf_dir: str):
                 "text": tbl.column("text").to_pandas(),
             }
         ).sort_values(["source", "doc_id"])
-        keep = df.groupby("source", sort=False).cumcount() < DOMAIN_CAP
+        keep = df.groupby("source", sort=False).cumcount() < domain_cap
         df = df[keep]
         return pa.table(
             {
@@ -1065,7 +1069,7 @@ def q_corpus_build_manifest(sf_dir: str):
 
     def _cap_final(g: pa.Table) -> pa.Table:
         ids = g.column("doc_id").to_numpy()
-        order = np.argsort(ids, kind="stable")[:DOMAIN_CAP]
+        order = np.argsort(ids, kind="stable")[:domain_cap]
         return g.take(pa.array(order)).select(
             ["doc_id", "source", "n_chars", "text"]
         )
@@ -1149,7 +1153,7 @@ def q_corpus_build_manifest(sf_dir: str):
         return pa.table(
             {
                 "shard_id": pa.array(
-                    (start // SHARD_CHAR_BUDGET).astype(np.int64)
+                    (start // shard_budget).astype(np.int64)
                 ),
                 "n_docs": pa.array(np.ones(len(n), np.int64)),
                 "total_chars": pa.array(n.astype(np.int64)),

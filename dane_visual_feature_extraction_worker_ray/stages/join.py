@@ -679,13 +679,18 @@ def auto_equi_join(
             out_counts = np.zeros(tbl.num_rows, np.int64)
             out_counts[hit_rows] = counts
         lidx = np.repeat(np.arange(tbl.num_rows), out_counts)
-        # right index per output row (−1 = unmatched left row)
-        ridx = np.full(int(out_counts.sum()), -1, np.int64)
+        # right index per output row (−1 = unmatched left row),
+        # fully vectorized: each matched run is lo[i] + (0..c_i-1)
+        total = int(out_counts.sum())
+        ridx = np.full(total, -1, np.int64)
         pos = np.cumsum(out_counts) - out_counts
-        for i, row in enumerate(hit_rows):
-            c = counts[i]
-            if c:
-                ridx[pos[row]:pos[row] + c] = np.arange(lo[i], hi[i])
+        m = counts > 0
+        starts = np.repeat(pos[hit_rows[m]], counts[m])
+        base = np.repeat(lo[m], counts[m])
+        run_off = np.arange(len(base)) - np.repeat(
+            np.cumsum(counts[m]) - counts[m], counts[m]
+        )
+        ridx[starts + run_off] = base + run_off
         out = tbl.take(pa.array(lidx))
         for c, vals in rcols.items():
             matched = ridx >= 0

@@ -258,17 +258,21 @@ def semantic_dedup(
         ids, mn = ids[order], mn[order]
         sim = mn @ mn.T
         n = len(ids)
-        # union toward the smallest index: parent[j] = min i<j with
-        # sim >= threshold (transitive groups resolved by path walk)
-        parent = np.arange(n)
-        for j in range(1, n):
-            hits = np.flatnonzero(sim[j, :j] >= threshold)
-            if len(hits):
-                parent[j] = hits[0]
-        # path-compress (chains are short; clusters are bounded)
-        for j in range(n):
-            while parent[parent[j]] != parent[j]:
-                parent[j] = parent[parent[j]]
+        # TRUE connected components on the thresholded similarity
+        # graph (a chain a~b, b~c with a≁c must still collapse to one
+        # survivor): vectorized min-label fixpoint — labels converge in
+        # O(log n) squarings of the boolean adjacency's min-plus
+        # action, all cluster-local
+        adj = sim >= threshold
+        np.fill_diagonal(adj, True)
+        label = np.arange(n)
+        while True:
+            # each node takes the min label among its neighbors
+            nxt = np.where(adj, label[None, :], n).min(axis=1)
+            if (nxt == label).all():
+                break
+            label = nxt
+        parent = label
         drop = parent != np.arange(n)
         cl = int(g.column("cluster")[0].as_py())
         return pa.table(

@@ -156,3 +156,42 @@ def test_semantic_dedup_planted_groups(ray_session):
     # exactly the non-min group members drop, toward the group min
     assert drops["vec_id"].tolist() == [40, 41, 42, 43, 44]
     assert drops["kept_id"].tolist() == [0, 0, 0, 1, 1]
+
+
+def test_semantic_dedup_transitive_chain(ray_session):
+    """A chain a~b, b~c where a and c are NOT directly similar must
+    still collapse to one survivor (true connected components, not a
+    greedy parent walk)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.clustering import (
+        semantic_dedup,
+    )
+
+    # unit vectors at angles 0deg, 20deg, 40deg in 2D, embedded in 8D:
+    # cos(20deg)=0.94 >= 0.9, cos(40deg)=0.766 < 0.9 -> chain 0~1~2
+    ang = np.deg2rad([0.0, 20.0, 40.0])
+    m = np.zeros((3, 8), np.float32)
+    m[:, 0] = np.cos(ang)
+    m[:, 1] = np.sin(ang)
+    # pad with mutually-orthogonal distinct vectors (cosine 0, never
+    # near-dups) so k-means has signal
+    far = np.zeros((5, 8), np.float32)
+    for i in range(5):
+        far[i, 3 + i] = 10.0 * (i + 1)
+    allm = np.vstack([m, far])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(allm)), pa.int64()),
+            "embedding": pa.array(list(allm), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    drops = (
+        semantic_dedup(ds, k=2, iters=3, threshold=0.9)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert drops["vec_id"].tolist() == [1, 2]
+    assert (drops["kept_id"] == 0).all()

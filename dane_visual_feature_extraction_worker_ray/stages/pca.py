@@ -74,16 +74,24 @@ def pca_moments(ds, col: str = "embedding"):
     ]
     if not parts:
         raise ValueError("pca: empty input")
-    n = sum(int(t.column("n")[i].as_py())
-            for t in parts for i in range(t.num_rows))
+    n = sum(int(t.column("n").to_numpy().sum()) for t in parts)
     s = None
     o = None
     for t in parts:
-        for i in range(t.num_rows):
-            si = np.asarray(t.column("s")[i].as_py(), np.float64)
-            oi = np.asarray(t.column("o")[i].as_py(), np.float64)
-            s = si if s is None else s + si
-            o = oi if o is None else o + oi
+        sf = (
+            t.column("s").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(t.num_rows, -1)
+            .sum(axis=0)
+        )
+        of = (
+            t.column("o").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(t.num_rows, -1)
+            .sum(axis=0)
+        )
+        s = sf if s is None else s + sf
+        o = of if o is None else o + of
     d = len(s)
     mean = s / n
     cov = o.reshape(d, d) / n - np.outer(mean, mean)

@@ -637,8 +637,13 @@ def cms_token_counts_ds(
             _partial, batch_format="pyarrow", batch_size=None
         ).to_arrow_refs()
     ):
-        for i in range(t.num_rows):
-            total += np.asarray(t.column("m")[i].as_py(), np.int64)
+        if t.num_rows == 0:
+            continue
+        flat = (
+            t.column("m").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+        )
+        total += flat.reshape(t.num_rows, -1).sum(axis=0).astype(np.int64)
     est = cms_estimate(total.reshape(depth, width), terms)
     return pa.table(
         {

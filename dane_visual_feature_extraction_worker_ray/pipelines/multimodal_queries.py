@@ -235,3 +235,100 @@ QUERIES["media_decode_check"] = q_media_decode_check
 ORACLE_SQL["media_decode_check"] = _media_oracle_sql()
 ORACLE_SQL["media_frame_sample"] = _media_oracle_sql(sample_every=2)
 ORACLE_SQL["media_tar_ingest"] = _tar_ingest_oracle_sql()
+
+
+SHOT_DIFF_THRESHOLD = 128  # checksum units: splits the fixture's
+# two observed inter-frame jumps (64 vs 160) so the gate is non-vacuous
+
+
+def q_media_shot_boundaries(sf_dir: str):
+    """Shot-boundary detection — the reference's own domain (its shot
+    intervals arrive precomputed, S7; here the engine DERIVES them):
+    a boundary is a frame whose image-feature change vs the previous
+    frame exceeds a threshold. Runs on the real-decoder path
+    (pluggable ``mock_decode_fn``), so the integer checksum trick
+    makes the whole detector hash-exact against SQL: the frame
+    feature's checksum is closed-form in octet_length, and the
+    boundary rule is a lag() window on it.
+
+    Scale shape: frames of one asset are co-located by the SAME
+    asset_id exchange the extractor pool uses; the detector is one
+    lexsort + vectorized diff per partition — no second shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.exchange import hash_grouped_map
+    from ..stages.multimodal import extract_media_features, mock_decode_fn
+
+    media = read_parquet_tuned(ensure_media_fixture())
+    feats = extract_media_features(
+        media, decoder="real", decode_fn=mock_decode_fn, project=False,
+        concurrency=2, num_partitions=8,
+    )
+    chk = _checksum_features(feats)
+
+    out_schema = pa.schema(
+        [
+            ("asset_id", pa.string()),
+            ("ts", pa.int64()),
+            ("img_diff", pa.int64()),
+            ("is_boundary", pa.bool_()),
+        ]
+    )
+
+    def _detect(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        chv = g.column("img_chk").to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts, chv = ts[order], chv[order]
+        diff = np.zeros(len(ts), np.int64)
+        diff[1:] = np.abs(chv[1:] - chv[:-1])
+        aid = g.column("asset_id").to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {
+                "asset_id": pa.array(aid, pa.string()),
+                "ts": pa.array(ts),
+                "img_diff": pa.array(diff),
+                # the first frame of an asset always opens a shot
+                "is_boundary": pa.array(
+                    (diff >= SHOT_DIFF_THRESHOLD)
+                    | (np.arange(len(ts)) == 0)
+                ),
+            }
+        )
+
+    return hash_grouped_map(
+        chk, "asset_id", _detect, num_partitions=8,
+        empty_schema=out_schema,
+    )
+
+
+def _shot_oracle_sql() -> str:
+    p = ensure_media_fixture()
+    return f"""
+WITH m AS (SELECT * FROM read_parquet('{p}')),
+img AS (SELECT asset_id, ts, octet_length(payload) AS len
+        FROM m WHERE modality = 'image'),
+k AS (SELECT DISTINCT asset_id, ts FROM m),
+chk AS (
+  SELECT k.asset_id, k.ts,
+    CAST(CASE WHEN i.len > 0 THEN 32 * (i.len % 7) + 496 ELSE 0 END
+         AS BIGINT) AS img_chk
+  FROM k LEFT JOIN img i ON k.asset_id = i.asset_id AND k.ts = i.ts
+), lagged AS (
+  SELECT asset_id, CAST(epoch_us(ts) AS BIGINT) AS ts,
+    CAST(coalesce(abs(img_chk - lag(img_chk) OVER w), 0) AS BIGINT)
+      AS img_diff,
+    lag(img_chk) OVER w IS NULL AS first_frame
+  FROM chk
+  WINDOW w AS (PARTITION BY asset_id ORDER BY ts)
+)
+SELECT asset_id, ts, img_diff,
+  img_diff >= {SHOT_DIFF_THRESHOLD} OR first_frame AS is_boundary
+FROM lagged
+""".strip()
+
+
+QUERIES["media_shot_boundaries"] = q_media_shot_boundaries
+ORACLE_SQL["media_shot_boundaries"] = _shot_oracle_sql()

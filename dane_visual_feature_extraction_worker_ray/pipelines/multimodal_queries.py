@@ -332,3 +332,91 @@ FROM lagged
 
 QUERIES["media_shot_boundaries"] = q_media_shot_boundaries
 ORACLE_SQL["media_shot_boundaries"] = _shot_oracle_sql()
+
+
+def q_media_keyframes(sf_dir: str):
+    """Keyframe selection — the reference's literal input object
+    (keyframe JPEGs, S5) DERIVED by the engine: shots come from the
+    boundary detector, and each shot's keyframe is its most-changed
+    frame (max img_diff, earliest ts on ties; a shot's opening frame
+    for single-frame shots). Same asset co-location, one extra
+    vectorized pass: shot ids are a boundary cumsum, the argmax is a
+    lexsort run-reduce. Hash-exact via the same closed-form checksum."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_grouped_map
+
+    bounds = q_media_shot_boundaries(sf_dir)
+
+    out_schema = pa.schema(
+        [
+            ("asset_id", pa.string()),
+            ("shot_id", pa.int64()),
+            ("keyframe_ts", pa.int64()),
+            ("n_frames", pa.int64()),
+            ("max_diff", pa.int64()),
+        ]
+    )
+
+    def _keyframes(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").to_numpy()
+        diff = g.column("img_diff").to_numpy()
+        isb = g.column("is_boundary").to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts, diff, isb = ts[order], diff[order], isb[order]
+        shot = np.cumsum(isb.astype(np.int64)) - 1
+        n_shots = int(shot[-1]) + 1 if len(shot) else 0
+        # per shot: max diff, tie -> earliest ts (lexsort by
+        # (shot, -diff, ts) then take run firsts)
+        o2 = np.lexsort((ts, -diff, shot))
+        s2, d2, t2 = shot[o2], diff[o2], ts[o2]
+        first = np.ones(len(s2), dtype=bool)
+        first[1:] = s2[1:] != s2[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.bincount(shot, minlength=n_shots)
+        aid = g.column("asset_id").to_numpy(zero_copy_only=False)[0]
+        return pa.table(
+            {
+                "asset_id": pa.array([aid] * n_shots, pa.string()),
+                "shot_id": pa.array(s2[starts]),
+                "keyframe_ts": pa.array(t2[starts]),
+                "n_frames": pa.array(counts.astype(np.int64)),
+                "max_diff": pa.array(d2[starts]),
+            }
+        )
+
+    return hash_grouped_map(
+        bounds, "asset_id", _keyframes, num_partitions=8,
+        empty_schema=out_schema,
+    )
+
+
+def _keyframes_oracle_sql() -> str:
+    return f"""
+WITH lagged AS ({_shot_oracle_sql()}),
+shots AS (
+  SELECT asset_id, ts, img_diff,
+    CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END) OVER (
+      PARTITION BY asset_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+      AS BIGINT) AS shot_id
+  FROM lagged
+)
+SELECT asset_id, shot_id,
+  CAST(min(ts ORDER BY img_diff DESC, ts) FILTER (WHERE rn = 1)
+       AS BIGINT) AS keyframe_ts,
+  CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(max(img_diff) AS BIGINT) AS max_diff
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY asset_id, shot_id
+    ORDER BY img_diff DESC, ts) AS rn
+  FROM shots
+)
+GROUP BY asset_id, shot_id
+""".strip()
+
+
+QUERIES["media_keyframes"] = q_media_keyframes
+ORACLE_SQL["media_keyframes"] = _keyframes_oracle_sql()

@@ -61,7 +61,17 @@ def kmeans_init_centroids(
     )
     ids = cand.column(id_col).to_numpy()
     order = np.argsort(ids, kind="stable")[:k]
-    return _matrix(cand.take(pa.array(order)), vec_col).astype(np.float64)
+    seed = _matrix(cand.take(pa.array(order)), vec_col).astype(np.float64)
+    if seed.shape[0] == 0:
+        raise ValueError("kmeans: empty input")
+    if seed.shape[0] < k:
+        # corpus smaller than k: cycle the available vectors — the
+        # duplicates become dead clusters (zero members) and keep their
+        # seed under the live-mask update, so every caller's (k, dim)
+        # shape contract holds on tiny inputs
+        reps = -(-k // seed.shape[0])
+        seed = np.tile(seed, (reps, 1))[:k]
+    return seed
 
 
 def _sq_dists(m: np.ndarray, C: np.ndarray) -> np.ndarray:

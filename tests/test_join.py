@@ -470,3 +470,62 @@ def test_auto_equi_join_paths_agree(ray_session):
                                       check_dtype=False)
         pd.testing.assert_frame_equal(norm(ex), norm(ref),
                                       check_dtype=False)
+
+
+def test_auto_equi_join_random_tables_vs_pandas(ray_session):
+    """Randomized A/B: both planner paths against a pandas-merge
+    oracle over tables with duplicate keys, null keys, and keys
+    present on only one side — 25 seeds."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.join import (
+        auto_equi_join,
+    )
+
+    for seed in range(25):
+        rng = np.random.default_rng(seed)
+        nl, nr = int(rng.integers(1, 40)), int(rng.integers(1, 30))
+        lk = rng.integers(0, 12, nl).astype(float)
+        rk = rng.integers(0, 12, nr).astype(float)
+        lk[rng.random(nl) < 0.15] = np.nan
+        rk[rng.random(nr) < 0.15] = np.nan
+        left = pd.DataFrame(
+            {"k": pd.array(lk).astype("Int64"), "lv": np.arange(nl)}
+        )
+        right = pd.DataFrame(
+            {"k": pd.array(rk).astype("Int64"), "rv": np.arange(nr) * 10}
+        )
+        lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(3)
+        rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(2)
+
+        for how in ["inner", "left"]:
+            # pandas merge joins NA keys to each other; SQL never
+            # matches NULLs — drop them from the build side
+            r_nn = right[right["k"].notna()]
+            if how == "inner":
+                ref = left[left["k"].notna()].merge(r_nn, on="k")
+            else:
+                ref = left.merge(r_nn, on="k", how="left")
+            ref = ref.sort_values(
+                ["k", "lv", "rv"], na_position="last"
+            )
+            for gate in [1 << 30, 0]:  # broadcast, then exchange
+                got = auto_equi_join(
+                    lds, rds, "k", "k", right_columns=["rv"],
+                    how=how, broadcast_max_bytes=gate,
+                    num_partitions=4,
+                ).to_pandas()
+                assert len(got) == len(ref), (seed, how, gate)
+                if not len(ref):
+                    continue  # empty to_pandas drops schema (CLAUDE.md)
+                got = got.sort_values(
+                    ["k", "lv", "rv"], na_position="last"
+                )
+                for c in ["k", "lv", "rv"]:
+                    a = got[c].to_numpy(dtype=float, na_value=np.nan)
+                    b = ref[c].to_numpy(dtype=float, na_value=np.nan)
+                    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), (
+                        seed, how, gate, c
+                    )

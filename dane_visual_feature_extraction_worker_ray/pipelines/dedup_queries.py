@@ -605,3 +605,92 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE levenshtein(a.pfx, b.pfx) <= {EDIT_MAX_DIST}
 """.strip()
+
+
+# --- oracle harness for the distributed connected-components engine -------
+
+# chain edges derived from doc_id: (d, d-1) whenever both ids exist and
+# d is not a multiple of _CC_BREAK — components are maximal consecutive
+# id runs broken at multiples of _CC_BREAK, i.e. worst-case-diameter
+# chains (up to 61 hops), which is exactly the shape the engine's
+# pointer-jumping exists for. Production edge sets come from the dedup
+# candidate generators (minhash/simhash/edit-distance pairs); this
+# query pins the CC engine itself to a closed-form SQL oracle
+# (gaps-and-islands — no recursion needed for chain graphs).
+_CC_BREAK = 61
+
+
+def q_graph_components(sf_dir: str):
+    """Distributed connected components (min-label propagation +
+    pointer jumping, stages/dedup.py:connected_components_labels) over
+    deterministic doc-id chain edges. Edge construction is itself
+    distributed: a hash-grouped map on ``doc_id // _CC_BREAK`` — both
+    endpoints of every edge share that bucket by construction, and the
+    local consecutive-id check equals the global edge predicate, so no
+    join is needed to test id existence. The CC engine then
+    re-partitions the edges by ITS own node hash; nothing about the
+    bucket layout leaks into the propagation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import connected_components_labels
+    from ..stages.exchange import hash_grouped_map
+
+    ids = _docs(sf_dir).select_columns(["doc_id"])
+
+    def _bucket(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("doc_id")
+        return pa.table(
+            {
+                "bucket": pc.divide(d, _CC_BREAK),
+                "doc_id": d,
+            }
+        )
+
+    edge_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def _edges(group: pa.Table) -> pa.Table:
+        d = np.sort(
+            group.column("doc_id").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        a = d[1:]
+        keep = (a == d[:-1] + 1) & (a % _CC_BREAK != 0)
+        return pa.table(
+            {"doc_a": pa.array(a[keep]), "doc_b": pa.array((a - 1)[keep])}
+        )
+
+    edges = hash_grouped_map(
+        ids.map_batches(_bucket, batch_format="pyarrow", batch_size=None),
+        "bucket",
+        _edges,
+        num_partitions=8,
+        empty_schema=edge_schema,
+        min_group_size=2,
+    )
+    return connected_components_labels(edges, num_partitions=8)
+
+
+QUERIES["graph_components"] = q_graph_components
+ORACLE_SQL["graph_components"] = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+edges AS (
+  SELECT a.d AS doc_a, b.d AS doc_b
+  FROM ids a JOIN ids b ON b.d = a.d - 1
+  WHERE a.d % {_CC_BREAK} <> 0
+),
+nodes AS (
+  SELECT doc_a AS n FROM edges UNION SELECT doc_b FROM edges
+),
+brk AS (
+  SELECT n,
+    CASE WHEN lag(n) OVER (ORDER BY n) = n - 1
+           AND n % {_CC_BREAK} <> 0 THEN 0 ELSE 1 END AS b
+  FROM nodes
+),
+isl AS (
+  SELECT n, sum(b) OVER (ORDER BY n) AS island FROM brk
+)
+SELECT n AS node, min(n) OVER (PARTITION BY island) AS label
+FROM isl
+""".strip()

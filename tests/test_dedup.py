@@ -913,3 +913,42 @@ def test_remove_duplicate_spans_consistency():
             assert clean.loc[d, "clean_text"] == " ".join(toks)
     assert clean.loc[3, "clean_text"] == ""  # fully duplicated doc
     assert clean.loc[1, "clean_text"] == "a b c d e f g h tail1"
+
+
+def test_graph_components_sparse_ids(ray_session, tmp_path):
+    """q_graph_components must not assume contiguous doc_ids: an edge
+    (d, d-1) exists only when BOTH ids are present — the bucketed
+    consecutive-id check is the distributed existence test."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.dedup_queries import (
+        _CC_BREAK,
+        q_graph_components,
+    )
+
+    # runs [0..5], {8}, [59..63] (63>61: run crosses a break multiple),
+    # plus an isolated id 200 (no neighbor -> excluded from output)
+    ids = list(range(6)) + [8] + list(range(59, 64)) + [200]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(["x"] * len(ids))}),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        q_graph_components(str(tmp_path))
+        .to_pandas()
+        .set_index("node")["label"]
+        .sort_index()
+    )
+    # expected components: [0..5] -> 0; [59,60] -> 59 (61 is a break
+    # multiple so edge (61,60) is absent); [61..63] -> 61; 8 and 200
+    # isolated -> absent
+    exp = {}
+    for n in range(6):
+        exp[n] = 0
+    exp[59] = exp[60] = 59
+    for n in (61, 62, 63):
+        exp[n] = 61
+    assert _CC_BREAK == 61
+    assert out.to_dict() == exp

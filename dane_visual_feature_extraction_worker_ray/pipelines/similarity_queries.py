@@ -651,3 +651,30 @@ def q_knn_ivf_pq_topk(sf_dir: str):
 
 
 QUERIES["knn_ivf_pq_topk"] = q_knn_ivf_pq_topk
+
+
+def q_hard_negatives(sf_dir: str):
+    """Contrastive-training hard negatives: per vector, the most-similar
+    different-label vector (stages/similarity.py:hard_negative_mining —
+    one broadcast of the corpus matrix, streaming batch matmuls)."""
+    from ..stages.similarity import hard_negative_mining
+
+    return hard_negative_mining(_emb(sf_dir))
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+ORACLE_SQL["hard_negatives"] = """
+WITH scored AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+    CAST(b.vec_id AS BIGINT) AS neg_id,
+    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          CAST(b.embedding AS DOUBLE[])), 4) AS score
+  FROM embeddings a JOIN embeddings b ON a.label <> b.label
+), ranked AS (
+  SELECT vec_id, neg_id, score,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, neg_id) AS rn
+  FROM scored
+)
+SELECT vec_id, neg_id, score FROM ranked WHERE rn = 1
+""".strip()

@@ -386,3 +386,76 @@ def near_dup_pairs_cosine(
     return cand.map_batches(
         _verify, batch_format="pyarrow", batch_size=None
     )
+
+
+def hard_negative_mining(
+    emb_ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_decimals: int = 4,
+):
+    """Contrastive hard-negative mining: for every vector, the single
+    most-similar vector with a DIFFERENT label (cosine, rounded for
+    cross-engine comparability; ties broken by smaller negative id).
+
+    Shape: the corpus side (ids, labels, normalized matrix) is
+    broadcast ONCE via ``ray.put`` and every streaming batch does one
+    (B x N) matmul against it — the scan side streams, nothing but the
+    one-row-per-vector result moves. This is the exact-mining regime
+    (corpus matrix fits a worker's heap: N x d x 8 bytes, ~4 GB at
+    5M x 100-dim float64); past that, route candidates through
+    :func:`knn_ivf`'s coarse lists and mine within probed lists only.
+
+    Rows whose label matches the whole corpus (no valid negative)
+    are dropped, like SQL's inner anti-label join.
+    """
+    import pyarrow.parquet  # noqa: F401  (keeps import surface explicit)
+
+    mats, idl, labl = [], [], []
+    for ref in emb_ds.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        mats.append(_normalize(_matrix(t, vec_col).astype(np.float64)))
+        idl.append(t.column(id_col).to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+        labl.append(t.column(label_col).to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+    if not mats:
+        return emb_ds.map_batches(
+            lambda tbl: pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "neg_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+    mat = np.vstack(mats)
+    ids = np.concatenate(idl)
+    labs = np.concatenate(labl)
+    o = np.argsort(ids)          # id-ascending columns: np.argmax's
+    mat, ids, labs = mat[o], ids[o], labs[o]  # first-max = smallest id
+    corpus_ref = ray.put((ids, labs, mat))
+
+    def _mine(tbl: pa.Table) -> pa.Table:
+        cids, clabs, cmat = ray.get(corpus_ref)
+        bmat = _normalize(_matrix(tbl, vec_col).astype(np.float64))
+        bids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        blabs = tbl.column(label_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        scores = np.round(bmat @ cmat.T, round_decimals)
+        scores[blabs[:, None] == clabs[None, :]] = -2.0
+        j = np.argmax(scores, axis=1)
+        best = scores[np.arange(len(bids)), j]
+        keep = best > -2.0
+        return pa.table(
+            {
+                "vec_id": pa.array(bids[keep].astype(np.int64)),
+                "neg_id": pa.array(cids[j[keep]]),
+                "score": pa.array(best[keep]),
+            }
+        )
+
+    return emb_ds.map_batches(_mine, batch_format="pyarrow")

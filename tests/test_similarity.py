@@ -358,3 +358,57 @@ def test_knn_ivf_pq_recall_and_probe_restriction():
     # ADC distances are within the PQ quantization error of the truth
     for vid, d in zip(got["vec_id"], got["adc_dist"]):
         assert abs(d - true[int(vid)]) < 5.0
+
+
+def test_hard_negative_mining_known_answer(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.similarity import (
+        hard_negative_mining,
+    )
+
+    vecs = {
+        0: ([1.0, 0.0], 0),
+        1: ([0.9, 0.1], 0),   # closest diff-label to 2 and 3
+        2: ([0.0, 1.0], 1),
+        3: ([0.1, 1.0], 1),
+        4: ([1.0, 0.05], 1),  # closest diff-label to 0 and 1
+        5: ([5.0, 0.25], 1),  # same direction as 4: rounded tie -> id 4
+    }
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(vecs), pa.int64()),
+            "embedding": pa.array([v for v, _ in vecs.values()],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([l for _, l in vecs.values()], pa.int32()),
+        }
+    )
+    out = (
+        hard_negative_mining(rd.from_arrow(tbl).repartition(3))
+        .to_pandas().set_index("vec_id")["neg_id"].sort_index()
+    )
+    # 0 and 1 point along x: nearest label-1 vec is 4 (tie with 5 at
+    # 4 decimals -> smaller id). 2,3 nearest label-0 is 1.
+    assert out.to_dict() == {0: 4, 1: 4, 2: 1, 3: 1, 4: 0, 5: 0}
+
+
+def test_hard_negative_mining_single_label_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.similarity import (
+        hard_negative_mining,
+    )
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([7, 7], pa.int32()),
+        }
+    )
+    out = hard_negative_mining(rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 0

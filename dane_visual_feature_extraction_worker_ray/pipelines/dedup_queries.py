@@ -694,3 +694,81 @@ isl AS (
 SELECT n AS node, min(n) OVER (PARTITION BY island) AS label
 FROM isl
 """.strip()
+
+
+# --- C4-style paragraph dedup (keep-first) --------------------------------
+
+# a fixed 20-token paragraph PREPENDED to every doc_id % 7 == 0
+# document (both sides): prepending pins it to chunk positions 0 and 1
+# regardless of each doc's length, so its two 10-token chunks are
+# byte-identical across all planted docs and keep-first retains them
+# only in the smallest planted doc_id. Natural chunk repeats (if any)
+# dedup identically on both sides.
+_PARA_W = 10
+_PARA_PHRASE = (
+    "omega alpha beta gamma delta epsilon zeta eta theta iota "
+    "kappa lambda mu nu xi omicron pi rho sigma tau"
+)
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide keep-first paragraph dedup, C4 line-dedup policy
+    (stages/dedup.py:paragraph_dedup — 20 B/paragraph hash exchange,
+    drop decisions only into the doc_id rewrite exchange)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.dedup import paragraph_dedup
+
+    def _aug(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        s = tbl.column("text").to_pandas().fillna("")
+        aug = np.where(ids % 7 == 0, _PARA_PHRASE + " " + s, s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "text": pa.array(aug, pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir).map_batches(_aug, batch_format="pyarrow")
+    return paragraph_dedup(docs, chunk_w=_PARA_W, num_partitions=16)
+
+
+QUERIES["paragraph_dedup"] = q_paragraph_dedup
+ORACLE_SQL["paragraph_dedup"] = f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN '{_PARA_PHRASE} ' || text
+         ELSE text END AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS tk
+  FROM aug
+), chunks AS (
+  SELECT doc_id, tk,
+    unnest(range(0, CAST(ceil(len(tk) / {_PARA_W}.0) AS INT))) AS ci
+  FROM tok
+), cstr AS (
+  SELECT doc_id, CAST(ci AS INT) AS ci,
+    array_to_string(tk[ci * {_PARA_W} + 1 : (ci + 1) * {_PARA_W}],
+                    ' ') AS chunk
+  FROM chunks
+), ranked AS (
+  SELECT doc_id, ci, chunk,
+    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+  FROM cstr
+), per_doc AS (
+  SELECT doc_id,
+    coalesce(string_agg(chunk, ' ' ORDER BY ci)
+             FILTER (WHERE rn = 1), '') AS clean_text,
+    CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept_chunks,
+    CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed_chunks
+  FROM ranked GROUP BY doc_id
+)
+SELECT a.doc_id, coalesce(p.clean_text, '') AS clean_text,
+  coalesce(p.n_kept_chunks, 0) AS n_kept_chunks,
+  coalesce(p.n_removed_chunks, 0) AS n_removed_chunks
+FROM aug a LEFT JOIN per_doc p USING (doc_id)
+""".strip()

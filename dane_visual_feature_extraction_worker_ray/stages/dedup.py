@@ -2115,3 +2115,213 @@ def edit_distance_pairs_bucketed(
         )
 
     return cand.map_batches(_verify, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# paragraph-level corpus dedup (C4-style line dedup, keep-first)
+
+
+def paragraph_dedup(
+    docs_ds,
+    chunk_w: int = 10,
+    num_partitions: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-wide paragraph deduplication with KEEP-FIRST semantics
+    (the C4 line-dedup policy): the token stream of every document is
+    partitioned into consecutive ``chunk_w``-token paragraphs, every
+    paragraph occurring more than once corpus-wide survives only at
+    its first occurrence (smallest ``(doc_id, chunk_idx)``), and each
+    document is rewritten from its kept paragraphs. Differs from
+    :func:`remove_duplicate_spans` (Lee et al.): spans are overlapping
+    k-grams and ALL occurrences are removed; paragraphs are a
+    partition of the stream and exactly one occurrence survives.
+
+    Output: ``(doc_id, clean_text, n_kept_chunks, n_removed_chunks)``,
+    every input document emitted.
+
+    Scale shape: phase 1 ships 20 B per paragraph (uint64 content
+    hash + doc_id + chunk idx — same negligible-collision stance as
+    the gram-hash exchange in :func:`duplicate_ngram_spans`); only
+    DROP decisions (duplicated occurrences, typically a small
+    fraction) flow into phase 2, where document text moves exactly
+    once on the ``doc_id`` rewrite exchange and the rebuild is a
+    vectorized mask + one Arrow ``binary_join`` per partition.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64
+    from ..functions.tokenize import ws_tokens
+    from .exchange import hash_exchange, hash_grouped_map
+
+    def _chunk_arrays(texts):
+        """(row_idx per chunk, chunk_idx per chunk, chunk strings)."""
+        row, flat = ws_tokens(texts)
+        total = len(row)
+        if total == 0:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int32),
+                pa.array([], pa.string()),
+            )
+        n_tok = np.bincount(row, minlength=0)
+        starts = np.concatenate(([0], np.cumsum(n_tok)))
+        pos = np.arange(total, dtype=np.int64) - starts[row]
+        ci = pos // chunk_w
+        newc = np.empty(total, bool)
+        newc[0] = True
+        newc[1:] = (row[1:] != row[:-1]) | (ci[1:] != ci[:-1])
+        cstarts = np.flatnonzero(newc)
+        offsets = np.concatenate((cstarts, [total])).astype(np.int64)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), flat.cast(pa.large_string())
+        )
+        chunks = pc.binary_join(
+            lists, pa.scalar(" ", pa.large_string())
+        ).cast(pa.string())
+        return row[cstarts], ci[cstarts].astype(np.int32), chunks
+
+    def _explode(tbl: pa.Table) -> pa.Table:
+        crow, cci, chunks = _chunk_arrays(tbl.column(text_col))
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "h": pa.array(hash64(chunks), pa.uint64()),
+                "doc_id": pa.array(ids[crow] if len(crow) else
+                                   np.empty(0, np.int64)),
+                "ci": pa.array(cci, pa.int32()),
+            }
+        )
+
+    drop_schema = pa.schema([("doc_id", pa.int64()), ("ci", pa.int32())])
+
+    def _drops(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        c = group.column("ci").to_numpy(zero_copy_only=False)
+        o = np.lexsort((c, d))[1:]  # all but the first occurrence
+        return pa.table(
+            {
+                "doc_id": pa.array(d[o].astype(np.int64)),
+                "ci": pa.array(c[o].astype(np.int32)),
+            }
+        )
+
+    drops = hash_grouped_map(
+        docs_ds.map_batches(
+            _explode, batch_format="pyarrow", batch_size=None
+        ),
+        "h",
+        _drops,
+        num_partitions=num_partitions,
+        empty_schema=drop_schema,
+        min_group_size=2,
+    )
+
+    def _tag_docs(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": tbl.column(id_col).cast(pa.int64()),
+                "ci": pa.nulls(tbl.num_rows, pa.int32()),
+                "text": pc.fill_null(
+                    tbl.column(text_col).cast(pa.string()), ""
+                ),
+            }
+        )
+
+    def _tag_drops(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "ci": tbl.column("ci"),
+                "text": pa.nulls(tbl.num_rows, pa.string()),
+            }
+        )
+
+    tagged = docs_ds.map_batches(
+        _tag_docs, batch_format="pyarrow"
+    ).union(drops.map_batches(_tag_drops, batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("clean_text", pa.string()),
+            ("n_kept_chunks", pa.int64()),
+            ("n_removed_chunks", pa.int64()),
+        ]
+    )
+
+    def _rewrite(pidx: int, tbl: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(tbl.column("text")).to_numpy(
+            zero_copy_only=False
+        )
+        docs = tbl.filter(pa.array(is_doc))
+        dr = tbl.filter(pa.array(~is_doc))
+        ids = docs.column("doc_id").to_numpy()
+        o = np.argsort(ids, kind="stable")
+        docs = docs.take(pa.array(o))
+        ids = ids[o]
+        n_docs = docs.num_rows
+        row, flat = ws_tokens(docs.column("text"))
+        total = len(row)
+        n_tok = np.bincount(row, minlength=n_docs).astype(np.int64)
+        tstarts = np.concatenate(([0], np.cumsum(n_tok)))
+        n_chunks = -(-n_tok // chunk_w)  # ceil
+        cstarts = np.concatenate(([0], np.cumsum(n_chunks)))
+        total_chunks = int(cstarts[-1])
+        dropped = np.zeros(total_chunks, bool)
+        if dr.num_rows and total_chunks:
+            did = dr.column("doc_id").to_numpy()
+            dci = dr.column("ci").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            r = np.searchsorted(ids, did)
+            ok = (r < n_docs) & (ids[np.minimum(r, n_docs - 1)] == did)
+            ok &= dci < n_chunks[np.minimum(r, n_docs - 1)]
+            r, dci = r[ok], dci[ok]
+            dropped[cstarts[r] + dci] = True
+        if total:
+            pos = np.arange(total, dtype=np.int64) - tstarts[row]
+            tok_chunk = cstarts[row] + pos // chunk_w
+            kept = ~dropped[tok_chunk]
+        else:
+            kept = np.empty(0, bool)
+        kept_tok = (
+            np.bincount(row[kept], minlength=n_docs).astype(np.int64)
+            if total
+            else np.zeros(n_docs, np.int64)
+        )
+        kept_flat = flat.filter(pa.array(kept)) if total else flat
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        offsets = np.concatenate(([0], np.cumsum(kept_tok)))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            kept_flat.cast(pa.large_string()),
+        )
+        clean = pc.binary_join(
+            lists, pa.scalar(" ", pa.large_string())
+        ).cast(pa.string())
+        # drops are unique (doc, ci) pairs by construction (each chunk
+        # occurrence reaches exactly one hash group in phase 1)
+        rem = (
+            np.bincount(r, minlength=n_docs).astype(np.int64)
+            if dr.num_rows and total_chunks
+            else np.zeros(n_docs, np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "clean_text": clean,
+                "n_kept_chunks": pa.array(n_chunks - rem),
+                "n_removed_chunks": pa.array(rem),
+            }
+        )
+
+    return hash_exchange(
+        tagged, "doc_id", num_partitions, _rewrite, out_schema
+    )

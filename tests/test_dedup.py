@@ -952,3 +952,57 @@ def test_graph_components_sparse_ids(ray_session, tmp_path):
         exp[n] = 61
     assert _CC_BREAK == 61
     assert out.to_dict() == exp
+
+
+def test_paragraph_dedup_brute_force(ray_session):
+    """Keep-first chunk dedup vs a per-doc Python oracle, including
+    empty docs, intra-doc repeats, and cross-doc duplicates."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        paragraph_dedup,
+    )
+
+    W = 3
+    docs = {
+        0: "a b c a b c x",      # chunk0 == chunk1's first 3? chunks: "a b c","a b c","x"
+        1: "a b c d e",          # chunk "a b c" duplicates doc0 chunk0
+        2: "",                   # empty doc
+        3: "x",                  # single-token chunk; dup of doc0's tail chunk
+        4: "d e",                # unique
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "text": pa.array(list(docs.values()), pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = (
+        paragraph_dedup(ds, chunk_w=W, num_partitions=4)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+
+    # python oracle
+    chunks = {}  # chunk text -> first (doc, ci)
+    rows = {}
+    for d in sorted(docs):
+        toks = docs[d].split()
+        cs = [" ".join(toks[i:i + W]) for i in range(0, len(toks), W)]
+        kept = []
+        nrem = 0
+        for ci, c in enumerate(cs):
+            if c in chunks:
+                nrem += 1
+            else:
+                chunks[c] = (d, ci)
+                kept.append(c)
+        rows[d] = (" ".join(kept), len(cs) - nrem, nrem)
+
+    assert len(out) == len(docs)
+    for d, (clean, nk, nr) in rows.items():
+        assert out.loc[d, "clean_text"] == clean, d
+        assert out.loc[d, "n_kept_chunks"] == nk, d
+        assert out.loc[d, "n_removed_chunks"] == nr, d

@@ -381,3 +381,39 @@ SELECT d.doc_id, d.lang, d.source, d.n_chars, g.grp_docs,
        g.grp_mean_chars
 FROM documents d JOIN g ON d.lang = g.lang AND d.source = g.source
 """.strip()
+
+
+def q_join_size_estimate(sf_dir: str):
+    """Exact join-size + skew statistics for orders ⋈ lineitem on
+    orderkey without executing the join (stages/join.py:
+    join_size_stats — per-key count partials only on the wire; the
+    numbers the broadcast/salting planners consume)."""
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.join import join_size_stats
+
+    orders = read_parquet_tuned(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"]
+    )
+    lineitem = read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    )
+    return join_size_stats(orders, "o_orderkey", lineitem, "l_orderkey")
+
+
+QUERIES["join_size_estimate"] = q_join_size_estimate
+ORACLE_SQL["join_size_estimate"] = """
+WITH l AS (
+  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+), o AS (
+  SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1
+)
+SELECT
+  CAST((SELECT count(*) FROM o) AS BIGINT) AS n_left_keys,
+  CAST((SELECT count(*) FROM l) AS BIGINT) AS n_right_keys,
+  CAST((SELECT count(*) FROM o JOIN l USING (k)) AS BIGINT)
+    AS n_matched_keys,
+  CAST(coalesce((SELECT sum(o.c * l.c) FROM o JOIN l USING (k)), 0)
+    AS BIGINT) AS join_rows,
+  CAST(coalesce((SELECT max(c) FROM o), 0) AS BIGINT) AS max_left_mult,
+  CAST(coalesce((SELECT max(c) FROM l), 0) AS BIGINT) AS max_right_mult
+""".strip()

@@ -716,3 +716,117 @@ def auto_equi_join(
 
     return left_ds.map_batches(_bjoin, batch_format="pyarrow",
                                batch_size=None)
+
+
+def join_size_stats(
+    left_ds,
+    left_key: str,
+    right_ds,
+    right_key: str,
+):
+    """Planner statistics for a prospective equi-join, computed WITHOUT
+    running it: exact output cardinality, per-side distinct key counts,
+    matched-key count, and per-side maximum key multiplicity (the skew
+    number the salting/broadcast planners act on — see
+    :func:`auto_equi_join` and ``stages/salting.py``).
+
+    Shape: per-batch partial (key, n) counts on each side — raw rows
+    never shuffle — then ONE shared hash exchange of the tagged count
+    pairs; each partition contributes a single partial-stats row and
+    the driver folds ≤ num_partitions rows. Returns a one-row pandas
+    DataFrame, all counts integer-exact:
+    ``(n_left_keys, n_right_keys, n_matched_keys, join_rows,
+    max_left_mult, max_right_mult)``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_exchange
+    from .groupagg import group_aggregate_table
+
+    def _partial(side: int):
+        key = left_key if side == 0 else right_key
+
+        def _f(tbl: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "k": tbl.column(key).cast(pa.int64()),
+                    "n": pa.array(
+                        np.ones(tbl.num_rows, np.int64)
+                    ),
+                }
+            )
+            g = group_aggregate_table(t, ["k"], [("n", "sum")])
+            return g.append_column(
+                "side",
+                pa.array(np.full(g.num_rows, side, np.int8)),
+            )
+
+        return _f
+
+    tagged = left_ds.map_batches(
+        _partial(0), batch_format="pyarrow", batch_size=None
+    ).union(
+        right_ds.map_batches(
+            _partial(1), batch_format="pyarrow", batch_size=None
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            ("n_left_keys", pa.int64()),
+            ("n_right_keys", pa.int64()),
+            ("n_matched_keys", pa.int64()),
+            ("join_rows", pa.int64()),
+            ("max_left_mult", pa.int64()),
+            ("max_right_mult", pa.int64()),
+        ]
+    )
+
+    def _stats(p: int, tbl: pa.Table) -> pa.Table:
+        # combine per-batch partials within the partition first
+        g = group_aggregate_table(tbl, ["k", "side"], [("n", "sum")])
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        lk, ln = k[side == 0], n[side == 0]
+        rk, rn = k[side == 1], n[side == 1]
+        lo = np.argsort(lk)
+        lk, ln = lk[lo], ln[lo]
+        pos = np.searchsorted(lk, rk)
+        ok = (pos < len(lk)) & (lk[np.minimum(pos, max(len(lk) - 1, 0))]
+                                == rk) if len(lk) else np.zeros(
+            len(rk), bool
+        )
+        join_rows = int((ln[pos[ok]] * rn[ok]).sum()) if ok.any() else 0
+        return pa.table(
+            {
+                "n_left_keys": pa.array([len(lk)], pa.int64()),
+                "n_right_keys": pa.array([len(rk)], pa.int64()),
+                "n_matched_keys": pa.array([int(ok.sum())], pa.int64()),
+                "join_rows": pa.array([join_rows], pa.int64()),
+                "max_left_mult": pa.array(
+                    [int(ln.max()) if len(ln) else 0], pa.int64()
+                ),
+                "max_right_mult": pa.array(
+                    [int(rn.max()) if len(rn) else 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = hash_exchange(
+        tagged, "k", 16, _stats, out_schema
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_left_keys": [int(parts["n_left_keys"].sum())],
+            "n_right_keys": [int(parts["n_right_keys"].sum())],
+            "n_matched_keys": [int(parts["n_matched_keys"].sum())],
+            "join_rows": [int(parts["join_rows"].sum())],
+            "max_left_mult": [int(parts["max_left_mult"].max())
+                              if len(parts) else 0],
+            "max_right_mult": [int(parts["max_right_mult"].max())
+                               if len(parts) else 0],
+        }
+    )

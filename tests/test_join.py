@@ -529,3 +529,30 @@ def test_auto_equi_join_random_tables_vs_pandas(ray_session):
                     assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), (
                         seed, how, gate, c
                     )
+
+
+def test_join_size_stats_edge_cases(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.join import (
+        join_size_stats,
+    )
+
+    def mk(col, vals):
+        return rd.from_arrow(
+            pa.table({col: pa.array(vals, pa.int64())})
+        ).repartition(2)
+
+    # skewed overlap: key 1 -> 2x3 rows, key 2 -> 1x1, key 9 unmatched
+    st = join_size_stats(
+        mk("a", [1, 1, 2, 9]), "a", mk("b", [1, 1, 1, 2, 7]), "b"
+    ).iloc[0]
+    assert st["n_left_keys"] == 3 and st["n_right_keys"] == 3
+    assert st["n_matched_keys"] == 2
+    assert st["join_rows"] == 2 * 3 + 1 * 1
+    assert st["max_left_mult"] == 2 and st["max_right_mult"] == 3
+
+    # disjoint keys
+    st = join_size_stats(mk("a", [1, 2]), "a", mk("b", [3, 4]), "b").iloc[0]
+    assert st["n_matched_keys"] == 0 and st["join_rows"] == 0

@@ -1660,3 +1660,140 @@ SELECT *,
        // (SELECT sum(n) FROM per_key) AS BIGINT) AS hot_share_bp
 FROM hist
 """.strip()
+
+
+def q_sliding_active_users(sf_dir: str):
+    """Trailing-24h sliding-window DISTINCT users per hour — the
+    windowed-distinct shape where window counts cannot be summed from
+    tumbling buckets. Distributed form: distinct (hour, user) pairs
+    first (raw events collapse before anything wide), then a bounded
+    x24 expansion of each pair to the trailing windows it feeds —
+    pruned against the broadcast set of hours that actually occur —
+    and a distinct+count reduction per window hour. The wire carries
+    pair partials, never events; expansion factor == window span in
+    buckets, the classic window/bucket trade."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def _pairs(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "h": pc.floor_temporal(
+                    tbl.column("ts"), unit="hour"
+                ).cast(pa.int64()),
+                "user_id": tbl.column("user_id"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["h", "user_id"], [("n", "sum")])
+
+    pairs = hash_grouped_aggregate(
+        ev.map_batches(_pairs, batch_format="pyarrow", batch_size=None),
+        ["h", "user_id"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    def _hours_partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "h": tbl.column("h"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["h"], [("n", "sum")])
+
+    hours = np.sort(
+        hash_grouped_aggregate(
+            pairs.map_batches(
+                _hours_partial, batch_format="pyarrow", batch_size=None
+            ),
+            ["h"],
+            [("n", "sum")],
+            num_buckets=4,
+        ).to_pandas()["h"].to_numpy()
+    )
+    hours_ref = ray.put(hours)
+    HOUR_US = 3_600_000_000
+
+    def _expand(tbl: pa.Table) -> pa.Table:
+        hset = ray.get(hours_ref)
+        h = tbl.column("h").to_numpy()
+        u = tbl.column("user_id").to_numpy()
+        w = np.repeat(h, 24) + np.tile(
+            np.arange(24, dtype=np.int64) * HOUR_US, len(h)
+        )
+        uu = np.repeat(u, 24)
+        pos = np.searchsorted(hset, w)
+        keep = (pos < len(hset)) & (
+            hset[np.minimum(pos, len(hset) - 1)] == w
+        ) if len(hset) else np.zeros(len(w), bool)
+        t = pa.table(
+            {
+                "w": pa.array(w[keep]),
+                "user_id": pa.array(uu[keep]),
+                "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["w", "user_id"], [("n", "sum")])
+
+    wpairs = hash_grouped_aggregate(
+        pairs.map_batches(
+            _expand, batch_format="pyarrow", batch_size=None
+        ),
+        ["w", "user_id"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    def _count(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "w": tbl.column("w"),
+                "n_users": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["w"], [("n_users", "sum")])
+
+    out = hash_grouped_aggregate(
+        wpairs.map_batches(
+            _count, batch_format="pyarrow", batch_size=None
+        ),
+        ["w"],
+        [("n_users", "sum")],
+        num_buckets=8,
+    )
+
+    def _final(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": tbl.column("w").cast(pa.timestamp("us")),
+                "n_users": tbl.column("n_users"),
+            }
+        )
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
+QUERIES["sliding_active_users"] = q_sliding_active_users
+ORACLE_SQL["sliding_active_users"] = """
+WITH hu AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+), hours AS (
+  SELECT DISTINCT h FROM hu
+)
+SELECT hours.h AS hour,
+  CAST(count(DISTINCT hu.user_id) AS BIGINT) AS n_users
+FROM hours JOIN hu
+  ON hu.h BETWEEN hours.h - INTERVAL 23 HOUR AND hours.h
+GROUP BY hours.h
+""".strip()

@@ -1213,3 +1213,107 @@ FROM sc GROUP BY shard_id
 
 QUERIES["corpus_build_manifest"] = q_corpus_build_manifest
 ORACLE_SQL["corpus_build_manifest"] = _corpus_build_sql()
+
+
+# --- z-order layout (multi-dimensional clustering for scan pruning) -------
+
+_Z_BITS = 16
+_Z_ROWS_PER_FILE = 4096
+
+
+def _z_terms(col: str, offset: int) -> str:
+    return " + ".join(
+        f"(({col} >> {i}) & 1) * {1 << (2 * i + offset)}"
+        for i in range(_Z_BITS)
+    )
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order data layout: interleave the low 16 bits of
+    (l_partkey, l_suppkey) into a Morton code, globally sort by it,
+    and assign fixed-size output files — the multi-dimensional
+    clustering that lets a 100 TB scan prune row groups on EITHER key
+    (each key's value range maps to O(sqrt) of the curve). Rides the
+    engine's sample-based range sort (stages/sort.py) with the global
+    rank giving deterministic file assignment; the z-value costs one
+    vectorized numpy pass per batch, no shuffle beyond the sort's
+    single exchange."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.sort import sort_by
+
+    ds = read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+    def _interleave(v: np.ndarray) -> np.ndarray:
+        # spread the low 16 bits of v to even bit positions (classic
+        # Morton spreading via parallel-prefix masks, ~5 ops)
+        x = v.astype(np.uint64) & np.uint64(0xFFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+        return x
+
+    def _zval(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_partkey").to_numpy()
+        s = tbl.column("l_suppkey").to_numpy()
+        z = (_interleave(p) | (_interleave(s) << np.uint64(1))).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "l_linenumber": tbl.column("l_linenumber").cast(
+                    pa.int64()
+                ),
+                "zval": pa.array(z),
+            }
+        )
+
+    ranked = sort_by(
+        ds.map_batches(_zval, batch_format="pyarrow", batch_size=None),
+        [("zval", "ascending"), ("l_orderkey", "ascending"),
+         ("l_linenumber", "ascending")],
+        num_partitions=16,
+        rank_col="rnk",
+    )
+
+    def _file(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fid = pc.divide(
+            pc.subtract(tbl.column("rnk"), 1), _Z_ROWS_PER_FILE
+        )
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "l_linenumber": tbl.column("l_linenumber"),
+                "zval": tbl.column("zval"),
+                "file_id": fid,
+            }
+        )
+
+    return ranked.map_batches(_file, batch_format="pyarrow")
+
+
+QUERIES["zorder_layout"] = q_zorder_layout
+ORACLE_SQL["zorder_layout"] = f"""
+WITH z AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+    CAST({_z_terms('l_partkey', 0)}
+         + {_z_terms('l_suppkey', 1)} AS BIGINT) AS zval
+  FROM lineitem
+), ranked AS (
+  SELECT l_orderkey, l_linenumber, zval,
+    row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber) AS rnk
+  FROM z
+)
+SELECT l_orderkey, l_linenumber, zval,
+  CAST((rnk - 1) // {_Z_ROWS_PER_FILE} AS BIGINT) AS file_id
+FROM ranked
+""".strip()

@@ -1917,3 +1917,104 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """.strip()
+
+
+# --- MERGE INTO / CDC apply (lakehouse upsert) ----------------------------
+
+_MERGE_INS_OFFSET = 10_000_000
+
+
+def q_merge_upsert(sf_dir: str):
+    """Latest-wins MERGE of a deterministic changeset onto the
+    documents snapshot (stages/upsert.py:merge_upsert — one key
+    exchange, vectorized last-of-run selection). The changeset derives
+    from the base in BOTH engines: deletes (doc_id%5==0), two
+    sequenced updates where the later one must win (%5==1), inserts
+    under new keys (%5==2), and update-then-delete where the delete
+    must win (%5==3)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.upsert import merge_upsert
+
+    base = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def _changes(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        txt = tbl.column("text").to_pandas().fillna("").to_numpy()
+        m = ids % 5
+        out_id, out_seq, out_op, out_txt = [], [], [], []
+
+        def emit(mask, ids_v, seq, op, txt_v):
+            out_id.append(ids_v[mask])
+            out_seq.append(np.full(mask.sum(), seq, np.int64))
+            out_op.append(np.full(mask.sum(), op, object))
+            out_txt.append(txt_v)
+
+        emit(m == 0, ids, 1, "D",
+             np.full((m == 0).sum(), None, object))
+        emit(m == 1, ids, 1, "U",
+             np.char.add("UPD1 ", txt[m == 1].astype(str)).astype(object))
+        emit(m == 1, ids, 2, "U",
+             np.char.add("UPD2 ", txt[m == 1].astype(str)).astype(object))
+        emit(m == 2, ids + _MERGE_INS_OFFSET, 1, "I",
+             np.char.add("INS ", txt[m == 2].astype(str)).astype(object))
+        emit(m == 3, ids, 1, "U",
+             np.char.add("UPD ", txt[m == 3].astype(str)).astype(object))
+        emit(m == 3, ids, 2, "D",
+             np.full((m == 3).sum(), None, object))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(out_id).astype(np.int64)
+                ),
+                "seq": pa.array(np.concatenate(out_seq)),
+                "op": pa.array(
+                    np.concatenate(out_op), pa.string()
+                ),
+                "text": pa.array(
+                    np.concatenate(out_txt), pa.string()
+                ),
+            }
+        )
+
+    changes = base.map_batches(_changes, batch_format="pyarrow")
+    return merge_upsert(
+        base, changes, "doc_id", ["text"], num_partitions=16
+    )
+
+
+QUERIES["merge_upsert"] = q_merge_upsert
+ORACLE_SQL["merge_upsert"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, -1 AS seq, 'B' AS op
+  FROM documents
+), ch AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS text,
+    1 AS seq, 'D' AS op FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'UPD1 ' || text, 1, 'U' FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id, 'UPD2 ' || text, 2, 'U' FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + {_MERGE_INS_OFFSET}, 'INS ' || text, 1, 'I'
+  FROM documents WHERE doc_id % 5 = 2
+  UNION ALL
+  SELECT doc_id, 'UPD ' || text, 1, 'U' FROM documents WHERE doc_id % 5 = 3
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS VARCHAR), 2, 'D'
+  FROM documents WHERE doc_id % 5 = 3
+), allr AS (
+  SELECT * FROM base UNION ALL SELECT * FROM ch
+), ranked AS (
+  SELECT doc_id, text, op,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY seq DESC, op ASC) AS rn
+  FROM allr
+)
+SELECT doc_id, text FROM ranked WHERE rn = 1 AND op <> 'D'
+""".strip()

@@ -556,3 +556,38 @@ def test_join_size_stats_edge_cases(ray_session):
     # disjoint keys
     st = join_size_stats(mk("a", [1, 2]), "a", mk("b", [3, 4]), "b").iloc[0]
     assert st["n_matched_keys"] == 0 and st["join_rows"] == 0
+
+
+def test_merge_upsert_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.upsert import (
+        merge_upsert,
+    )
+
+    base = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], pa.int64()),
+                "v": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    ).repartition(2)
+    # k=1 updated twice (latest wins); k=2 deleted; k=3 delete ties a
+    # same-seq update (delete wins); k=5 inserted; k=4 untouched
+    ch = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3, 3, 5], pa.int64()),
+                "seq": pa.array([1, 2, 1, 7, 7, 1], pa.int64()),
+                "op": pa.array(["U", "U", "D", "U", "D", "I"]),
+                "v": pa.array(["a1", "a2", None, "c7", None, "e"]),
+            }
+        )
+    )
+    out = (
+        merge_upsert(base, ch, "k", ["v"], num_partitions=4)
+        .to_pandas().set_index("k")["v"].sort_index()
+    )
+    assert out.to_dict() == {1: "a2", 4: "d", 5: "e"}

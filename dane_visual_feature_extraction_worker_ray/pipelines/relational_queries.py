@@ -2018,3 +2018,85 @@ WITH base AS (
 )
 SELECT doc_id, text FROM ranked WHERE rn = 1 AND op <> 'D'
 """.strip()
+
+
+_DIFF_INS_OFFSET = 20_000_000
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Keyed diff between the documents snapshot and a derived next
+    snapshot (stages/upsert.py:table_diff — one key exchange, output
+    sized by the delta): %7==0 rewritten, %7==1 dropped, %7==2 also
+    inserted under a new key; every other key must NOT appear."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.upsert import table_diff
+
+    old = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def _next(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        txt = tbl.column("text").to_pandas().fillna("").to_numpy()
+        lang = tbl.column("lang").to_pandas().to_numpy()
+        m = ids % 7
+        keep = m != 1
+        out_id = [ids[keep]]
+        out_tx = [
+            np.where(
+                m[keep] == 0,
+                np.char.add("v2 ", txt[keep].astype(str)),
+                txt[keep],
+            ).astype(object)
+        ]
+        out_lg = [lang[keep].astype(object)]
+        ins = m == 2
+        out_id.append(ids[ins] + _DIFF_INS_OFFSET)
+        out_tx.append(
+            np.char.add("NEW ", txt[ins].astype(str)).astype(object)
+        )
+        out_lg.append(lang[ins].astype(object))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(out_id).astype(np.int64)
+                ),
+                "text": pa.array(np.concatenate(out_tx), pa.string()),
+                "lang": pa.array(np.concatenate(out_lg), pa.string()),
+            }
+        )
+
+    new = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    ).map_batches(_next, batch_format="pyarrow")
+    return table_diff(old, new, "doc_id", ["text", "lang"],
+                      num_partitions=16)
+
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLE_SQL["snapshot_diff"] = f"""
+WITH newt AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END AS text,
+    lang
+  FROM documents WHERE doc_id % 7 <> 1
+  UNION ALL
+  SELECT doc_id + {_DIFF_INS_OFFSET}, 'NEW ' || text, lang
+  FROM documents WHERE doc_id % 7 = 2
+), oldt AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang FROM documents
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       ELSE 'changed' END AS change_type
+FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR o.text IS DISTINCT FROM n.text
+   OR o.lang IS DISTINCT FROM n.lang
+""".strip()

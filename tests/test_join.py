@@ -591,3 +591,38 @@ def test_merge_upsert_semantics(ray_session):
         .to_pandas().set_index("k")["v"].sort_index()
     )
     assert out.to_dict() == {1: "a2", 4: "d", 5: "e"}
+
+
+def test_table_diff_null_safety(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.upsert import (
+        table_diff,
+    )
+
+    old = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "v": pa.array(["a", None, "c", None, "e"]),
+            }
+        )
+    ).repartition(2)
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 6], pa.int64()),
+                # 1 unchanged, 2 null->null unchanged, 3 value->null
+                # changed, 4 null->value changed, 5 removed, 6 added
+                "v": pa.array(["a", None, None, "d", "f"]),
+            }
+        )
+    )
+    out = (
+        table_diff(old, new, "k", ["v"], num_partitions=4)
+        .to_pandas().set_index("k")["change_type"].sort_index()
+    )
+    assert out.to_dict() == {
+        3: "changed", 4: "changed", 5: "removed", 6: "added"
+    }

@@ -1797,3 +1797,93 @@ FROM hours JOIN hu
   ON hu.h BETWEEN hours.h - INTERVAL 23 HOUR AND hours.h
 GROUP BY hours.h
 """.strip()
+
+
+_ATTR_WINDOW_US = 7 * 86_400_000_000  # 7 days
+
+
+def q_attribution_first_touch(sf_dir: str):
+    """First-touch attribution: every purchase attributed to the
+    user's EARLIEST view within the trailing 7 days (ties on ts break
+    to the smaller event_id), NULL when no view qualifies. One
+    user-keyed exchange; inside each user group the kernel is two
+    sorted arrays + one searchsorted — the per-key ordered sweep that
+    generalizes the as-of join to windowed semantics."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_grouped_map
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def _narrow(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(
+            tbl.column("event_type"),
+            value_set=pa.array(["view", "purchase"]),
+        )
+        t = tbl.filter(keep)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts": t.column("ts").cast(pa.int64()),
+                "is_view": pc.equal(
+                    t.column("event_type"), "view"
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("first_view_id", pa.int64())]
+    )
+
+    def _attr(group: pa.Table) -> pa.Table:
+        isv = group.column("is_view").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        v_ts, v_id = ts[isv], eid[isv]
+        o = np.lexsort((v_id, v_ts))
+        v_ts, v_id = v_ts[o], v_id[o]
+        p_ts, p_id = ts[~isv], eid[~isv]
+        if len(p_ts) == 0:
+            return out_schema.empty_table()
+        if len(v_ts):
+            lo = np.searchsorted(
+                v_ts, p_ts - _ATTR_WINDOW_US, side="left"
+            )
+            safe = np.minimum(lo, len(v_ts) - 1)
+            ok = (lo < len(v_ts)) & (v_ts[safe] <= p_ts)
+            cand = v_id[safe]
+        else:
+            ok = np.zeros(len(p_ts), bool)
+            cand = np.zeros(len(p_ts), np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(p_id.astype(np.int64)),
+                "first_view_id": pa.array(
+                    np.where(ok, cand, 0).astype(np.int64), mask=~ok
+                ),
+            }
+        )
+
+    return hash_grouped_map(
+        ev.map_batches(_narrow, batch_format="pyarrow",
+                       batch_size=None),
+        "user_id",
+        _attr,
+        num_partitions=16,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["attribution_first_touch"] = q_attribution_first_touch
+ORACLE_SQL["attribution_first_touch"] = """
+SELECT p.event_id,
+  (SELECT v.event_id FROM events v
+   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+     AND v.ts BETWEEN p.ts - INTERVAL 7 DAY AND p.ts
+   ORDER BY v.ts, v.event_id LIMIT 1) AS first_view_id
+FROM events p WHERE p.event_type = 'purchase'
+""".strip()

@@ -2916,3 +2916,145 @@ def q_bigram_lm_score(sf_dir: str):
 
 
 QUERIES["bigram_lm_score"] = q_bigram_lm_score
+
+
+def q_vocab_overlap(sf_dir: str):
+    """Pairwise source-vocabulary overlap: for every pair of sources,
+    the number of shared distinct tokens, each side's vocabulary size,
+    and the Jaccard similarity (one final IEEE division of exact
+    integer counts — bit-identical to the SQL expression). Corpus
+    drift / contamination analysis between ingestion feeds.
+
+    Shape: per-batch distinct (source, token) partials → one
+    (source, token) hash agg → a TOKEN-keyed grouped map emits source
+    pairs per shared token (min_group_size=2 skips unshared vocab
+    before Python dispatch) → per-pair count agg. Vocabulary sizes
+    ride the same distinct-pair table; only the tiny per-source and
+    per-pair count tables reach the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.tokenize import ws_tokens
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.exchange import hash_grouped_map
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def _pairs(tbl: pa.Table) -> pa.Table:
+        row, flat = ws_tokens(tbl.column("text"))
+        src = tbl.column("source").to_pandas().to_numpy()
+        t = pa.table(
+            {
+                "source": pa.array(src[row].astype(object),
+                                   pa.string()),
+                "tok": flat,
+                "n": pa.array(np.ones(len(row), np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["source", "tok"], [("n", "sum")])
+
+    st = hash_grouped_aggregate(
+        docs.map_batches(_pairs, batch_format="pyarrow",
+                         batch_size=None),
+        ["source", "tok"],
+        [("n", "sum")],
+        num_buckets=16,
+    )
+
+    # vocabulary sizes (tiny: one row per source)
+    def _size_partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": tbl.column("source"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["source"], [("n", "sum")])
+
+    sizes = hash_grouped_aggregate(
+        st.map_batches(_size_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["source"],
+        [("n", "sum")],
+        num_buckets=4,
+    ).to_pandas().set_index("source")["n"]
+
+    pair_schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def _tok_pairs(group: pa.Table) -> pa.Table:
+        s = np.sort(
+            group.column("source").to_pandas().to_numpy().astype(str)
+        )
+        ia, ib = np.triu_indices(len(s), k=1)
+        return pa.table(
+            {
+                "source_a": pa.array(s[ia].astype(object), pa.string()),
+                "source_b": pa.array(s[ib].astype(object), pa.string()),
+                "n": pa.array(np.ones(len(ia), np.int64)),
+            }
+        )
+
+    common = hash_grouped_aggregate(
+        hash_grouped_map(
+            st,
+            "tok",
+            _tok_pairs,
+            num_partitions=16,
+            empty_schema=pair_schema,
+            min_group_size=2,
+        ),
+        ["source_a", "source_b"],
+        [("n", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+
+    na = sizes.loc[common["source_a"]].to_numpy()
+    nb = sizes.loc[common["source_b"]].to_numpy()
+    c = common["n"].to_numpy()
+    out = pd.DataFrame(
+        {
+            "source_a": common["source_a"],
+            "source_b": common["source_b"],
+            "n_common": c.astype("int64"),
+            "n_a": na.astype("int64"),
+            "n_b": nb.astype("int64"),
+            "jaccard": c.astype("float64") / (na + nb - c),
+        }
+    )
+    return out.sort_values(["source_a", "source_b"]).reset_index(
+        drop=True
+    )
+
+
+QUERIES["vocab_overlap"] = q_vocab_overlap
+ORACLE_SQL["vocab_overlap"] = """
+WITH st AS (
+  SELECT DISTINCT source,
+    unnest(list_filter(string_split_regex(text, '\\s+'),
+                       x -> x <> '')) AS tok
+  FROM documents
+), sizes AS (
+  SELECT source, count(*) AS n FROM st GROUP BY 1
+), common AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(c AS BIGINT) AS n_common,
+  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+  CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+FROM common
+JOIN sizes x ON x.source = common.source_a
+JOIN sizes y ON y.source = common.source_b
+""".strip()

@@ -417,3 +417,46 @@ SELECT
   CAST(coalesce((SELECT max(c) FROM o), 0) AS BIGINT) AS max_left_mult,
   CAST(coalesce((SELECT max(c) FROM l), 0) AS BIGINT) AS max_right_mult
 """.strip()
+
+
+def q_bucketed_join_roundtrip(sf_dir: str):
+    """Storage-layout join: both sides first persisted as
+    bucket-aligned parquet (the resumable partitioned writer, paying
+    the layout cost ONCE), then joined bucket-by-bucket with zero
+    exchange (stages/join.py:bucketed_storage_join). The repeated-join
+    pattern for 100 TB reference data; rerunning skips completed
+    bucket writes via the lineage fingerprint."""
+    import hashlib
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..state.lineage import write_partitioned_checkpointed
+    from ..stages.join import bucketed_storage_join
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join("/tmp/graft_bucketed", tag)
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    )
+    emb = read_parquet_tuned(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"],
+    )
+    ldir = os.path.join(base, "docs")
+    rdir = os.path.join(base, "embeddings")
+    write_partitioned_checkpointed(
+        docs, "doc_id", 8, ldir, fingerprint=sf_dir
+    )
+    write_partitioned_checkpointed(
+        emb, "vec_id", 8, rdir, fingerprint=sf_dir
+    )
+    return bucketed_storage_join(
+        ldir, rdir, "doc_id", "vec_id", join_type="inner"
+    )
+
+
+QUERIES["bucketed_join_roundtrip"] = q_bucketed_join_roundtrip
+ORACLE_SQL["bucketed_join_roundtrip"] = """
+SELECT d.doc_id, d.lang, e.label
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""".strip()

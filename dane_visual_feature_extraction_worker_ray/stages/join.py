@@ -44,6 +44,8 @@ training-data pipelines constantly enrich one table with another.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -830,3 +832,79 @@ def join_size_stats(
                                if len(parts) else 0],
         }
     )
+
+
+def bucketed_storage_join(
+    left_dir: str,
+    right_dir: str,
+    left_key: str,
+    right_key: str,
+    join_type: str = "inner",
+):
+    """SHUFFLE-FREE equi-join over two bucket-aligned parquet layouts
+    (the storage-layout join: Hive bucketing / Iceberg bucket
+    transform). Both inputs must have been written by
+    ``state.lineage.write_partitioned_checkpointed`` with the SAME
+    ``num_buckets`` — bucket assignment is ``bucket_of(hash64(key))``
+    and the engine's hash is column-name independent, so
+    ``bucket=NNNNN`` dirs pair off exactly. Each bucket pair becomes
+    ONE Ray task doing a local C++ hash join (``pyarrow.Table.join``);
+    at 100 TB this is the join you run repeatedly AFTER paying the
+    layout cost once — zero exchange, zero driver data.
+    """
+    import ray
+    import ray.data as rd
+
+    from .exchange import _cpus_per_task
+
+    def _buckets(d: str) -> dict[str, str]:
+        out = {}
+        for name in sorted(os.listdir(d)):
+            if name.startswith("bucket=") and ".tmp." not in name:
+                p = os.path.join(d, name, "part.parquet")
+                if os.path.isfile(p):
+                    out[name] = p
+        return out
+
+    lb, rb = _buckets(left_dir), _buckets(right_dir)
+
+    @ray.remote
+    def _join_bucket(lp: str | None, rp: str | None):
+        pa.set_cpu_count(1)
+        import pyarrow.parquet as pq
+
+        lt = pq.read_table(lp) if lp else None
+        rt = pq.read_table(rp) if rp else None
+        if lt is None or rt is None:
+            # inner join with a missing side is empty; typed schema
+            # still needed — synthesize from the present side
+            if join_type == "inner" or (lt is None and rt is None):
+                return None
+            raise ValueError(
+                "bucketed_storage_join: outer joins need both layouts "
+                "to cover the same bucket set"
+            )
+        return lt.join(
+            rt, keys=[left_key], right_keys=[right_key],
+            join_type=join_type,
+        )
+
+    ncpu = _cpus_per_task()
+    refs = []
+    for name in sorted(set(lb) | set(rb)):
+        refs.append(
+            _join_bucket.options(num_cpus=ncpu).remote(
+                lb.get(name), rb.get(name)
+            )
+        )
+    # drop empty buckets WITHOUT pulling tables to the driver: a tiny
+    # flag task dereferences each result worker-side
+    @ray.remote
+    def _nonempty(t) -> bool:
+        return t is not None
+
+    keep = ray.get([_nonempty.remote(r) for r in refs])
+    live = [r for r, k in zip(refs, keep) if k]
+    if not live:
+        raise ValueError("bucketed_storage_join: no joinable buckets")
+    return rd.from_arrow_refs(live)

@@ -626,3 +626,25 @@ def test_table_diff_null_safety(ray_session):
     assert out.to_dict() == {
         3: "changed", 4: "changed", 5: "removed", 6: "added"
     }
+
+
+def test_bucketed_join_roundtrip_idempotent(ray_session):
+    """Second run must reuse the persisted bucket layout (lineage
+    skip) and produce the identical join result."""
+    from dane_visual_feature_extraction_worker_ray.pipelines.join_queries import (
+        q_bucketed_join_roundtrip,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_bucketed_join_roundtrip(sf).to_pandas()
+        .sort_values(["doc_id"]).reset_index(drop=True)
+    )
+    b = (
+        q_bucketed_join_roundtrip(sf).to_pandas()
+        .sort_values(["doc_id"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 500

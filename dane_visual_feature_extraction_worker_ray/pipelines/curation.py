@@ -1317,3 +1317,117 @@ SELECT l_orderkey, l_linenumber, zval,
   CAST((rnk - 1) // {_Z_ROWS_PER_FILE} AS BIGINT) AS file_id
 FROM ranked
 """.strip()
+
+
+def q_zorder_pruning_stats(sf_dir: str):
+    """The data-skipping payoff of the z-order layout: per output
+    file, row count and min/max of BOTH clustered keys — the zone-map
+    a scan planner prunes against. After the Morton sort each file's
+    key ranges are tight on both dimensions (vs one dimension for a
+    plain sort); this query materializes exactly those zone maps.
+    Shape: the same single range-sort exchange as zorder_layout, then
+    per-batch min/max partials + a tiny per-file agg."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+    from ..stages.sort import sort_by
+
+    ds = read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+    def _interleave(v: np.ndarray) -> np.ndarray:
+        x = v.astype(np.uint64) & np.uint64(0xFFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+        return x
+
+    def _zval(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_partkey").to_numpy()
+        s = tbl.column("l_suppkey").to_numpy()
+        z = (_interleave(p) | (_interleave(s) << np.uint64(1))).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "l_linenumber": tbl.column("l_linenumber").cast(
+                    pa.int64()
+                ),
+                "l_partkey": tbl.column("l_partkey"),
+                "l_suppkey": tbl.column("l_suppkey"),
+                "zval": pa.array(z),
+            }
+        )
+
+    ranked = sort_by(
+        ds.map_batches(_zval, batch_format="pyarrow", batch_size=None),
+        [("zval", "ascending"), ("l_orderkey", "ascending"),
+         ("l_linenumber", "ascending")],
+        num_partitions=16,
+        rank_col="rnk",
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {
+                "file_id": pc.divide(
+                    pc.subtract(tbl.column("rnk"), 1), _Z_ROWS_PER_FILE
+                ),
+                "l_partkey": tbl.column("l_partkey"),
+                "l_suppkey": tbl.column("l_suppkey"),
+                "n_rows": pa.array(np.ones(tbl.num_rows, np.int64)),
+                "min_part": tbl.column("l_partkey"),
+                "max_part": tbl.column("l_partkey"),
+                "min_supp": tbl.column("l_suppkey"),
+                "max_supp": tbl.column("l_suppkey"),
+            }
+        ).select(["file_id", "n_rows", "min_part", "max_part",
+                  "min_supp", "max_supp"])
+        return group_aggregate_table(
+            t, ["file_id"],
+            [("n_rows", "sum"), ("min_part", "min"),
+             ("max_part", "max"), ("min_supp", "min"),
+             ("max_supp", "max")],
+        )
+
+    return hash_grouped_aggregate(
+        ranked.map_batches(
+            _partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["file_id"],
+        [("n_rows", "sum"), ("min_part", "min"), ("max_part", "max"),
+         ("min_supp", "min"), ("max_supp", "max")],
+        num_buckets=4,
+    )
+
+
+QUERIES["zorder_pruning_stats"] = q_zorder_pruning_stats
+ORACLE_SQL["zorder_pruning_stats"] = f"""
+WITH z AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+    l_partkey, l_suppkey,
+    CAST({_z_terms('l_partkey', 0)}
+         + {_z_terms('l_suppkey', 1)} AS BIGINT) AS zval
+  FROM lineitem
+), ranked AS (
+  SELECT l_partkey, l_suppkey,
+    CAST((row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber)
+          - 1) // {_Z_ROWS_PER_FILE} AS BIGINT) AS file_id
+  FROM z
+)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+FROM ranked GROUP BY file_id
+""".strip()

@@ -1887,3 +1887,95 @@ SELECT p.event_id,
    ORDER BY v.ts, v.event_id LIMIT 1) AS first_view_id
 FROM events p WHERE p.event_type = 'purchase'
 """.strip()
+
+
+_SKIP_K = 3
+
+
+def q_skip_bigrams(sf_dir: str):
+    """Gap-constrained sequence mining: corpus-wide counts of ordered
+    event-type pairs (a, b) where b occurs 1..3 positions after a in
+    the same user's (ts, event_id)-ordered stream — the skip-gram
+    generalization of adjacent transitions (event_transitions covers
+    gap==1). One user-keyed exchange; the kernel emits per-group count
+    partials from shifted-slice comparisons (no pair materialization
+    beyond the group), then the standard tiny pair aggregation."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_grouped_map
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def _narrow(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "event_id": tbl.column("event_id"),
+                "ts": tbl.column("ts").cast(pa.int64()),
+                "event_type": tbl.column("event_type"),
+            }
+        )
+
+    pair_schema = pa.schema(
+        [("type_a", pa.string()), ("type_b", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        o = np.lexsort((eid, ts))
+        et = group.column("event_type").to_pandas().to_numpy()[o]
+        if len(et) < 2:
+            return pair_schema.empty_table()
+        a_all, b_all = [], []
+        for g in range(1, _SKIP_K + 1):
+            if len(et) > g:
+                a_all.append(et[:-g])
+                b_all.append(et[g:])
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        t = pa.table(
+            {
+                "type_a": pa.array(a.astype(object), pa.string()),
+                "type_b": pa.array(b.astype(object), pa.string()),
+                "n": pa.array(np.ones(len(a), np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["type_a", "type_b"], [("n", "sum")]
+        )
+
+    partials = hash_grouped_map(
+        ev.map_batches(_narrow, batch_format="pyarrow",
+                       batch_size=None),
+        "user_id",
+        _pairs,
+        num_partitions=16,
+        empty_schema=pair_schema,
+        min_group_size=2,
+    )
+    return hash_grouped_aggregate(
+        partials, ["type_a", "type_b"], [("n", "sum")], num_buckets=4
+    )
+
+
+QUERIES["skip_bigrams"] = q_skip_bigrams
+ORACLE_SQL["skip_bigrams"] = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+  CAST(count(*) AS BIGINT) AS n
+FROM r a JOIN r b
+  ON a.user_id = b.user_id AND b.rn - a.rn BETWEEN 1 AND {_SKIP_K}
+GROUP BY 1, 2
+""".strip()

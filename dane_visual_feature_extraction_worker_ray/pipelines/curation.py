@@ -1431,3 +1431,121 @@ SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
   min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
 FROM ranked GROUP BY file_id
 """.strip()
+
+
+# --- length-bucketed training batches -------------------------------------
+
+_LB_BATCH = 32
+
+
+def q_length_bucketed_batching(sf_dir: str):
+    """Length-bucketed batch construction (the padding-efficiency
+    step before tokenized training): docs grouped into power-of-two
+    token-length buckets, deterministic ``doc_id``-ordered batches of
+    {batch} within each bucket, and per-batch padding accounting
+    (``n_docs * max_tokens - sum_tokens`` — the waste a
+    length-agnostic batcher would pay). Bucket count is bounded by
+    log2(max doc length), so the per-bucket grouped kernel is the
+    natural co-location (within-bucket work is one sort + reduceat);
+    a corpus where single buckets outgrow a worker would range-rank
+    inside the bucket exactly like stages/sort.py.""".format(
+        batch=_LB_BATCH
+    )
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.tokenize import ws_tokens
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.exchange import hash_grouped_map
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def _lens(tbl: pa.Table) -> pa.Table:
+        row, _flat = ws_tokens(tbl.column("text"))
+        n = np.bincount(row, minlength=tbl.num_rows).astype(np.int64)
+        bucket = np.floor(
+            np.log2(np.maximum(n, 1).astype(np.float64))
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "n": pa.array(n),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("batch_id", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("max_tokens", pa.int64()),
+            ("sum_tokens", pa.int64()),
+            ("padding_waste", pa.int64()),
+        ]
+    )
+
+    def _batches(group: pa.Table) -> pa.Table:
+        b = int(group.column("bucket")[0].as_py())
+        d = group.column("doc_id").to_numpy()
+        n = group.column("n").to_numpy()
+        o = np.argsort(d)
+        n = n[o]
+        nb = len(d)
+        starts = np.arange(0, nb, _LB_BATCH)
+        batch_id = np.arange(len(starts), dtype=np.int64)
+        cnt = np.minimum(starts + _LB_BATCH, nb) - starts
+        mx = np.maximum.reduceat(n, starts)
+        sm = np.add.reduceat(n, starts)
+        return pa.table(
+            {
+                "bucket": pa.array(np.full(len(starts), b, np.int64)),
+                "batch_id": pa.array(batch_id),
+                "n_docs": pa.array(cnt.astype(np.int64)),
+                "max_tokens": pa.array(mx.astype(np.int64)),
+                "sum_tokens": pa.array(sm.astype(np.int64)),
+                "padding_waste": pa.array(
+                    (cnt * mx - sm).astype(np.int64)
+                ),
+            }
+        )
+
+    return hash_grouped_map(
+        docs.map_batches(_lens, batch_format="pyarrow",
+                         batch_size=None),
+        "bucket",
+        _batches,
+        num_partitions=8,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["length_bucketed_batching"] = q_length_bucketed_batching
+ORACLE_SQL["length_bucketed_batching"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+), b AS (
+  SELECT doc_id, n,
+    CAST(floor(log2(CAST(greatest(n, 1) AS DOUBLE))) AS BIGINT)
+      AS bucket
+  FROM t
+), r AS (
+  SELECT bucket, n,
+    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM b
+), g AS (
+  SELECT bucket, CAST((rn - 1) // {_LB_BATCH} AS BIGINT) AS batch_id, n
+  FROM r
+)
+SELECT bucket, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(max(n) AS BIGINT) AS max_tokens,
+  CAST(sum(n) AS BIGINT) AS sum_tokens,
+  CAST(count(*) * max(n) - sum(n) AS BIGINT) AS padding_waste
+FROM g GROUP BY 1, 2
+""".strip()

@@ -3058,3 +3058,145 @@ FROM common
 JOIN sizes x ON x.source = common.source_a
 JOIN sizes y ON y.source = common.source_b
 """.strip()
+
+
+# --- vocabulary pruning / <unk> replacement -------------------------------
+
+_UNK_T = 8  # tokens with corpus frequency < T become <unk>
+
+
+def q_unk_replacement(sf_dir: str):
+    """Frequency-based vocabulary pruning: every token with corpus
+    frequency < {t} rewritten to ``<unk>``, with per-doc OOV
+    accounting — the closed-vocab preprocessing step of classic LM
+    training. Augmented (both sides) with a per-doc unique token
+    (always OOV at any tier) and a doc_id%23 class token (always kept)
+    so both paths are exercised at every sf.
+
+    Scale shape: the corpus frequency table is a token hash agg; the
+    KEPT vocabulary (freq >= T) is the broadcast side — bounded by
+    total_tokens/T regardless of corpus size (Zipf makes it far
+    smaller), while the unbounded rare tail never leaves its
+    partitions. Rewrite is one sorted-array membership test + Arrow
+    binary_join per batch.""".format(t=_UNK_T)
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..functions.tokenize import ws_tokens
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    def _aug(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        s = tbl.column("text").to_pandas().fillna("").to_numpy()
+        t = np.char.add(
+            np.char.add(s.astype(str), " r"),
+            ids.astype(str),
+        )
+        t = np.char.add(np.char.add(t, " c"), (ids % 23).astype(str))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "text": pa.array(t.astype(object), pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir).map_batches(_aug, batch_format="pyarrow")
+
+    def _freq(tbl: pa.Table) -> pa.Table:
+        _row, flat = ws_tokens(tbl.column("text"))
+        t = pa.table(
+            {
+                "tok": flat,
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["tok"], [("n", "sum")])
+
+    freq = hash_grouped_aggregate(
+        docs.map_batches(_freq, batch_format="pyarrow",
+                         batch_size=None),
+        ["tok"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    def _kept(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(
+            pc.greater_equal(tbl.column("n"), _UNK_T)
+        ).select(["tok"])
+
+    vocab = np.sort(
+        freq.map_batches(_kept, batch_format="pyarrow",
+                         batch_size=None)
+        .to_pandas()["tok"].to_numpy().astype(str)
+    )
+    vocab_ref = ray.put(vocab)
+
+    def _rewrite(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = ray.get(vocab_ref)
+        row, flat = ws_tokens(tbl.column("text"))
+        n_docs = tbl.num_rows
+        toks = flat.to_numpy(zero_copy_only=False).astype(str)
+        pos = np.searchsorted(v, toks)
+        ok = (pos < len(v)) & (
+            v[np.minimum(pos, max(len(v) - 1, 0))] == toks
+        ) if len(v) else np.zeros(len(toks), bool)
+        out_toks = np.where(ok, toks, "<unk>")
+        n_tok = np.bincount(row, minlength=n_docs).astype(np.int64)
+        n_oov = np.bincount(
+            row[~ok], minlength=n_docs
+        ).astype(np.int64) if len(row) else np.zeros(n_docs, np.int64)
+        offsets = np.concatenate(([0], np.cumsum(n_tok)))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(out_toks.astype(object), pa.large_string()),
+        )
+        text_unk = pc.binary_join(
+            lists, pa.scalar(" ", pa.large_string())
+        ).cast(pa.string())
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "text_unk": text_unk,
+                "n_oov": pa.array(n_oov),
+                "n_tokens": pa.array(n_tok),
+            }
+        )
+
+    return docs.map_batches(_rewrite, batch_format="pyarrow")
+
+
+QUERIES["unk_replacement"] = q_unk_replacement
+ORACLE_SQL["unk_replacement"] = f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    text || ' r' || doc_id || ' c' || (doc_id % 23) AS t
+  FROM documents
+), tk AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS l
+  FROM aug
+), tok AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+  FROM tk
+), f AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY 1
+), rep AS (
+  SELECT doc_id, pos,
+    CASE WHEN f.c >= {_UNK_T} THEN tok.w ELSE '<unk>' END AS w2,
+    CASE WHEN f.c >= {_UNK_T} THEN 0 ELSE 1 END AS oov
+  FROM tok JOIN f USING (w)
+)
+SELECT doc_id, string_agg(w2, ' ' ORDER BY pos) AS text_unk,
+  CAST(sum(oov) AS BIGINT) AS n_oov,
+  CAST(count(*) AS BIGINT) AS n_tokens
+FROM rep GROUP BY doc_id
+""".strip()

@@ -314,3 +314,107 @@ SELECT 'all' AS scope, CAST(n AS BIGINT) AS n,
        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
 FROM m
 """.strip()
+
+
+# --- exact ROC AUC via the rank-sum (Mann-Whitney U) statistic ------------
+
+
+def q_roc_auc_rank(sf_dir: str):
+    """Model-evaluation primitive at corpus scale: exact ROC AUC of a
+    score column for a binary label, via the Mann-Whitney rank-sum
+    with midrank tie handling — here scoring ``n_chars`` against
+    ``lang = 'en'`` (the fixture pair; any int score / bool label
+    works). All ranking is done on the per-VALUE table: midranks
+    depend only on the score value, so the distributed part is one
+    (value)-keyed count aggregation of (total, positives) and the
+    driver folds the per-value table (bounded by distinct score
+    values, not rows). AUC = (smr2 - npos*(npos+1)) / (2*npos*nneg)
+    computed from exact integers with a single IEEE division —
+    bit-identical to the SQL expression."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["n_chars", "lang"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pos = pc.equal(tbl.column("lang"), "en").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "v": tbl.column("n_chars").cast(pa.int64()),
+                "t": pa.array(np.ones(tbl.num_rows, np.int64)),
+                "p": pa.array(pos),
+            }
+        )
+        return group_aggregate_table(
+            t, ["v"], [("t", "sum"), ("p", "sum")]
+        )
+
+    per_value = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["v"],
+        [("t", "sum"), ("p", "sum")],
+        num_buckets=8,
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+
+    t = per_value["t"].to_numpy()
+    p = per_value["p"].to_numpy()
+    cum_less = np.concatenate(([0], np.cumsum(t)[:-1]))
+    # midrank*2 of every row with value v: 2*cum_less + t + 1
+    smr2 = int((p * (2 * cum_less + t + 1)).sum())
+    npos = int(p.sum())
+    nneg = int(t.sum()) - npos
+    auc = (
+        float(smr2 - npos * (npos + 1)) / float(2 * npos * nneg)
+        if npos and nneg
+        else float("nan")
+    )
+    return pd.DataFrame(
+        {
+            "n_pos": [npos],
+            "n_neg": [nneg],
+            "smr2": [smr2],
+            "auc": [auc],
+        }
+    )
+
+
+QUERIES["roc_auc_rank"] = q_roc_auc_rank
+ORACLE_SQL["roc_auc_rank"] = """
+WITH s AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+  FROM documents
+), pv AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS t, CAST(sum(p) AS BIGINT) AS p
+  FROM s GROUP BY v
+), r AS (
+  SELECT v, t, p,
+    CAST(coalesce(sum(t) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS cum_less
+  FROM pv
+)
+SELECT
+  CAST(sum(p) AS BIGINT) AS n_pos,
+  CAST(sum(t) - sum(p) AS BIGINT) AS n_neg,
+  CAST(sum(p * (2 * cum_less + t + 1)) AS BIGINT) AS smr2,
+  CAST(sum(p * (2 * cum_less + t + 1)) - sum(p) * (sum(p) + 1)
+       AS DOUBLE)
+    / (2 * sum(p) * (sum(t) - sum(p))) AS auc
+FROM r
+""".strip()

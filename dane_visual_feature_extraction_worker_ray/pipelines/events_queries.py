@@ -1979,3 +1979,99 @@ FROM r a JOIN r b
   ON a.user_id = b.user_id AND b.rn - a.rn BETWEEN 1 AND {_SKIP_K}
 GROUP BY 1, 2
 """.strip()
+
+
+def q_incremental_agg_maintenance(sf_dir: str):
+    """Materialized-view maintenance: the per-type event aggregate is
+    PERSISTED from the base partition (event_id % 10 != 0) as a
+    partial-aggregate parquet, then refreshed by merging ONLY the
+    delta partition's partials — the base is never re-scanned. The
+    oracle aggregates the whole table, so the gate proves
+    merge(agg(base), agg(delta)) == agg(base ∪ delta) end-to-end,
+    including the disk round-trip. Money math: integer micro-units
+    via floor(value*1e6 + 0.5) on both sides, summed exactly."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def _split(delta: bool):
+        def _f(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # (event_id % 10 == 0) in integer Arrow: id - (id//10)*10
+            m = pc.equal(
+                pc.subtract(
+                    tbl.column("event_id"),
+                    pc.multiply(
+                        pc.divide(tbl.column("event_id"), 10), 10
+                    ),
+                ),
+                0,
+            )
+            t = tbl.filter(m if delta else pc.invert(m))
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            micro = np.floor(v * 1e6 + 0.5).astype(np.int64)
+            p = pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "n_events": pa.array(
+                        np.ones(t.num_rows, np.int64)
+                    ),
+                    "sum_micro": pa.array(micro),
+                }
+            )
+            return group_aggregate_table(
+                p, ["event_type"],
+                [("n_events", "sum"), ("sum_micro", "sum")],
+            )
+
+        return _f
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    view_path = os.path.join(
+        "/tmp/graft_matview", tag, "per_type.parquet"
+    )
+    os.makedirs(os.path.dirname(view_path), exist_ok=True)
+
+    base_agg = hash_grouped_aggregate(
+        ev.map_batches(_split(False), batch_format="pyarrow",
+                       batch_size=None),
+        ["event_type"],
+        [("n_events", "sum"), ("sum_micro", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+    tmp = view_path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(base_agg,
+                                        preserve_index=False), tmp)
+    os.replace(tmp, view_path)  # atomic publish, idempotent rerun
+
+    # refresh: stored view partials ∪ delta partials → merged view
+    import ray.data as rd
+
+    stored = rd.from_arrow(pq.read_table(view_path))
+    delta = ev.map_batches(_split(True), batch_format="pyarrow",
+                           batch_size=None)
+    return hash_grouped_aggregate(
+        stored.union(delta),
+        ["event_type"],
+        [("n_events", "sum"), ("sum_micro", "sum")],
+        num_buckets=4,
+    )
+
+
+QUERIES["incremental_agg_maintenance"] = q_incremental_agg_maintenance
+ORACLE_SQL["incremental_agg_maintenance"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_micro
+FROM events GROUP BY event_type
+""".strip()

@@ -1549,3 +1549,112 @@ SELECT bucket, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(*) * max(n) - sum(n) AS BIGINT) AS padding_waste
 FROM g GROUP BY 1, 2
 """.strip()
+
+
+# --- group-level K-fold assignment (leakage-safe CV splits) ---------------
+
+_KFOLD = 5
+
+
+def q_grouped_kfold(sf_dir: str):
+    """Leakage-safe cross-validation folds at the GROUP level: every
+    document of a source lands in the same fold (doc-level hashing —
+    train_test_split_counts — leaks near-duplicate template docs
+    across folds; grouping by origin is the standard fix). Fold =
+    splitmix64(dense source code) % K, the engine/SQL-identical hash
+    chain shared with feature_hashing. The distinct-source table is
+    bounded-cardinality (a domain column), so the code map is a
+    legitimate broadcast; doc counting stays distributed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..functions.hashing import rehash64
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    )
+
+    def _distinct(tbl: pa.Table) -> pa.Table:
+        return pa.table({"source": tbl.column("source").unique()})
+
+    srcs = sorted(
+        set(
+            s
+            for b in docs.map_batches(
+                _distinct, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            for s in b.column("source").to_pylist()
+        )
+    )
+    codes = np.arange(len(srcs), dtype=np.uint64)
+    folds = (rehash64(codes, 0) % np.uint64(_KFOLD)).astype(np.int64)
+    fold_of = dict(zip(srcs, folds.tolist()))
+    fold_ref = ray.put(fold_of)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        fm = ray.get(fold_ref)
+        f = tbl.column("source").to_pandas().map(fm).to_numpy(
+            dtype=np.int64
+        )
+        t = pa.table(
+            {
+                "fold": pa.array(f),
+                "n_docs": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["fold"], [("n_docs", "sum")])
+
+    agg = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["fold"],
+        [("n_docs", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+
+    n_sources = (
+        np.bincount(folds, minlength=_KFOLD).astype(np.int64)
+    )
+    agg["n_sources"] = agg["fold"].map(
+        lambda f: int(n_sources[int(f)])
+    ).astype("int64")
+    return agg.sort_values("fold").reset_index(drop=True)
+
+
+QUERIES["grouped_kfold"] = q_grouped_kfold
+_KF_CHAIN = """
+, s1 AS (SELECT source, xor(x, x >> 30) AS x FROM s0
+), s2 AS (SELECT source, {m1} AS x FROM s1
+), s3 AS (SELECT source, xor(x, x >> 27) AS x FROM s2
+), s4 AS (SELECT source, {m2} AS x FROM s3
+), s5 AS (SELECT source, xor(x, x >> 31) AS x FROM s4
+)"""
+
+
+def _kfold_sql() -> str:
+    from .text_queries import _splitmix_mulmod
+
+    chain = _KF_CHAIN.format(
+        m1=_splitmix_mulmod(0xBF58476D1CE4E5B9),
+        m2=_splitmix_mulmod(0x94D049BB133111EB),
+    )
+    return f"""
+WITH src AS (SELECT DISTINCT source FROM documents),
+s0 AS (
+  SELECT source,
+    CAST(row_number() OVER (ORDER BY source) - 1 AS UBIGINT) AS x
+  FROM src
+){chain},
+fold AS (
+  SELECT source, CAST(x % {_KFOLD} AS BIGINT) AS fold FROM s5
+)
+SELECT f.fold, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+FROM documents d JOIN fold f USING (source)
+GROUP BY f.fold
+""".strip()
+
+
+ORACLE_SQL["grouped_kfold"] = _kfold_sql()

@@ -343,6 +343,16 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
             repeats=heavy_repeats,
         )
 
+        # C4-style keep-first paragraph dedup at 1M docs: two text-wide
+        # exchanges (20 B/paragraph hashes out, drop decisions + one
+        # doc_id text move back) — the round-4 sixth-wave curation op
+        # timed at data scale
+        timed(
+            "paragraph_dedup_1m",
+            lambda: dedup_queries.q_paragraph_dedup(doc_dir),
+            repeats=heavy_repeats,
+        )
+
     # 29M-turn tier (3.4x the headline corpus), recorded per-round so
     # scale-flatness is a JSON datum, not a prose claim (round-4 #8).
     # One repeat: the point is the big-tier turns/s next to the 8.5M

@@ -3200,3 +3200,84 @@ SELECT doc_id, string_agg(w2, ' ' ORDER BY pos) AS text_unk,
   CAST(count(*) AS BIGINT) AS n_tokens
 FROM rep GROUP BY doc_id
 """.strip()
+
+
+def q_eval_confusion(sf_dir: str):
+    """Model-evaluation at corpus scale: confusion-matrix cells of the
+    heuristic language-ID against the labeled ``lang`` column —
+    (truth, prediction, count) plus the per-cell share of the truth
+    row (exact integers, one IEEE division per bounded cell). The
+    LangId kernel (stages/text.py) runs per batch with the truth
+    column riding along; only |langs|² count partials shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+    from ..stages.text import LangId
+
+    docs = _docs_with_lang(sf_dir)
+
+    li = LangId()
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        pred = li(tbl)
+        t = pa.table(
+            {
+                "lang_true": tbl.column("lang"),
+                "lang_pred": pred.column("lang_pred"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["lang_true", "lang_pred"], [("n", "sum")]
+        )
+
+    cells = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["lang_true", "lang_pred"],
+        [("n", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+    row_tot = cells.groupby("lang_true")["n"].transform("sum")
+    cells = cells.rename(columns={"n": "n_docs"})
+    cells["row_share"] = (
+        cells["n_docs"].astype("float64") / row_tot.astype("float64")
+    )
+    return cells.sort_values(
+        ["lang_true", "lang_pred"]
+    ).reset_index(drop=True)
+
+
+def _docs_with_lang(sf_dir: str):
+    from ..sources.parquet import read_parquet_tuned
+
+    return read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+
+def _confusion_sql() -> str:
+    base = _lang_id_sql()
+    return f"""
+WITH pred AS (
+{base}
+), cells AS (
+  SELECT d.lang AS lang_true, p.lang_pred,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT lang_true, lang_pred, n_docs,
+  CAST(n_docs AS DOUBLE)
+    / sum(n_docs) OVER (PARTITION BY lang_true) AS row_share
+FROM cells
+""".strip()
+
+
+QUERIES["eval_confusion"] = q_eval_confusion
+ORACLE_SQL["eval_confusion"] = _confusion_sql()

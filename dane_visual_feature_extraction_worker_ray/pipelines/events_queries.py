@@ -2075,3 +2075,99 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
     AS sum_micro
 FROM events GROUP BY event_type
 """.strip()
+
+
+# time-based split with an embargo gap (leakage hygiene for temporal
+# models: trailing-window features computed at train time must not see
+# test-period rows; the gap absorbs the window length)
+_EMB_TRAIN_END = "2024-01-23"
+_EMB_TEST_START = "2024-01-25"
+
+
+def q_temporal_embargo_split(sf_dir: str):
+    """Temporal train/test split with a 2-day embargo: events before
+    {a} train, events from {b} test, the gap excluded — per
+    (split, event_type) exact event and DISTINCT-user counts. The
+    usual partial-distinct shape: (split, type, user) partials
+    collapse in-batch, one exchange, final per-(split, type)
+    reduction.""".format(a=_EMB_TRAIN_END, b=_EMB_TEST_START)
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    t_end = np.int64(
+        pd.Timestamp(_EMB_TRAIN_END).value // 1000
+    )  # µs
+    t_start = np.int64(pd.Timestamp(_EMB_TEST_START).value // 1000)
+
+    ev = _events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        split = np.where(
+            ts < t_end, "train", np.where(ts >= t_start, "test",
+                                          "embargo")
+        )
+        t = pa.table(
+            {
+                "split": pa.array(split.astype(object), pa.string()),
+                "event_type": tbl.column("event_type"),
+                "user_id": tbl.column("user_id"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["split", "event_type", "user_id"], [("n", "sum")]
+        )
+
+    per_user = hash_grouped_aggregate(
+        ev.map_batches(_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["split", "event_type", "user_id"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    def _final_partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "split": tbl.column("split"),
+                "event_type": tbl.column("event_type"),
+                "n_events": tbl.column("n"),
+                "n_users": pa.array(
+                    np.ones(tbl.num_rows, np.int64)
+                ),
+            }
+        )
+        return group_aggregate_table(
+            t, ["split", "event_type"],
+            [("n_events", "sum"), ("n_users", "sum")],
+        )
+
+    return hash_grouped_aggregate(
+        per_user.map_batches(_final_partial, batch_format="pyarrow",
+                             batch_size=None),
+        ["split", "event_type"],
+        [("n_events", "sum"), ("n_users", "sum")],
+        num_buckets=4,
+    )
+
+
+QUERIES["temporal_embargo_split"] = q_temporal_embargo_split
+ORACLE_SQL["temporal_embargo_split"] = f"""
+WITH s AS (
+  SELECT CASE WHEN ts < TIMESTAMP '{_EMB_TRAIN_END}' THEN 'train'
+              WHEN ts >= TIMESTAMP '{_EMB_TEST_START}' THEN 'test'
+              ELSE 'embargo' END AS split,
+    event_type, user_id
+  FROM events
+)
+SELECT split, event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s GROUP BY 1, 2
+""".strip()

@@ -1658,3 +1658,112 @@ GROUP BY f.fold
 
 
 ORACLE_SQL["grouped_kfold"] = _kfold_sql()
+
+
+# --- deterministic multi-epoch shuffle schedule ---------------------------
+
+_EP_N = 3
+_EP_M = 2147483647  # order-checksum modulus
+_EP_GOLD = 0x9E3779B97F4A7C15
+
+
+def q_epoch_shuffle_fingerprints(sf_dir: str):
+    """Deterministic per-EPOCH global shuffle: epoch e orders the
+    corpus by splitmix64(doc_id ^ seed_mix(e)) — reproducible on any
+    cluster size, no RNG state to ship — and the ORDER itself is
+    hash-verified via an order-sensitive checksum
+    sum((rank % M) * (key % M) % M): any transposition changes it.
+    Three epochs through the engine's range-sort with global rank
+    (stages/sort.py); per-batch checksum partials, one scalar per
+    epoch to the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import rehash64
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.sort import sort_by
+
+    rows = []
+    for ep in range(_EP_N):
+        docs = read_parquet_tuned(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id"],
+        )
+
+        def _key(tbl: pa.Table, _ep=ep) -> pa.Table:
+            ids = tbl.column("doc_id").to_numpy().astype(np.uint64)
+            return pa.table(
+                {
+                    "key": pa.array(rehash64(ids, _ep), pa.uint64()),
+                    "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                }
+            )
+
+        ranked = sort_by(
+            docs.map_batches(_key, batch_format="pyarrow",
+                             batch_size=None),
+            [("key", "ascending"), ("doc_id", "ascending")],
+            num_partitions=8,
+            rank_col="rnk",
+        )
+
+        def _partial(tbl: pa.Table) -> pa.Table:
+            k = tbl.column("key").to_numpy().astype(np.uint64)
+            r = tbl.column("rnk").to_numpy().astype(np.int64)
+            m = np.int64(_EP_M)
+            contrib = ((r % m) * (k % np.uint64(_EP_M)).astype(
+                np.int64
+            )) % m
+            return pa.table(
+                {
+                    "fp": pa.array([int(contrib.sum())], pa.int64()),
+                    "n": pa.array([len(r)], pa.int64()),
+                }
+            )
+
+        parts = ranked.map_batches(
+            _partial, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        rows.append(
+            {
+                "epoch": ep,
+                "n_docs": int(parts["n"].sum()),
+                "fingerprint": int(parts["fp"].sum()),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"epoch": "int64", "n_docs": "int64", "fingerprint": "int64"}
+    )
+
+
+def _epoch_sql() -> str:
+    from .text_queries import _splitmix_mulmod
+
+    legs = []
+    for ep in range(_EP_N):
+        seed_mix = (ep * _EP_GOLD) % (1 << 64)
+        legs.append(f"""
+SELECT {ep} AS epoch, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(((rnk % {_EP_M}) * (x % {_EP_M})) % {_EP_M}) AS BIGINT)
+    AS fingerprint
+FROM (
+  SELECT x, row_number() OVER (ORDER BY x, doc_id) AS rnk
+  FROM (
+    WITH s0 AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        xor(CAST(doc_id AS UBIGINT), {seed_mix}) AS x
+      FROM documents
+    ), s1 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM s0
+    ), s2 AS (SELECT doc_id, {_splitmix_mulmod(0xBF58476D1CE4E5B9)} AS x FROM s1
+    ), s3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM s2
+    ), s4 AS (SELECT doc_id, {_splitmix_mulmod(0x94D049BB133111EB)} AS x FROM s3
+    ), s5 AS (SELECT doc_id, xor(x, x >> 31) AS x FROM s4
+    ) SELECT doc_id, x FROM s5
+  )
+)""".strip())
+    return "\nUNION ALL\n".join(legs)
+
+
+QUERIES["epoch_shuffle_fingerprints"] = q_epoch_shuffle_fingerprints
+ORACLE_SQL["epoch_shuffle_fingerprints"] = _epoch_sql()

@@ -418,3 +418,101 @@ SELECT
     / (2 * sum(p) * (sum(t) - sum(p))) AS auc
 FROM r
 """.strip()
+
+
+# --- exact per-group OLS trend (integer sufficient statistics) ------------
+
+_OLS_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 in µs
+_DAY_US = 86_400_000_000
+
+
+def q_trend_per_type(sf_dir: str):
+    """Per-event-type linear trend of daily value: OLS slope computed
+    from INTEGER sufficient statistics (n, Σx, Σy, Σxy, Σx² with
+    x = day index since 2024-01-01, y = integer micro-units) — the
+    one place floats appear is the single closing division, identical
+    on both engines. The scale shape is the ideal one: per-batch
+    integer partials over a bounded group domain; only 5 rows ever
+    move."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    ev = _events_cols(sf_dir, ["ts", "event_type", "value"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        x = (ts - _OLS_EPOCH_US) // _DAY_US
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        y = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+            }
+        )
+        return group_aggregate_table(
+            t, ["event_type"],
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")],
+        )
+
+    agg = hash_grouped_aggregate(
+        ev.map_batches(_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["event_type"],
+        [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+         ("sxy", "sum"), ("sxx", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+
+    n = agg["n"].to_numpy()
+    sx = agg["sx"].to_numpy()
+    sy = agg["sy"].to_numpy()
+    sxy = agg["sxy"].to_numpy()
+    sxx = agg["sxx"].to_numpy()
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    agg["slope_micro_per_day"] = num.astype("float64") / den.astype(
+        "float64"
+    )
+    return agg.sort_values("event_type").reset_index(drop=True)
+
+
+def _events_cols(sf_dir: str, cols):
+    from ..sources.parquet import read_parquet_tuned
+
+    return read_parquet_tuned(
+        os.path.join(sf_dir, "events.parquet"), columns=cols
+    )
+
+
+QUERIES["trend_per_type"] = q_trend_per_type
+ORACLE_SQL["trend_per_type"] = f"""
+WITH s AS (
+  SELECT event_type,
+    (epoch_us(ts) - {_OLS_EPOCH_US}) // {_DAY_US} AS x,
+    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events
+), a AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx,
+    CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM s GROUP BY 1
+)
+SELECT event_type, n, sx, sy, sxy, sxx,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_micro_per_day
+FROM a
+""".strip()

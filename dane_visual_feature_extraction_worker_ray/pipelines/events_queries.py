@@ -2171,3 +2171,136 @@ SELECT split, event_type, CAST(count(*) AS BIGINT) AS n_events,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM s GROUP BY 1, 2
 """.strip()
+
+
+def q_ab_experiment_summary(sf_dir: str):
+    """Experiment-analysis primitive: users deterministically hashed
+    into two arms (splitmix64(user_id) % 2 — the engine/SQL-identical
+    assignment chain), then per-arm exposure/conversion accounting:
+    distinct users, users with >= 1 view, users with >= 1 purchase,
+    total purchase value (integer micro-units), and the
+    converting/exposed ratio as one exact-integer division. Per-user
+    flags collapse in-batch, one user exchange, a 2-row final."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import rehash64
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    ev = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def _per_user_partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        isv = pc.equal(tbl.column("event_type"), "view").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        isp = pc.equal(
+            tbl.column("event_type"), "purchase"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        micro = np.floor(v * 1e6 + 0.5).astype(np.int64) * isp
+        t = pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "n_view": pa.array(isv),
+                "n_buy": pa.array(isp),
+                "buy_micro": pa.array(micro),
+            }
+        )
+        return group_aggregate_table(
+            t, ["user_id"],
+            [("n_view", "sum"), ("n_buy", "sum"),
+             ("buy_micro", "sum")],
+        )
+
+    per_user = hash_grouped_aggregate(
+        ev.map_batches(_per_user_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["user_id"],
+        [("n_view", "sum"), ("n_buy", "sum"), ("buy_micro", "sum")],
+        num_buckets=8,
+    )
+
+    def _arm_partial(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy().astype(np.uint64)
+        arm = (rehash64(u, 0) % np.uint64(2)).astype(np.int64)
+        nv = tbl.column("n_view").to_numpy()
+        nb = tbl.column("n_buy").to_numpy()
+        t = pa.table(
+            {
+                "arm": pa.array(arm),
+                "n_users": pa.array(
+                    np.ones(tbl.num_rows, np.int64)
+                ),
+                "n_viewers": pa.array((nv > 0).astype(np.int64)),
+                "n_buyers": pa.array((nb > 0).astype(np.int64)),
+                "buy_micro": tbl.column("buy_micro"),
+            }
+        )
+        return group_aggregate_table(
+            t, ["arm"],
+            [("n_users", "sum"), ("n_viewers", "sum"),
+             ("n_buyers", "sum"), ("buy_micro", "sum")],
+        )
+
+    agg = hash_grouped_aggregate(
+        per_user.map_batches(_arm_partial, batch_format="pyarrow",
+                             batch_size=None),
+        ["arm"],
+        [("n_users", "sum"), ("n_viewers", "sum"),
+         ("n_buyers", "sum"), ("buy_micro", "sum")],
+        num_buckets=2,
+    ).to_pandas()
+    agg["conversion"] = (
+        agg["n_buyers"].astype("float64")
+        / agg["n_users"].astype("float64")
+    )
+    return agg.sort_values("arm").reset_index(drop=True)
+
+
+def _ab_sql() -> str:
+    from .text_queries import _splitmix_mulmod
+
+    chain = f"""
+u1 AS (SELECT user_id, xor(x, x >> 30) AS x FROM u0
+), u2 AS (SELECT user_id, {_splitmix_mulmod(0xBF58476D1CE4E5B9)} AS x FROM u1
+), u3 AS (SELECT user_id, xor(x, x >> 27) AS x FROM u2
+), u4 AS (SELECT user_id, {_splitmix_mulmod(0x94D049BB133111EB)} AS x FROM u3
+), u5 AS (SELECT user_id, xor(x, x >> 31) AS x FROM u4
+)"""
+    return f"""
+WITH pu AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_view,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_buy,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+      THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END)
+      AS BIGINT) AS buy_micro
+  FROM events GROUP BY 1
+), u0 AS (
+  SELECT user_id, CAST(user_id AS UBIGINT) AS x FROM pu
+), {chain}, arms AS (
+  SELECT pu.user_id, CAST(u5.x % 2 AS BIGINT) AS arm,
+    pu.n_view, pu.n_buy, pu.buy_micro
+  FROM pu JOIN u5 USING (user_id)
+)
+SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(CASE WHEN n_view > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_viewers,
+  CAST(sum(CASE WHEN n_buy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_buyers,
+  CAST(sum(buy_micro) AS BIGINT) AS buy_micro,
+  CAST(sum(CASE WHEN n_buy > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS conversion
+FROM arms GROUP BY arm
+""".strip()
+
+
+QUERIES["ab_experiment_summary"] = q_ab_experiment_summary
+ORACLE_SQL["ab_experiment_summary"] = _ab_sql()

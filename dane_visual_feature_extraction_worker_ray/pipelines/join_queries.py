@@ -415,7 +415,13 @@ SELECT
   CAST(coalesce((SELECT sum(o.c * l.c) FROM o JOIN l USING (k)), 0)
     AS BIGINT) AS join_rows,
   CAST(coalesce((SELECT max(c) FROM o), 0) AS BIGINT) AS max_left_mult,
-  CAST(coalesce((SELECT max(c) FROM l), 0) AS BIGINT) AS max_right_mult
+  CAST(coalesce((SELECT max(c) FROM l), 0) AS BIGINT) AS max_right_mult,
+  CAST((SELECT sum(c) FROM o) AS BIGINT) AS n_left_rows,
+  CAST((SELECT sum(c) FROM l) AS BIGINT) AS n_right_rows,
+  CAST(coalesce((SELECT sum(o.c) FROM o JOIN l USING (k)), 0)
+    AS BIGINT) AS matched_left_rows,
+  CAST(coalesce((SELECT sum(l.c) FROM o JOIN l USING (k)), 0)
+    AS BIGINT) AS matched_right_rows
 """.strip()
 
 
@@ -459,4 +465,88 @@ QUERIES["bucketed_join_roundtrip"] = q_bucketed_join_roundtrip
 ORACLE_SQL["bucketed_join_roundtrip"] = """
 SELECT d.doc_id, d.lang, e.label
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""".strip()
+
+
+def q_fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit across three FK relations — child
+    orphan rows counted WITHOUT materializing any join, as
+    ``n_right_rows - matched_right_rows`` from join_size_stats
+    (parent on the left, unique keys). Two relations audit the real
+    schema (proven-zero orphans is the assertion); the third audits a
+    deterministically corrupted parent (orders with
+    o_orderkey % 97 == 0 dropped — a partially-deleted dimension), so
+    the non-zero path is exercised at every tier."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.join import join_size_stats
+
+    def _tbl(name, cols):
+        return read_parquet_tuned(
+            os.path.join(sf_dir, f"{name}.parquet"), columns=cols
+        )
+
+    def _orphans(parent, pkey, child, ckey):
+        st = join_size_stats(parent, pkey, child, ckey).iloc[0]
+        return int(st["n_right_rows"]), int(
+            st["n_right_rows"] - st["matched_right_rows"]
+        )
+
+    rows = []
+    n, o = _orphans(
+        _tbl("orders", ["o_orderkey"]), "o_orderkey",
+        _tbl("lineitem", ["l_orderkey"]), "l_orderkey",
+    )
+    rows.append(("lineitem->orders", n, o))
+    n, o = _orphans(
+        _tbl("customer", ["c_custkey"]), "c_custkey",
+        _tbl("orders", ["o_custkey"]), "o_custkey",
+    )
+    rows.append(("orders->customer", n, o))
+    corrupted = _tbl("orders", ["o_orderkey"]).map_batches(
+        lambda t: t.filter(
+            pc.not_equal(
+                pc.subtract(
+                    t.column("o_orderkey"),
+                    pc.multiply(
+                        pc.divide(t.column("o_orderkey"), 97), 97
+                    ),
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    n, o = _orphans(
+        corrupted, "o_orderkey",
+        _tbl("lineitem", ["l_orderkey"]), "l_orderkey",
+    )
+    rows.append(("lineitem->orders_corrupted", n, o))
+    return pd.DataFrame(
+        rows, columns=["relation", "n_child_rows", "n_orphans"]
+    ).astype({"n_child_rows": "int64", "n_orphans": "int64"})
+
+
+QUERIES["fk_integrity_audit"] = q_fk_integrity_audit
+ORACLE_SQL["fk_integrity_audit"] = """
+SELECT 'lineitem->orders' AS relation,
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+  CAST((SELECT count(*) FROM orders) AS BIGINT),
+  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS BIGINT)
+UNION ALL
+SELECT 'lineitem->orders_corrupted',
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+       AND o.o_orderkey % 97 <> 0)) AS BIGINT)
 """.strip()

@@ -738,7 +738,11 @@ def join_size_stats(
     the driver folds ≤ num_partitions rows. Returns a one-row pandas
     DataFrame, all counts integer-exact:
     ``(n_left_keys, n_right_keys, n_matched_keys, join_rows,
-    max_left_mult, max_right_mult)``.
+    max_left_mult, max_right_mult, n_left_rows, n_right_rows,
+    matched_left_rows, matched_right_rows)`` — the row totals and
+    matched-row sums make referential-integrity audits free riders:
+    with a unique-key parent on the left, child orphan rows are
+    ``n_right_rows - matched_right_rows``.
     """
     import numpy as np
     import pandas as pd
@@ -783,6 +787,10 @@ def join_size_stats(
             ("join_rows", pa.int64()),
             ("max_left_mult", pa.int64()),
             ("max_right_mult", pa.int64()),
+            ("n_left_rows", pa.int64()),
+            ("n_right_rows", pa.int64()),
+            ("matched_left_rows", pa.int64()),
+            ("matched_right_rows", pa.int64()),
         ]
     )
 
@@ -802,6 +810,8 @@ def join_size_stats(
             len(rk), bool
         )
         join_rows = int((ln[pos[ok]] * rn[ok]).sum()) if ok.any() else 0
+        m_l = int(ln[pos[ok]].sum()) if ok.any() else 0
+        m_r = int(rn[ok].sum()) if ok.any() else 0
         return pa.table(
             {
                 "n_left_keys": pa.array([len(lk)], pa.int64()),
@@ -814,6 +824,10 @@ def join_size_stats(
                 "max_right_mult": pa.array(
                     [int(rn.max()) if len(rn) else 0], pa.int64()
                 ),
+                "n_left_rows": pa.array([int(ln.sum())], pa.int64()),
+                "n_right_rows": pa.array([int(rn.sum())], pa.int64()),
+                "matched_left_rows": pa.array([m_l], pa.int64()),
+                "matched_right_rows": pa.array([m_r], pa.int64()),
             }
         )
 
@@ -830,6 +844,12 @@ def join_size_stats(
                               if len(parts) else 0],
             "max_right_mult": [int(parts["max_right_mult"].max())
                                if len(parts) else 0],
+            "n_left_rows": [int(parts["n_left_rows"].sum())],
+            "n_right_rows": [int(parts["n_right_rows"].sum())],
+            "matched_left_rows": [int(parts["matched_left_rows"].sum())],
+            "matched_right_rows": [
+                int(parts["matched_right_rows"].sum())
+            ],
         }
     )
 

@@ -37,7 +37,9 @@ def merge_upsert(
     columns). Returns the merged snapshot with ``key`` + payload
     columns. Ties on ``seq`` within a key are broken toward delete
     then by op code (deterministic); base rows always lose to any
-    change for the same key."""
+    change for the same key. Contract (real CDC logs satisfy it):
+    ``(key, seq)`` identifies a change — two same-(key, seq, op)
+    records with different payloads have no defined winner."""
     from .exchange import hash_exchange
 
     def _tag_base(tbl: pa.Table) -> pa.Table:

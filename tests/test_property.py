@@ -422,3 +422,135 @@ def test_phrase_match_property(docs, phrase):
             assert got[did] == (len(hits), hits[0])
         else:
             assert did not in got
+
+
+# --- merge_upsert / table_diff vs pandas oracles (randomized) -------------
+
+
+@st.composite
+def _upsert_case(draw):
+    keys = draw(st.lists(st.integers(0, 12), min_size=1, max_size=10,
+                         unique=True))
+    base = {k: f"b{k}" for k in keys}
+    # (key, seq) unique, like a real CDC log: duplicate (key, seq)
+    # records with different payloads are ambiguous by contract
+    pairs = draw(
+        st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 5)),
+            min_size=0, max_size=15, unique=True,
+        )
+    )
+    changes = []
+    for i, (k, seq) in enumerate(pairs):
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        changes.append((k, seq, op, None if op == "D" else f"c{i}"))
+    return base, changes
+
+
+@settings(max_examples=10, deadline=None)
+@given(_upsert_case())
+def test_merge_upsert_property(case):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.upsert import (
+        merge_upsert,
+    )
+
+    base, changes = case
+    base_ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(list(base), pa.int64()),
+                "v": pa.array(list(base.values())),
+            }
+        )
+    ).repartition(2)
+    ch_ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([c[0] for c in changes], pa.int64()),
+                "seq": pa.array([c[1] for c in changes], pa.int64()),
+                "op": pa.array([c[2] for c in changes]),
+                "v": pa.array([c[3] for c in changes], pa.string()),
+            }
+        )
+    )
+    got = (
+        merge_upsert(base_ds, ch_ds, "k", ["v"], num_partitions=4)
+        .to_pandas().set_index("k")["v"].sort_index()
+    )
+
+    # oracle: per key, winner = max seq, delete beats at equal seq
+    # (op 'D' < 'I' < 'U' sorted descending -> 'D' wins), base = -1
+    exp = {}
+    for k in set(base) | {c[0] for c in changes}:
+        rows = [(-1, "zB", base.get(k)) for _ in range(1)
+                if k in base]
+        for ck, seq, op, v in changes:
+            if ck == k:
+                rows.append((seq, op, v))
+        # winner: highest seq; ties -> 'D' wins, else op-descending
+        # loses to... engine sorts (seq asc, op desc) and takes LAST:
+        # i.e. max by (seq, reversed-op-order) where 'D' is last
+        def _rank(r):
+            seq, op, _ = r
+            order = {"zB": 0, "U": 1, "I": 2, "D": 3}
+            return (seq, order[op])
+
+        w = max(rows, key=_rank)
+        if w[1] != "D":
+            exp[k] = w[2]
+    assert got.to_dict() == exp
+
+
+@st.composite
+def _diff_case(draw):
+    ks = list(range(10))
+    old = {k: draw(st.sampled_from(["a", "b", None, "c"]))
+           for k in ks if draw(st.booleans())}
+    new = {k: draw(st.sampled_from(["a", "b", None, "c"]))
+           for k in ks if draw(st.booleans())}
+    return old, new
+
+
+@settings(max_examples=10, deadline=None)
+@given(_diff_case())
+def test_table_diff_property(case):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.upsert import (
+        table_diff,
+    )
+
+    old, new = case
+
+    def mk(d):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(list(d), pa.int64()),
+                    "v": pa.array(list(d.values()), pa.string()),
+                }
+            )
+        ).repartition(2)
+
+    got_df = table_diff(
+        mk(old), mk(new), "k", ["v"], num_partitions=4
+    ).to_pandas()
+    exp = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            exp[k] = "added"
+        elif k not in new:
+            exp[k] = "removed"
+        elif old[k] != new[k]:
+            exp[k] = "changed"
+    if not exp:
+        # all-empty Dataset.to_pandas() drops the schema (documented
+        # Ray gotcha) — emptiness is the assertion
+        assert len(got_df) == 0
+        return
+    got = got_df.set_index("k")["change_type"].sort_index().to_dict()
+    assert got == exp

@@ -648,3 +648,63 @@ def test_bucketed_join_roundtrip_idempotent(ray_session):
 
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 500
+
+
+def test_bucketed_storage_join_ab_random(ray_session, tmp_path):
+    """Randomized A/B: the zero-exchange bucketed storage join must
+    equal a pandas merge on the same tables (many-to-many keys,
+    missing keys on either side, several bucket counts)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.state.lineage import (
+        write_partitioned_checkpointed,
+    )
+    from dane_visual_feature_extraction_worker_ray.stages.join import (
+        bucketed_storage_join,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial, nb in [(0, 4), (1, 8)]:
+        lk = rng.integers(0, 40, size=200)
+        rk = rng.integers(20, 60, size=150)
+        left = pa.table(
+            {
+                "k": pa.array(lk, pa.int64()),
+                "lv": pa.array(rng.integers(0, 1000, size=200)),
+            }
+        )
+        right = pa.table(
+            {
+                "rk": pa.array(rk, pa.int64()),
+                "rv": pa.array(rng.integers(0, 1000, size=150)),
+            }
+        )
+        ldir = str(tmp_path / f"l{trial}")
+        rdir = str(tmp_path / f"r{trial}")
+        write_partitioned_checkpointed(
+            rd.from_arrow(left).repartition(3), "k", nb, ldir,
+            fingerprint=f"t{trial}",
+        )
+        write_partitioned_checkpointed(
+            rd.from_arrow(right).repartition(2), "rk", nb, rdir,
+            fingerprint=f"t{trial}",
+        )
+        got = (
+            bucketed_storage_join(ldir, rdir, "k", "rk")
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            left.to_pandas()
+            .merge(right.to_pandas(), left_on="k", right_on="rk")
+            .drop(columns=["rk"])
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "lv", "rv"]], exp[["k", "lv", "rv"]]
+        )

@@ -2304,3 +2304,78 @@ FROM arms GROUP BY arm
 
 QUERIES["ab_experiment_summary"] = q_ab_experiment_summary
 ORACLE_SQL["ab_experiment_summary"] = _ab_sql()
+
+
+_PATH_LEN = 3
+
+
+def q_session_paths(sf_dir: str):
+    """Path analysis: each user's first-{k} event-type prefix (ordered
+    by ts, event_id), counted corpus-wide — the entry-path summary
+    behind onboarding funnels. Per-user grouped kernel emits one
+    path partial per user; only |distinct paths| rows aggregate
+    (≤ |types|^{k}, a bounded domain).""".format(k=_PATH_LEN)
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_grouped_map
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def _narrow(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "event_id": tbl.column("event_id"),
+                "ts": tbl.column("ts").cast(pa.int64()),
+                "event_type": tbl.column("event_type"),
+            }
+        )
+
+    path_schema = pa.schema(
+        [("path", pa.string()), ("n", pa.int64())]
+    )
+
+    def _path(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        o = np.lexsort((eid, ts))[:_PATH_LEN]
+        et = group.column("event_type").to_pandas().to_numpy()[o]
+        return pa.table(
+            {
+                "path": pa.array([">".join(et)], pa.string()),
+                "n": pa.array([1], pa.int64()),
+            }
+        )
+
+    partials = hash_grouped_map(
+        ev.map_batches(_narrow, batch_format="pyarrow",
+                       batch_size=None),
+        "user_id",
+        _path,
+        num_partitions=16,
+        empty_schema=path_schema,
+    )
+    return hash_grouped_aggregate(
+        partials, ["path"], [("n", "sum")], num_buckets=4
+    )
+
+
+QUERIES["session_paths"] = q_session_paths
+ORACLE_SQL["session_paths"] = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id,
+    string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {_PATH_LEN} GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
+""".strip()

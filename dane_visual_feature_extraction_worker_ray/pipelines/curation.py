@@ -1767,3 +1767,59 @@ FROM (
 
 QUERIES["epoch_shuffle_fingerprints"] = q_epoch_shuffle_fingerprints
 ORACLE_SQL["epoch_shuffle_fingerprints"] = _epoch_sql()
+
+
+def q_distribution_match_weights(sf_dir: str):
+    """Distribution matching for corpus mixing: per-language
+    resampling weight that reshapes the corpus to the UNIFORM target
+    (weight_l = N / (L * n_l); >1 upsample, <1 downsample — the DoReMi
+    /data-mixing primitive in its exact closed form). Counts are the
+    standard partial→tiny-final shape; weights are one IEEE division
+    of exact integers per language, identical to the SQL expression."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": tbl.column("lang"),
+                "n_docs": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["lang"], [("n_docs", "sum")])
+
+    agg = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["lang"],
+        [("n_docs", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+    total = int(agg["n_docs"].sum())
+    L = len(agg)
+    agg["weight"] = float(total) / (
+        np.int64(L) * agg["n_docs"].to_numpy()
+    ).astype("float64")
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
+QUERIES["distribution_match_weights"] = q_distribution_match_weights
+ORACLE_SQL["distribution_match_weights"] = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+    CAST(count(*) AS BIGINT) AS L
+  FROM c
+)
+SELECT c.lang, c.n_docs,
+  CAST(t.total AS DOUBLE) / (t.L * c.n_docs) AS weight
+FROM c, t
+""".strip()

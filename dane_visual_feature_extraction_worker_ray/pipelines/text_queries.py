@@ -3281,3 +3281,109 @@ FROM cells
 
 QUERIES["eval_confusion"] = q_eval_confusion
 ORACLE_SQL["eval_confusion"] = _confusion_sql()
+
+
+# --- overlapping token-window chunking (RAG / retrieval prep) -------------
+
+_RC_W = 16   # window tokens
+_RC_S = 8    # stride tokens
+
+
+def q_overlapping_chunks(sf_dir: str):
+    """Retrieval-prep chunking: sliding token windows of {w} with
+    stride {s} per document (chunk c covers tokens [c*s, c*s+w), the
+    tail clipped; n_chunks = ceil(n/s)) — the layout an embedding /
+    RAG indexing pipeline consumes. Emitted per chunk: doc_id,
+    chunk_idx, chunk text, token count. Fully vectorized ragged
+    expansion (repeat + arange intra-offsets + one Arrow take +
+    binary_join); output grows by ~w/s x, the inherent overlap
+    cost.""".format(w=_RC_W, s=_RC_S)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import ws_tokens
+
+    docs = _docs(sf_dir)
+
+    def _chunks(tbl: pa.Table) -> pa.Table:
+        row, flat = ws_tokens(tbl.column("text"))
+        ids = tbl.column("doc_id").to_numpy().astype(np.int64)
+        n_docs = tbl.num_rows
+        total = len(row)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if total == 0:
+            return empty
+        n_tok = np.bincount(row, minlength=n_docs).astype(np.int64)
+        tok_start = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        n_chunks = -(-n_tok // _RC_S)  # ceil(n / stride); 0 for empty
+        doc_of_chunk = np.repeat(np.arange(n_docs), n_chunks)
+        if len(doc_of_chunk) == 0:
+            return empty
+        cstart_in_doc = (
+            np.arange(len(doc_of_chunk))
+            - np.repeat(
+                np.concatenate(([0], np.cumsum(n_chunks)))[:-1],
+                n_chunks,
+            )
+        )
+        starts = cstart_in_doc * _RC_S
+        clen = np.minimum(_RC_W, n_tok[doc_of_chunk] - starts)
+        offsets = np.concatenate(([0], np.cumsum(clen)))
+        tot = int(offsets[-1])
+        intra = np.arange(tot, dtype=np.int64) - np.repeat(
+            offsets[:-1], clen
+        )
+        tok_global = (
+            np.repeat(tok_start[doc_of_chunk] + starts, clen) + intra
+        )
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        gathered = flat.take(pa.array(tok_global))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            gathered.cast(pa.large_string()),
+        )
+        chunk = pc.binary_join(
+            lists, pa.scalar(" ", pa.large_string())
+        ).cast(pa.string())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of_chunk]),
+                "chunk_idx": pa.array(
+                    cstart_in_doc.astype(np.int64)
+                ),
+                "chunk": chunk,
+                "n_tokens": pa.array(clen.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(
+        _chunks, batch_format="pyarrow", batch_size=None
+    )
+
+
+QUERIES["overlapping_chunks"] = q_overlapping_chunks
+ORACLE_SQL["overlapping_chunks"] = f"""
+WITH tk AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+  FROM documents
+), c AS (
+  SELECT doc_id, l,
+    unnest(range(0, CAST(ceil(len(l) / {_RC_S}.0) AS INT))) AS ci
+  FROM tk
+)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+  array_to_string(l[ci * {_RC_S} + 1 : ci * {_RC_S} + {_RC_W}],
+                  ' ') AS chunk,
+  CAST(least({_RC_W}, len(l) - ci * {_RC_S}) AS BIGINT) AS n_tokens
+FROM c
+""".strip()

@@ -3387,3 +3387,178 @@ SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
   CAST(least({_RC_W}, len(l) - ci * {_RC_S}) AS BIGINT) AS n_tokens
 FROM c
 """.strip()
+
+
+# --- end-to-end retrieval-index build (chunk -> dedup -> embed ->
+# IVF assign), integer-exact so ONE nested SQL oracle verifies the
+# whole composition
+
+_RI_D = 4      # pseudo-embedding dims
+_RI_K = 4      # IVF lists
+_RI_MOD = 1001
+
+
+def q_rag_index_build(sf_dir: str):
+    """The retrieval-index build pipeline, end to end and
+    hash-verified: sliding-window chunks (q_overlapping_chunks) →
+    corpus-distinct chunks with occurrence counts → deterministic
+    INTEGER pseudo-embeddings (dim j = splitmix64(code*D+j) mod 1001
+    − 500, on the dictionary code = rank of the chunk in sorted
+    distinct order — the feature_hashing trick that makes a string
+    embedding SQL-reproducible) → nearest-centroid assignment to K
+    seed lists (exact integer L2, ties to the smaller list) → per-list
+    manifest (distinct chunks, source chunks incl. multiplicity, sum
+    of squared norms). At production scale the dictionary step is
+    replaced by hashing the chunk text directly (no broadcast) and the
+    seed centroids by the trained k-means quantizer (stages/
+    clustering.py); the gate pins the full composition shape."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..functions.hashing import rehash64
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    chunks = q_overlapping_chunks(sf_dir)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "chunk": tbl.column("chunk"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["chunk"], [("n", "sum")])
+
+    distinct = hash_grouped_aggregate(
+        chunks.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None),
+        ["chunk"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    # dictionary: sorted distinct chunks (gate-scale broadcast; the
+    # 100 TB path hashes text directly, no dictionary)
+    vocab = np.sort(
+        np.concatenate(
+            [
+                b.column("chunk").to_numpy(zero_copy_only=False)
+                for b in distinct.iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            ]
+        ).astype(str)
+    )
+    vocab_ref = ray.put(vocab)
+
+    def _embed_of(codes: np.ndarray) -> np.ndarray:
+        e = np.empty((len(codes), _RI_D), np.int64)
+        for j in range(_RI_D):
+            x = rehash64(
+                (codes.astype(np.uint64) * np.uint64(_RI_D)
+                 + np.uint64(j)),
+                0,
+            )
+            e[:, j] = (x % np.uint64(_RI_MOD)).astype(np.int64) - (
+                _RI_MOD // 2
+            )
+        return e
+
+    cent = _embed_of(np.arange(_RI_K, dtype=np.int64))
+
+    def _assign(tbl: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        ch = tbl.column("chunk").to_numpy(
+            zero_copy_only=False
+        ).astype(str)
+        codes = np.searchsorted(v, ch).astype(np.int64)
+        e = _embed_of(codes)
+        # exact integer L2 to each centroid; argmin tie -> smaller id
+        d2 = ((e[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lid = np.argmin(d2, axis=1).astype(np.int64)
+        t = pa.table(
+            {
+                "list_id": pa.array(lid),
+                "n_chunks": pa.array(np.ones(len(lid), np.int64)),
+                "n_source_chunks": tbl.column("n"),
+                "sum_sq_norm": pa.array((e * e).sum(axis=1)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["list_id"],
+            [("n_chunks", "sum"), ("n_source_chunks", "sum"),
+             ("sum_sq_norm", "sum")],
+        )
+
+    return hash_grouped_aggregate(
+        distinct.map_batches(_assign, batch_format="pyarrow",
+                             batch_size=None),
+        ["list_id"],
+        [("n_chunks", "sum"), ("n_source_chunks", "sum"),
+         ("sum_sq_norm", "sum")],
+        num_buckets=2,
+    )
+
+
+def _rag_index_sql() -> str:
+    from .text_queries import _splitmix_mulmod  # self-import safe
+
+    def chain(src: str) -> str:
+        return f"""
+h1 AS (SELECT code, j, xor(x, x >> 30) AS x FROM {src}
+), h2 AS (SELECT code, j, {_splitmix_mulmod(0xBF58476D1CE4E5B9)} AS x FROM h1
+), h3 AS (SELECT code, j, xor(x, x >> 27) AS x FROM h2
+), h4 AS (SELECT code, j, {_splitmix_mulmod(0x94D049BB133111EB)} AS x FROM h3
+), h5 AS (SELECT code, j, xor(x, x >> 31) AS x FROM h4
+)"""
+
+    base = ORACLE_SQL["overlapping_chunks"]
+    return f"""
+WITH chunks AS (
+{base}
+), cnt AS (
+  SELECT chunk, CAST(count(*) AS BIGINT) AS n FROM chunks GROUP BY 1
+), code AS (
+  SELECT chunk, n,
+    CAST(row_number() OVER (ORDER BY chunk) - 1 AS BIGINT) AS code
+  FROM cnt
+), h0 AS (
+  SELECT code,
+    CAST(j AS BIGINT) AS j,
+    CAST(code * {_RI_D} + j AS UBIGINT) AS x
+  FROM code, unnest(range(0, {_RI_D})) AS t(j)
+), {chain('h0')}, emb AS (
+  SELECT code, j,
+    CAST(x % {_RI_MOD} AS BIGINT) - {_RI_MOD // 2} AS v
+  FROM h5
+), cent AS (
+  SELECT code AS cid, j, v FROM emb WHERE code < {_RI_K}
+), dist AS (
+  SELECT e.code, c.cid,
+    CAST(sum((e.v - c.v) * (e.v - c.v)) AS BIGINT) AS d2
+  FROM emb e JOIN cent c USING (j) GROUP BY 1, 2
+), asn AS (
+  SELECT code, cid,
+    row_number() OVER (PARTITION BY code ORDER BY d2, cid) AS rn
+  FROM dist
+), nrm AS (
+  SELECT code, CAST(sum(v * v) AS BIGINT) AS sq FROM emb GROUP BY 1
+)
+SELECT asn.cid AS list_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(code.n) AS BIGINT) AS n_source_chunks,
+  CAST(sum(nrm.sq) AS BIGINT) AS sum_sq_norm
+FROM asn
+JOIN code USING (code)
+JOIN nrm USING (code)
+WHERE asn.rn = 1
+GROUP BY 1
+""".strip()
+
+
+QUERIES["rag_index_build"] = q_rag_index_build
+ORACLE_SQL["rag_index_build"] = _rag_index_sql()

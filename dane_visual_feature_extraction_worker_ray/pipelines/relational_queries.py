@@ -2100,3 +2100,101 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL
    OR o.text IS DISTINCT FROM n.text
    OR o.lang IS DISTINCT FROM n.lang
 """.strip()
+
+
+def q_sequence_gaps(sf_dir: str):
+    """Key-sequence hole detection (the completeness audit for
+    supposedly-dense id spaces): contiguous missing ranges of
+    o_orderkey after deterministically dropping keys % 97 == 0 (the
+    corruption idiom — the real column is dense, which would be
+    vacuous). Distributed shape: distinct keys → the engine's range
+    sort; gaps INSIDE a partition fall out of one vectorized diff,
+    gaps ACROSS partition boundaries are stitched from the
+    per-partition (first, last) pairs — O(partitions) scalars on the
+    driver, never the keys."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+    from ..stages.sort import sort_by
+
+    orders = read_parquet_tuned(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"]
+    )
+
+    def _corrupt_distinct(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("o_orderkey")
+        keep = pc.not_equal(
+            pc.subtract(k, pc.multiply(pc.divide(k, 97), 97)), 0
+        )
+        t = pa.table(
+            {
+                "k": tbl.filter(keep).column("o_orderkey"),
+            }
+        )
+        t = t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))
+        )
+        return group_aggregate_table(t, ["k"], [("one", "sum")])
+
+    distinct = hash_grouped_aggregate(
+        orders.map_batches(_corrupt_distinct, batch_format="pyarrow",
+                           batch_size=None),
+        ["k"],
+        [("one", "sum")],
+        num_buckets=8,
+    )
+    ordered = sort_by(distinct, [("k", "ascending")],
+                      num_partitions=8)
+
+    @ray.remote
+    def _block_gaps(t):
+        pa.set_cpu_count(1)
+        k = np.sort(t.column("k").to_numpy())
+        if len(k) == 0:
+            return None, np.empty((0, 2), np.int64)
+        d = np.flatnonzero(np.diff(k) > 1)
+        gaps = np.stack([k[d] + 1, k[d + 1] - 1], axis=1) if len(
+            d
+        ) else np.empty((0, 2), np.int64)
+        return (int(k[0]), int(k[-1])), gaps
+
+    refs = ordered.to_arrow_refs()
+    results = ray.get([_block_gaps.remote(r) for r in refs])
+    bounds = [b for b, _ in results if b is not None]
+    gap_list = [g for b, g in results if b is not None]
+    # boundary stitching: blocks arrive in global order (range sort)
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(bounds, bounds[1:]):
+        if lo_b > hi_a + 1:
+            gap_list.append(
+                np.array([[hi_a + 1, lo_b - 1]], np.int64)
+            )
+    gaps = (
+        np.concatenate(gap_list)
+        if gap_list
+        else np.empty((0, 2), np.int64)
+    )
+    df = pd.DataFrame(
+        {"gap_start": gaps[:, 0], "gap_end": gaps[:, 1]}
+    ).astype("int64")
+    return df.sort_values("gap_start").reset_index(drop=True)
+
+
+QUERIES["sequence_gaps"] = q_sequence_gaps
+ORACLE_SQL["sequence_gaps"] = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 97 <> 0
+), l AS (
+  SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k
+)
+SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+  CAST(nxt - 1 AS BIGINT) AS gap_end
+FROM l WHERE nxt > k + 1
+""".strip()

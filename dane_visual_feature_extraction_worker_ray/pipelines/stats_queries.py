@@ -516,3 +516,89 @@ SELECT event_type, n, sx, sy, sxy, sxx,
     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_micro_per_day
 FROM a
 """.strip()
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Exact WEIGHTED median (and quartiles) of lineitem price with
+    quantity as weight — integer-cent values, integer weights, lower
+    weighted-quantile convention (first value where 2*cumw >= 2*q*W /
+    cumw*4 >= q*W for quartiles), so the result is a VALUE FROM THE
+    DATA and hash-exact. Distributed per-VALUE weight aggregation
+    (bounded by distinct prices, like roc_auc_rank); the driver folds
+    the sorted per-value table only."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    li = _li(sf_dir, ["l_extendedprice", "l_quantity"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        q = tbl.column("l_quantity").to_numpy(
+            zero_copy_only=False
+        )
+        w = np.floor(q + 0.5).astype(np.int64)
+        t = pa.table(
+            {"cents": pa.array(cents), "w": pa.array(w)}
+        )
+        return group_aggregate_table(t, ["cents"], [("w", "sum")])
+
+    pv = hash_grouped_aggregate(
+        li.map_batches(_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["cents"],
+        [("w", "sum")],
+        num_buckets=8,
+    ).to_pandas().sort_values("cents").reset_index(drop=True)
+
+    v = pv["cents"].to_numpy()
+    w = pv["w"].to_numpy()
+    cw = np.cumsum(w)
+    W = int(cw[-1])
+    rows = []
+    for qq in (1, 2, 3):
+        i = int(np.searchsorted(cw * 4, qq * W))
+        rows.append({"quartile": qq, "cents": int(v[i])})
+    out = pd.DataFrame(rows).astype(
+        {"quartile": "int64", "cents": "int64"}
+    )
+    out["total_weight"] = np.int64(W)
+    return out
+
+
+def _li(sf_dir: str, cols):
+    from ..sources.parquet import read_parquet_tuned
+
+    return read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=cols
+    )
+
+
+QUERIES["weighted_median_price"] = q_weighted_median_price
+ORACLE_SQL["weighted_median_price"] = """
+WITH s AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+  FROM lineitem
+), pv AS (
+  SELECT cents, CAST(sum(w) AS BIGINT) AS w FROM s GROUP BY 1
+), c AS (
+  SELECT cents, w,
+    CAST(sum(w) OVER (ORDER BY cents) AS BIGINT) AS cw
+  FROM pv
+), tot AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM pv)
+SELECT q.quartile,
+  (SELECT min(cents) FROM c, tot WHERE c.cw * 4 >= q.quartile * tot.W)
+    AS cents,
+  (SELECT W FROM tot) AS total_weight
+FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+             (CAST(3 AS BIGINT))) AS q(quartile)
+""".strip()

@@ -678,3 +678,44 @@ WITH scored AS (
 )
 SELECT vec_id, neg_id, score FROM ranked WHERE rn = 1
 """.strip()
+
+
+_BATCH_QIDS = [0, 7, 13]
+
+
+def q_knn_batch_topk(sf_dir: str):
+    """Batched ANN: top-k for SEVERAL query vectors in one corpus scan
+    (the production shape — queries arrive in batches, the scan cost
+    amortizes; knn_brute_force's query-matrix path with one matmul
+    per batch per ALL queries). Oracle: per-query brute force,
+    unioned."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        filters=[("vec_id", "in", _BATCH_QIDS)],
+    )
+    order = np.argsort(qt.column("vec_id").to_numpy())
+    vecs = np.array(
+        [qt.column("embedding").to_pylist()[i] for i in order],
+        dtype=np.float64,
+    )
+    df = knn_brute_force(_emb(sf_dir), vecs, k=K, round_decimals=4)
+    df = df[["query_idx", "vec_id", "score"]].reset_index(drop=True)
+    qids = np.array(sorted(_BATCH_QIDS), dtype=np.int64)
+    df["query_vec_id"] = qids[df["query_idx"].to_numpy()]
+    return df[["query_vec_id", "vec_id", "score"]]
+
+
+QUERIES["knn_batch_topk"] = q_knn_batch_topk
+ORACLE_SQL["knn_batch_topk"] = "\nUNION ALL\n".join(
+    f"""(SELECT CAST({q} AS BIGINT) AS query_vec_id, vec_id,
+  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+         WHERE vec_id = {q})), 4) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id
+LIMIT {K})"""
+    for q in sorted(_BATCH_QIDS)
+)

@@ -2198,3 +2198,95 @@ SELECT CAST(k + 1 AS BIGINT) AS gap_start,
   CAST(nxt - 1 AS BIGINT) AS gap_end
 FROM l WHERE nxt > k + 1
 """.strip()
+
+
+_PRUNE_LO = 852_076_800_000_000  # 1997-01-01 in µs
+_PRUNE_HI = 883_612_800_000_000  # 1998-01-01
+
+
+def q_pruned_scan_roundtrip(sf_dir: str):
+    """Predicate pushdown END TO END: lineitem range-sorted by ship
+    date and exported with per-file zone maps
+    (stages/zonemap.py), then a year-range aggregate reads ONLY the
+    overlapping files (the skipped ones never open — the
+    zonemap_files_* counters record the ratio; tests assert real
+    pruning) plus the residual in-file filter. The oracle aggregates
+    the raw table, so layout + manifest + pruned scan + filter are all
+    hash-verified together."""
+    import hashlib
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.zonemap import read_pruned, write_sorted_with_zonemaps
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp/graft_zonemap", tag)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    li = read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice"],
+    )
+
+    def _narrow(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "ship_us": tbl.column("l_shipdate").cast(pa.int64()),
+                "cents": pa.array(
+                    np.floor(p * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    write_sorted_with_zonemaps(
+        li.map_batches(_narrow, batch_format="pyarrow",
+                       batch_size=None),
+        "ship_us",
+        out_dir,
+        num_partitions=8,
+    )
+    ds, _total, _read = read_pruned(out_dir, _PRUNE_LO, _PRUNE_HI)
+
+    def _agg(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.greater_equal(tbl.column("ship_us"), _PRUNE_LO),
+            pc.less(tbl.column("ship_us"), _PRUNE_HI),
+        )
+        t = tbl.filter(m)
+        c = t.column("cents").to_numpy()
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "sum_cents": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        _agg, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": [int(parts["n_rows"].sum())],
+            "sum_cents": [int(parts["sum_cents"].sum())],
+        }
+    )
+
+
+QUERIES["pruned_scan_roundtrip"] = q_pruned_scan_roundtrip
+ORACLE_SQL["pruned_scan_roundtrip"] = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+    AS BIGINT) AS sum_cents
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {_PRUNE_LO}
+  AND epoch_us(l_shipdate) < {_PRUNE_HI}
+""".strip()

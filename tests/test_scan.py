@@ -264,3 +264,34 @@ def test_read_parquet_tuned_schema_evolution(ray_session, tmp_path):
     )
     assert full["v"].tolist() == [10.0, 20.0, 30.0]
     assert sorted(full.columns) == ["extra", "k", "v"]
+
+
+def test_zonemap_pruned_scan_actually_prunes(ray_session):
+    """The year-range read must open strictly fewer files than the
+    layout holds, and the pruned aggregate must equal the direct one."""
+    import duckdb
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.relational_queries import (
+        ORACLE_SQL,
+        q_pruned_scan_roundtrip,
+    )
+    from dane_visual_feature_extraction_worker_ray.state import counters
+
+    before = counters.snapshot()
+    got = q_pruned_scan_roundtrip("/root/testdata/sf0.001")
+    after = counters.snapshot()
+    total = after.get("zonemap_files_total", 0) - before.get(
+        "zonemap_files_total", 0
+    )
+    read = after.get("zonemap_files_read", 0) - before.get(
+        "zonemap_files_read", 0
+    )
+    assert total >= 4 and 0 < read < total, (total, read)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "'/root/testdata/sf0.001/lineitem.parquet'"
+    )
+    exp = con.sql(ORACLE_SQL["pruned_scan_roundtrip"]).df()
+    assert int(got["n_rows"][0]) == int(exp["n_rows"][0])
+    assert int(got["sum_cents"][0]) == int(exp["sum_cents"][0])

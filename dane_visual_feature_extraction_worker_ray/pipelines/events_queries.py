@@ -2379,3 +2379,161 @@ WITH r AS (
 )
 SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
 """.strip()
+
+
+def q_time_rollup_multi(sf_dir: str):
+    """Multi-granularity time rollup from ONE corpus pass: hour
+    partials aggregate once, then day and week derive from the HOUR
+    table (bounded: one row per hour), not the events — the
+    aggregation-tree shape that makes N dashboard grains cost one
+    scan. Integer micro-unit money; week = date_trunc('week') (ISO
+    Monday), all three grains in one output."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    ev = _events(sf_dir, ["ts", "value"])
+
+    def _hour_partial(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "hour": pc.floor_temporal(
+                    tbl.column("ts"), unit="hour"
+                ).cast(pa.int64()),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+                "sum_micro": pa.array(
+                    np.floor(v * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+        return group_aggregate_table(
+            t, ["hour"], [("n", "sum"), ("sum_micro", "sum")]
+        )
+
+    hours = hash_grouped_aggregate(
+        ev.map_batches(_hour_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["hour"],
+        [("n", "sum"), ("sum_micro", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+
+    h = pd.to_datetime(hours["hour"], unit="us")
+    out = []
+    for grain, bucket in (
+        ("hour", h),
+        ("day", h.dt.floor("D")),
+        ("week", (h - pd.to_timedelta(h.dt.dayofweek, unit="D"))
+         .dt.floor("D")),
+    ):
+        g = (
+            hours.assign(bucket=bucket)
+            .groupby("bucket", as_index=False)[["n", "sum_micro"]]
+            .sum()
+        )
+        g.insert(0, "grain", grain)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    res["n"] = res["n"].astype("int64")
+    res["sum_micro"] = res["sum_micro"].astype("int64")
+    return res.sort_values(["grain", "bucket"]).reset_index(drop=True)
+
+
+QUERIES["time_rollup_multi"] = q_time_rollup_multi
+ORACLE_SQL["time_rollup_multi"] = """
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_micro
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+  CAST(count(*) AS BIGINT),
+  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'week', CAST(date_trunc('week', ts) AS TIMESTAMP),
+  CAST(count(*) AS BIGINT),
+  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+FROM events GROUP BY 2
+""".strip()
+
+
+def q_daily_latest_event(sf_dir: str):
+    """Latest-record-per-key-per-window: each user's LAST event of
+    every active day (max ts, ties to the larger event_id) — the
+    windowed dedup that turns an event log into a daily state table.
+    One (user, day) grouped kernel, vectorized argmax per group."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import hash_grouped_map
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def _narrow(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "day": pc.floor_temporal(
+                    tbl.column("ts"), unit="day"
+                ).cast(pa.int64()),
+                "ts": tbl.column("ts").cast(pa.int64()),
+                "event_id": tbl.column("event_id"),
+                "event_type": tbl.column("event_type"),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("day", pa.timestamp("us")),
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+        ]
+    )
+
+    def _latest(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        i = int(np.lexsort((eid, ts))[-1])
+        # take COPIES (the exchange contract: never return raw slices
+        # — pickling a slice ships the whole parent buffer)
+        row = group.take(pa.array([i]))
+        return pa.table(
+            {
+                "user_id": row.column("user_id").cast(pa.int64()),
+                "day": row.column("day").cast(pa.timestamp("us")),
+                "event_id": row.column("event_id").cast(pa.int64()),
+                "event_type": row.column("event_type"),
+            }
+        )
+
+    return hash_grouped_map(
+        ev.map_batches(_narrow, batch_format="pyarrow",
+                       batch_size=None),
+        ["user_id", "day"],
+        _latest,
+        num_partitions=16,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["daily_latest_event"] = q_daily_latest_event
+ORACLE_SQL["daily_latest_event"] = """
+WITH r AS (
+  SELECT user_id, date_trunc('day', ts) AS day, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, day, event_id, event_type FROM r WHERE rn = 1
+""".strip()

@@ -1823,3 +1823,79 @@ SELECT c.lang, c.n_docs,
   CAST(t.total AS DOUBLE) / (t.L * c.n_docs) AS weight
 FROM c, t
 """.strip()
+
+
+_TOPN_KEEP = 3
+
+
+def q_topn_other_rollup(sf_dir: str):
+    """Cardinality-capped groupby (the dashboard-safety shape for
+    unbounded group domains): top-{n} sources by doc count keep their
+    own row (ties broken by name), everything else rolls into
+    'OTHER'. The full per-source aggregate is bounded-cardinality;
+    capping is a driver fold of that tiny table.""".format(
+        n=_TOPN_KEEP
+    )
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": tbl.column("source"),
+                "n_docs": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["source"], [("n_docs", "sum")])
+
+    agg = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["source"],
+        [("n_docs", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+    agg = agg.sort_values(
+        ["n_docs", "source"], ascending=[False, True]
+    ).reset_index(drop=True)
+    top = agg.iloc[:_TOPN_KEEP][["source", "n_docs"]].copy()
+    rest = agg.iloc[_TOPN_KEEP:]
+    if len(rest):
+        top = pd.concat(
+            [
+                top,
+                pd.DataFrame(
+                    {
+                        "source": ["OTHER"],
+                        "n_docs": [int(rest["n_docs"].sum())],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    top["n_docs"] = top["n_docs"].astype("int64")
+    return top.sort_values("source").reset_index(drop=True)
+
+
+QUERIES["topn_other_rollup"] = q_topn_other_rollup
+ORACLE_SQL["topn_other_rollup"] = f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), r AS (
+  SELECT source, n_docs,
+    row_number() OVER (ORDER BY n_docs DESC, source) AS rk
+  FROM c
+)
+SELECT CASE WHEN rk <= {_TOPN_KEEP} THEN source ELSE 'OTHER' END
+    AS source,
+  CAST(sum(n_docs) AS BIGINT) AS n_docs
+FROM r GROUP BY 1
+""".strip()

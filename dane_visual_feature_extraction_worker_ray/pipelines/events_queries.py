@@ -2537,3 +2537,203 @@ WITH r AS (
 )
 SELECT user_id, day, event_id, event_type FROM r WHERE rn = 1
 """.strip()
+
+
+def q_lifecycle_violations(sf_dir: str):
+    """Sequence-validity audit: users whose first purchase precedes
+    their first signup, or who purchase without ever signing up — the
+    lifecycle invariant an event pipeline must hold. Per-user min
+    timestamps fold as mergeable MIN partials (missing event kinds
+    ride as a +inf sentinel, never a null); one row out."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    SENT = np.int64(2**62)
+    ev = _events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            tbl.column("event_type"),
+            value_set=pa.array(["signup", "purchase"]),
+        )
+        t = tbl.filter(keep)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        issu = pc.equal(t.column("event_type"), "signup").to_numpy(
+            zero_copy_only=False
+        )
+        p = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "first_signup": pa.array(np.where(issu, ts, SENT)),
+                "first_buy": pa.array(np.where(~issu, ts, SENT)),
+            }
+        )
+        return group_aggregate_table(
+            p, ["user_id"],
+            [("first_signup", "min"), ("first_buy", "min")],
+        )
+
+    pu = hash_grouped_aggregate(
+        ev.map_batches(_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["user_id"],
+        [("first_signup", "min"), ("first_buy", "min")],
+        num_buckets=8,
+    ).to_pandas()
+    fs = pu["first_signup"].to_numpy()
+    fb = pu["first_buy"].to_numpy()
+    buyers = fb < SENT
+    viol = buyers & (fb < fs)  # covers never-signed-up (fs == SENT)
+    return pd.DataFrame(
+        {
+            "n_users_checked": [int(len(pu))],
+            "n_buyers": [int(buyers.sum())],
+            "n_violations": [int(viol.sum())],
+        }
+    )
+
+
+QUERIES["lifecycle_violations"] = q_lifecycle_violations
+ORACLE_SQL["lifecycle_violations"] = """
+WITH pu AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN ts END) AS fs,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS fb
+  FROM events WHERE event_type IN ('signup', 'purchase')
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users_checked,
+  CAST(count(fb) AS BIGINT) AS n_buyers,
+  CAST(sum(CASE WHEN fb IS NOT NULL
+                 AND (fs IS NULL OR fb < fs) THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_violations
+FROM pu
+""".strip()
+
+
+def q_interval_coverage(sf_dir: str):
+    """Interval-union coverage (sweep-line): per day, the total
+    seconds covered by the union of 120-second error windows and the
+    count of merged maximal intervals — overlap collapses, the
+    statistic a naive sum-of-windows gets wrong. Windows clip at day
+    boundaries (both sides), so a per-day grouped kernel holds every
+    interval it needs; inside the group one sort + running-max sweep,
+    all integer µs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import hash_grouped_map
+
+    WIN = 120_000_000
+    DAY = 86_400_000_000
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def _wins(tbl: pa.Table) -> pa.Table:
+        e = tbl.filter(pc.equal(tbl.column("event_type"), "error"))
+        ts = e.column("ts").cast(pa.int64()).to_numpy()
+        s, t = ts, ts + WIN
+        # split windows at day boundaries (a window spans <= 2 days)
+        day1 = (s // DAY) * DAY
+        end1 = np.minimum(t, day1 + DAY)
+        out_day = [day1]
+        out_s = [s]
+        out_e = [end1]
+        spill = t > day1 + DAY
+        out_day.append(day1[spill] + DAY)
+        out_s.append(day1[spill] + DAY)
+        out_e.append(t[spill])
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate(out_day)),
+                "s": pa.array(np.concatenate(out_s)),
+                "e": pa.array(np.concatenate(out_e)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("covered_sec", pa.int64()),
+            ("n_intervals", pa.int64()),
+        ]
+    )
+
+    def _sweep(group: pa.Table) -> pa.Table:
+        s = group.column("s").to_numpy()
+        e = group.column("e").to_numpy()
+        o = np.argsort(s, kind="stable")
+        s, e = s[o], e[o]
+        run_max = np.maximum.accumulate(e)
+        new = np.empty(len(s), bool)
+        new[0] = True
+        new[1:] = s[1:] > run_max[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(s)]
+        seg_end = run_max[ends - 1]
+        covered = int((seg_end - s[starts]).sum())
+        return pa.table(
+            {
+                "day": pa.array(
+                    [int(group.column("day")[0].as_py())],
+                    pa.int64(),
+                ).cast(pa.timestamp("us")),
+                "covered_sec": pa.array(
+                    [covered // 1_000_000], pa.int64()
+                ),
+                "n_intervals": pa.array(
+                    [len(starts)], pa.int64()
+                ),
+            }
+        )
+
+    return hash_grouped_map(
+        ev.map_batches(_wins, batch_format="pyarrow",
+                       batch_size=None),
+        "day",
+        _sweep,
+        num_partitions=8,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["interval_coverage"] = q_interval_coverage
+ORACLE_SQL["interval_coverage"] = """
+WITH w AS (
+  SELECT epoch_us(ts) AS s, epoch_us(ts) + 120000000 AS e
+  FROM events WHERE event_type = 'error'
+), split AS (
+  SELECT (s // 86400000000) * 86400000000 AS day, s,
+    least(e, (s // 86400000000) * 86400000000 + 86400000000) AS e
+  FROM w
+  UNION ALL
+  SELECT (s // 86400000000) * 86400000000 + 86400000000,
+    (s // 86400000000) * 86400000000 + 86400000000, e
+  FROM w WHERE e > (s // 86400000000) * 86400000000 + 86400000000
+), r AS (
+  SELECT day, s, e,
+    max(e) OVER (PARTITION BY day ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM split
+), isl AS (
+  SELECT day, s, e,
+    CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                  THEN 1 ELSE 0 END)
+      OVER (PARTITION BY day ORDER BY s, e) AS BIGINT) AS island
+  FROM r
+), seg AS (
+  SELECT day, island, min(s) AS ss, max(e) AS ee
+  FROM isl GROUP BY 1, 2
+)
+SELECT CAST(to_timestamp(day / 1000000) AS TIMESTAMP) AS day,
+  CAST(sum(ee - ss) // 1000000 AS BIGINT) AS covered_sec,
+  CAST(count(*) AS BIGINT) AS n_intervals
+FROM seg GROUP BY 1
+""".strip()

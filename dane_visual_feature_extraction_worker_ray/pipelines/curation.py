@@ -1899,3 +1899,103 @@ SELECT CASE WHEN rk <= {_TOPN_KEEP} THEN source ELSE 'OTHER' END
   CAST(sum(n_docs) AS BIGINT) AS n_docs
 FROM r GROUP BY 1
 """.strip()
+
+
+_FQ_BUDGET = 382
+
+
+def q_fair_quota_allocation(sf_dir: str):
+    """Max-min fair (waterfilling) quota allocation of a {b}-doc
+    sampling budget across languages: sources below the water level
+    keep everything, the rest are capped at the level, and the
+    integer remainder goes +1 each to the first capped sources in
+    (count, lang) order — the fair-mixing generalization of
+    domain_cap, in exact closed form on both engines. Counts
+    aggregate distributed; the allocation folds the bounded per-lang
+    table.""".format(b=_FQ_BUDGET)
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": tbl.column("lang"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["lang"], [("n", "sum")])
+
+    agg = (
+        hash_grouped_aggregate(
+            docs.map_batches(_partial, batch_format="pyarrow",
+                             batch_size=None),
+            ["lang"],
+            [("n", "sum")],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["n", "lang"])
+        .reset_index(drop=True)
+    )
+    n = agg["n"].to_numpy()
+    nn = len(n)
+    B = _FQ_BUDGET
+    alloc = np.empty(nn, np.int64)
+    rem = B
+    k = nn  # first capped index (none if all fit)
+    for i in range(nn):
+        level = rem // (nn - i)
+        if n[i] <= level:
+            alloc[i] = n[i]
+            rem -= n[i]
+        else:
+            k = i
+            break
+    if k < nn:
+        m = nn - k
+        level = rem // m
+        r = rem - level * m
+        alloc[k:] = level
+        alloc[k:k + r] += 1
+    agg["allocation"] = alloc
+    agg["n"] = agg["n"].astype("int64")
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
+QUERIES["fair_quota_allocation"] = q_fair_quota_allocation
+ORACLE_SQL["fair_quota_allocation"] = f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), o AS (
+  SELECT lang, n,
+    CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+    CAST(count(*) OVER () AS BIGINT) AS nn,
+    CAST(coalesce(sum(n) OVER (ORDER BY n, lang
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS cum
+  FROM c
+), lev AS (
+  SELECT *, ({_FQ_BUDGET} - cum) // (nn - i + 1) AS ti FROM o
+), kk AS (
+  SELECT coalesce(min(i), (SELECT max(nn) + 1 FROM lev)) AS k
+  FROM lev WHERE n > ti
+), p AS (
+  SELECT lev.*, kk.k,
+    (SELECT ti FROM lev l2, kk WHERE l2.i = kk.k) AS level,
+    (SELECT {_FQ_BUDGET} - cum - ti * (nn - i + 1)
+     FROM lev l3, kk WHERE l3.i = kk.k) AS r
+  FROM lev, kk
+)
+SELECT lang, n,
+  CAST(CASE WHEN i < k THEN n
+            WHEN i - k < r THEN level + 1
+            ELSE level END AS BIGINT) AS allocation
+FROM p
+""".strip()

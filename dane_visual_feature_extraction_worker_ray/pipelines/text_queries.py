@@ -3562,3 +3562,178 @@ GROUP BY 1
 
 QUERIES["rag_index_build"] = q_rag_index_build
 ORACLE_SQL["rag_index_build"] = _rag_index_sql()
+
+
+# --- T5-style span corruption (denoising pretraining pairs) ---------------
+
+_T5_MOD = 5  # ~20% token noise rate
+_T5_POSK = 1_000_000
+
+
+def q_t5_span_corruption(sf_dir: str):
+    """Deterministic T5 denoising pairs: tokens whose
+    splitmix64(doc_id*K + pos) lands in the noise class are masked;
+    each MAXIMAL noise run becomes one sentinel ``<X_k>`` in the
+    inputs and ``<X_k> tokens...`` in the targets — the seq2seq
+    pretraining corruption, reproducible on any cluster because the
+    mask is a pure hash of (doc, position). One streaming pass,
+    vectorized run detection; the hash chain is the engine/SQL-shared
+    splitmix."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import rehash64
+    from ..functions.tokenize import ws_tokens
+
+    docs = _docs(sf_dir)
+
+    def _corrupt(tbl: pa.Table) -> pa.Table:
+        row, flat = ws_tokens(tbl.column("text"))
+        ids = tbl.column("doc_id").to_numpy().astype(np.int64)
+        n_docs = tbl.num_rows
+        total = len(row)
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "inputs": pa.array([""] * n_docs),
+                    "targets": pa.array([""] * n_docs),
+                    "n_masked": pa.array(
+                        np.zeros(n_docs, np.int64)
+                    ),
+                    "n_spans": pa.array(np.zeros(n_docs, np.int64)),
+                }
+            )
+        n_tok = np.bincount(row, minlength=n_docs).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        pos = np.arange(total, dtype=np.int64) - starts[row] + 1
+        x = rehash64(
+            (ids[row].astype(np.uint64) * np.uint64(_T5_POSK)
+             + pos.astype(np.uint64)),
+            0,
+        )
+        noise = (x % np.uint64(_T5_MOD)) == 0
+        first_of_doc = np.zeros(total, bool)
+        first_of_doc[starts[n_tok > 0]] = True
+        prev_noise = np.concatenate(([False], noise[:-1]))
+        is_start = noise & (first_of_doc | ~prev_noise)
+        run_global = np.cumsum(is_start) - 1
+        run_start_doc = np.concatenate(
+            ([0], np.cumsum(np.bincount(row[is_start],
+                                        minlength=n_docs)))
+        )[:-1]
+        run_in_doc = np.where(
+            noise, run_global - run_start_doc[row], 0
+        )
+        toks = flat.to_numpy(zero_copy_only=False).astype(object)
+        sent = np.char.add(
+            np.char.add("<X_", run_in_doc.astype(str)), ">"
+        ).astype(object)
+        # inputs: kept tokens + one sentinel per run start
+        in_keep = ~noise | is_start
+        in_tok = np.where(noise, sent, toks)[in_keep]
+        in_row = row[in_keep]
+        # targets: noise tokens, run starts prefixed by sentinel
+        tg_keep = noise
+        tg_tok = np.where(
+            is_start,
+            np.char.add(np.char.add(sent.astype(str), " "),
+                        toks.astype(str)).astype(object),
+            toks,
+        )[tg_keep]
+        tg_row = row[tg_keep]
+
+        def _join(tok_arr, row_arr):
+            cnt = np.bincount(row_arr, minlength=n_docs).astype(
+                np.int64
+            )
+            off = np.concatenate(([0], np.cumsum(cnt)))
+            order = np.argsort(row_arr, kind="stable")
+            lists = pa.LargeListArray.from_arrays(
+                pa.array(off, pa.int64()),
+                pa.array(tok_arr[order].astype(object),
+                         pa.large_string()),
+            )
+            return pc.binary_join(
+                lists, pa.scalar(" ", pa.large_string())
+            ).cast(pa.string())
+
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "inputs": _join(in_tok, in_row),
+                "targets": _join(tg_tok, tg_row),
+                "n_masked": pa.array(
+                    np.bincount(row[noise], minlength=n_docs)
+                    .astype(np.int64)
+                ),
+                "n_spans": pa.array(
+                    np.bincount(row[is_start], minlength=n_docs)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    return docs.map_batches(
+        _corrupt, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _t5_sql() -> str:
+    chain = f"""
+t1 AS (SELECT doc_id, pos, w, xor(x, x >> 30) AS x FROM t0
+), t2 AS (SELECT doc_id, pos, w, {_splitmix_mulmod(0xBF58476D1CE4E5B9)} AS x FROM t1
+), t3 AS (SELECT doc_id, pos, w, xor(x, x >> 27) AS x FROM t2
+), t4 AS (SELECT doc_id, pos, w, {_splitmix_mulmod(0x94D049BB133111EB)} AS x FROM t3
+), t5 AS (SELECT doc_id, pos, w, xor(x, x >> 31) AS x FROM t4
+)"""
+    return f"""
+WITH tk AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+  FROM documents
+), tp AS (
+  SELECT doc_id, l,
+    CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos
+  FROM tk
+), t0 AS (
+  SELECT doc_id, pos, l[pos] AS w,
+    CAST(doc_id * {_T5_POSK} + pos AS UBIGINT) AS x
+  FROM tp
+), {chain}, nz AS (
+  SELECT doc_id, pos, w, (x % {_T5_MOD} = 0) AS noise FROM t5
+), st AS (
+  SELECT *, noise AND coalesce(NOT lag(noise) OVER w, TRUE)
+      AS is_start
+  FROM nz WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), runs AS (
+  SELECT *,
+    CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END) OVER
+      (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS run
+  FROM st
+), agg AS (
+  SELECT doc_id,
+    coalesce(string_agg(
+      CASE WHEN NOT noise THEN w
+           ELSE '<X_' || run || '>' END, ' ' ORDER BY pos)
+      FILTER (WHERE NOT noise OR is_start), '') AS inputs,
+    coalesce(string_agg(
+      CASE WHEN is_start THEN '<X_' || run || '> ' || w
+           ELSE w END, ' ' ORDER BY pos)
+      FILTER (WHERE noise), '') AS targets,
+    CAST(count(*) FILTER (WHERE noise) AS BIGINT) AS n_masked,
+    CAST(count(*) FILTER (WHERE is_start) AS BIGINT) AS n_spans
+  FROM runs GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.inputs, '') AS inputs,
+  coalesce(a.targets, '') AS targets,
+  coalesce(a.n_masked, 0) AS n_masked,
+  coalesce(a.n_spans, 0) AS n_spans
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+""".strip()
+
+
+QUERIES["t5_span_corruption"] = q_t5_span_corruption
+ORACLE_SQL["t5_span_corruption"] = _t5_sql()

@@ -3737,3 +3737,64 @@ LEFT JOIN agg a USING (doc_id)
 
 QUERIES["t5_span_corruption"] = q_t5_span_corruption
 ORACLE_SQL["t5_span_corruption"] = _t5_sql()
+
+
+# --- blocklist safety filter ----------------------------------------------
+
+# terms drawn from the synthetic vocabulary so hits exist at every
+# tier; a real deployment swaps in the policy list
+_BLOCK_TERMS = ["spark", "window", "merge"]
+
+
+def q_blocklist_filter(sf_dir: str):
+    """Safety/compliance filtering: per-document blocked-term hit
+    counts (token-exact matches against a broadcast blocklist) and
+    the keep/drop verdict — the first gate of a curation pipeline.
+    One streaming pass; ``pc.is_in`` runs the lookup in C++ against
+    the value-set (the list is policy-sized, trivially broadcast)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import ws_tokens
+
+    docs = _docs(sf_dir)
+    value_set = pa.array(sorted(set(_BLOCK_TERMS)), pa.string())
+
+    def _scan(tbl: pa.Table) -> pa.Table:
+        row, flat = ws_tokens(tbl.column("text"))
+        n_docs = tbl.num_rows
+        hit = pc.is_in(flat, value_set=value_set).to_numpy(
+            zero_copy_only=False
+        )
+        n_hits = (
+            np.bincount(row[hit], minlength=n_docs).astype(np.int64)
+            if len(row)
+            else np.zeros(n_docs, np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "n_blocked_hits": pa.array(n_hits),
+                "keep": pa.array(n_hits == 0),
+            }
+        )
+
+    return docs.map_batches(
+        _scan, batch_format="pyarrow", batch_size=None
+    )
+
+
+_BL_SQL_LIST = ", ".join(f"'{t}'" for t in sorted(set(_BLOCK_TERMS)))
+
+QUERIES["blocklist_filter"] = q_blocklist_filter
+ORACLE_SQL["blocklist_filter"] = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(list_filter(
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+    x -> x IN ({_BL_SQL_LIST}))) AS BIGINT) AS n_blocked_hits,
+  len(list_filter(
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+    x -> x IN ({_BL_SQL_LIST}))) = 0 AS keep
+FROM documents
+""".strip()

@@ -772,3 +772,141 @@ SELECT a.doc_id, coalesce(p.clean_text, '') AS clean_text,
   coalesce(p.n_removed_chunks, 0) AS n_removed_chunks
 FROM aug a LEFT JOIN per_doc p USING (doc_id)
 """.strip()
+
+
+# --- incremental dedup against a persisted index --------------------------
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup (the daily-ingest shape): the OLD
+    corpus partition's distinct text hashes are persisted once as the
+    dedup index; the NEW partition (doc_id % 5 == 0) then dedups
+    against index ∪ itself WITHOUT re-scanning old documents — old
+    text never moves again, only its 8-byte hashes. Verdict per new
+    doc: kept iff its text is absent from the index AND it is the
+    min-doc_id holder among new docs sharing the text. The oracle
+    recomputes from the full table, so index build + reload + the
+    incremental semi-join are all hash-verified. Same
+    negligible-collision stance as every hash-keyed dedup here."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import hash64
+    from ..stages.exchange import hash_grouped_map
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    idx_path = os.path.join("/tmp/graft_dedup_idx", tag,
+                            "index.parquet")
+    os.makedirs(os.path.dirname(idx_path), exist_ok=True)
+
+    docs = _docs(sf_dir)
+
+    def _old_hashes(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        t = tbl.filter(pa.array(ids % 5 != 0))
+        h = hash64(t.column("text").to_pandas().fillna(""))
+        p = pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(p, ["h"], [("n", "sum")])
+
+    index = hash_grouped_aggregate(
+        docs.map_batches(_old_hashes, batch_format="pyarrow",
+                         batch_size=None),
+        ["h"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+    tmp = idx_path + ".tmp"
+    idx_tbl = pa.concat_tables(
+        [b.select(["h"]) for b in index.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )]
+    )
+    pq.write_table(idx_tbl, tmp)
+    os.replace(tmp, idx_path)
+
+    # incremental pass: new docs' (hash, doc_id) + reloaded index
+    # hashes, one co-grouped exchange — old TEXT never reappears
+    def _new_hashes(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        t = tbl.filter(pa.array(ids % 5 == 0))
+        h = hash64(t.column("text").to_pandas().fillna(""))
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+            }
+        )
+
+    def _idx_rows(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": tbl.column("h"),
+                "doc_id": pa.array(
+                    np.full(tbl.num_rows, -1, np.int64)
+                ),
+            }
+        )
+
+    union = docs.map_batches(
+        _new_hashes, batch_format="pyarrow", batch_size=None
+    ).union(
+        rd.read_parquet(idx_path).map_batches(
+            _idx_rows, batch_format="pyarrow", batch_size=None
+        )
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("kept", pa.bool_())]
+    )
+
+    def _verdict(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy()
+        new = d[d >= 0]
+        if len(new) == 0:
+            return out_schema.empty_table()
+        in_index = (d < 0).any()
+        keep = np.zeros(len(new), bool)
+        if not in_index:
+            keep[np.argmin(new)] = True
+        return pa.table(
+            {
+                "doc_id": pa.array(np.sort(new).astype(np.int64)),
+                "kept": pa.array(keep[np.argsort(new)]),
+            }
+        )
+
+    return hash_grouped_map(
+        union, "h", _verdict, num_partitions=8,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["incremental_dedup"] = q_incremental_dedup
+ORACLE_SQL["incremental_dedup"] = """
+WITH newd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+), oldt AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0
+), r AS (
+  SELECT n.doc_id, n.text,
+    row_number() OVER (PARTITION BY n.text ORDER BY n.doc_id) AS rn,
+    EXISTS (SELECT 1 FROM oldt o WHERE o.text = n.text) AS seen
+  FROM newd n
+)
+SELECT doc_id, (rn = 1 AND NOT seen) AS kept FROM r
+""".strip()

@@ -1006,3 +1006,44 @@ def test_paragraph_dedup_brute_force(ray_session):
         assert out.loc[d, "clean_text"] == clean, d
         assert out.loc[d, "n_kept_chunks"] == nk, d
         assert out.loc[d, "n_removed_chunks"] == nr, d
+
+
+def test_paragraph_dedup_wire_economy(ray_session):
+    """Scale property, asserted: paragraph text crosses the exchange
+    ONCE (the doc_id rewrite); phase 1 ships only ~20 B/paragraph
+    hashes. If chunk TEXT ever leaked into the gram exchange the
+    byte counter would roughly double."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        paragraph_dedup,
+    )
+    from dane_visual_feature_extraction_worker_ray.state import counters
+
+    rng = np.random.default_rng(11)
+    words = np.array([f"w{i:03d}" for i in range(400)])
+    texts = [
+        " ".join(rng.choice(words, size=330))
+        for _ in range(500)
+    ]
+    text_bytes = sum(len(t) for t in texts)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(500), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(4)
+    before = counters.snapshot().get("exchange_bytes", 0)
+    out = paragraph_dedup(ds, chunk_w=10, num_partitions=8)
+    n = out.count()
+    after = counters.snapshot().get("exchange_bytes", 0)
+    assert n == 500
+    delta = after - before
+    # one text move (~1x) + 20 B/paragraph hashes (~0.35x here) +
+    # IPC framing; 2x would mean text rode the gram exchange too
+    assert delta < 2.0 * text_bytes, (delta, text_bytes)
+    assert delta > 0.8 * text_bytes, (delta, text_bytes)

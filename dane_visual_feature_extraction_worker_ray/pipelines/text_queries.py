@@ -3798,3 +3798,95 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
     x -> x IN ({_BL_SQL_LIST}))) = 0 AS keep
 FROM documents
 """.strip()
+
+
+def q_type_token_ratio(sf_dir: str):
+    """Vocabulary richness per source: total tokens, distinct tokens
+    (type count) and the type-token ratio — exact integers and one
+    closing division. Distinct counting rides the (source, token)
+    hash agg (raw tokens collapse in-batch first); totals ride the
+    same partials, so one exchange serves both."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.tokenize import ws_tokens
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def _pairs(tbl: pa.Table) -> pa.Table:
+        row, flat = ws_tokens(tbl.column("text"))
+        src = tbl.column("source").to_pandas().to_numpy()
+        t = pa.table(
+            {
+                "source": pa.array(
+                    src[row].astype(object), pa.string()
+                ),
+                "tok": flat,
+                "n": pa.array(np.ones(len(row), np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["source", "tok"], [("n", "sum")]
+        )
+
+    st = hash_grouped_aggregate(
+        docs.map_batches(_pairs, batch_format="pyarrow",
+                         batch_size=None),
+        ["source", "tok"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    def _final(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": tbl.column("source"),
+                "n_tokens": tbl.column("n"),
+                "n_types": pa.array(
+                    np.ones(tbl.num_rows, np.int64)
+                ),
+            }
+        )
+        return group_aggregate_table(
+            t, ["source"], [("n_tokens", "sum"), ("n_types", "sum")]
+        )
+
+    agg = hash_grouped_aggregate(
+        st.map_batches(_final, batch_format="pyarrow",
+                       batch_size=None),
+        ["source"],
+        [("n_tokens", "sum"), ("n_types", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+    agg["ttr"] = (
+        agg["n_types"].astype("float64")
+        / agg["n_tokens"].astype("float64")
+    )
+    return agg.sort_values("source").reset_index(drop=True)
+
+
+QUERIES["type_token_ratio"] = q_type_token_ratio
+ORACLE_SQL["type_token_ratio"] = """
+WITH tok AS (
+  SELECT source,
+    unnest(list_filter(string_split_regex(text, '\\s+'),
+                       x -> x <> '')) AS w
+  FROM documents
+), pt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY 1, 2
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_types,
+  CAST(count(*) AS DOUBLE) / sum(n) AS ttr
+FROM pt GROUP BY source
+""".strip()

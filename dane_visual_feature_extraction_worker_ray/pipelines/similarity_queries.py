@@ -719,3 +719,88 @@ ORDER BY score DESC, vec_id
 LIMIT {K})"""
     for q in sorted(_BATCH_QIDS)
 )
+
+
+def q_label_centroid_similarity(sf_dir: str):
+    """Per-label centroid similarity matrix: mean embedding per label
+    (distributed per-dim float sums + exact counts; the mean and
+    cosine close with the same expression shape as the SQL), then all
+    label-pair cosines rounded to 4 decimals — the cluster-drift /
+    class-confusability monitor. Only |labels| x dim floats ever
+    reach the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.similarity import _matrix
+
+    emb = _emb(sf_dir)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        m = _matrix(tbl, "embedding").astype(np.float64)
+        labs = tbl.column("label").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        uniq = np.unique(labs)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        cnts = np.zeros(len(uniq), np.int64)
+        for i, u in enumerate(uniq):
+            sel = labs == u
+            sums[i] = m[sel].sum(axis=0)
+            cnts[i] = int(sel.sum())
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "n": pa.array(cnts),
+                "sums": pa.array(list(sums),
+                                 pa.list_(pa.float64())),
+            }
+        )
+
+    parts = emb.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    agg = {}
+    for _, r in parts.iterrows():
+        lab = int(r["label"])
+        s, n = agg.get(lab, (0.0, 0))
+        agg[lab] = (np.asarray(r["sums"]) + s, n + int(r["n"]))
+    labs = sorted(agg)
+    cent = np.stack([agg[l][0] / agg[l][1] for l in labs])
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    rows = []
+    for i, a in enumerate(labs):
+        for j, b in enumerate(labs):
+            if a < b:
+                rows.append(
+                    {
+                        "label_a": a,
+                        "label_b": b,
+                        "cosine": round(float(cn[i] @ cn[j]), 4),
+                    }
+                )
+    return pd.DataFrame(rows).astype(
+        {"label_a": "int64", "label_b": "int64"}
+    )
+
+
+QUERIES["label_centroid_similarity"] = q_label_centroid_similarity
+ORACLE_SQL["label_centroid_similarity"] = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+    unnest(embedding) AS val,
+    generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+), cent AS (
+  SELECT label, idx, avg(CAST(val AS DOUBLE)) AS v
+  FROM e GROUP BY 1, 2
+), pair AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+    sum(a.v * b.v) AS dot,
+    sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb
+  FROM cent a JOIN cent b ON a.idx = b.idx AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b, round(dot / (na * nb), 4) AS cosine
+FROM pair
+""".strip()

@@ -910,3 +910,81 @@ WITH newd AS (
 )
 SELECT doc_id, (rn = 1 AND NOT seen) AS kept FROM r
 """.strip()
+
+
+def q_dedup_savings(sf_dir: str):
+    """Dedup ROI report: corpus bytes vs bytes surviving exact
+    keep-first dedup, and the savings ratio — the number a curation
+    run reports up. Per-batch (hash, bytes, min-doc) partials; the
+    survivor byte sum never re-reads text (byte length rides the
+    partial)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    docs = _docs(sf_dir)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("text").to_pandas().fillna("")
+        h = hash64(s)
+        nb = pc.binary_length(
+            pc.fill_null(tbl.column("text"), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+                "bytes": pa.array(nb),
+                "one_bytes": pa.array(nb),  # min == the text's size
+            }
+        )
+        return group_aggregate_table(
+            t, ["h"],
+            [("n", "sum"), ("bytes", "sum"), ("one_bytes", "min")],
+        )
+
+    per_text = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["h"],
+        [("n", "sum"), ("bytes", "sum"), ("one_bytes", "min")],
+        num_buckets=8,
+    ).to_pandas()
+    n_docs = int(per_text["n"].sum())
+    n_surv = int(len(per_text))
+    tb = int(per_text["bytes"].sum())
+    sb = int(per_text["one_bytes"].sum())
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "n_survivors": [n_surv],
+            "total_bytes": [tb],
+            "surviving_bytes": [sb],
+            "savings": [float(tb - sb) / float(tb)],
+        }
+    )
+
+
+QUERIES["dedup_savings"] = q_dedup_savings
+ORACLE_SQL["dedup_savings"] = """
+WITH g AS (
+  SELECT text, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(strlen(coalesce(text, ''))) AS BIGINT) AS bytes,
+    CAST(min(strlen(coalesce(text, ''))) AS BIGINT) AS one_bytes
+  FROM documents GROUP BY text
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_survivors,
+  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+  CAST(sum(one_bytes) AS BIGINT) AS surviving_bytes,
+  CAST(sum(bytes) - sum(one_bytes) AS DOUBLE)
+    / CAST(sum(bytes) AS DOUBLE) AS savings
+FROM g
+""".strip()

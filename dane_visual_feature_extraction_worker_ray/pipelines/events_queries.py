@@ -2737,3 +2737,79 @@ SELECT CAST(to_timestamp(day / 1000000) AS TIMESTAMP) AS day,
   CAST(count(*) AS BIGINT) AS n_intervals
 FROM seg GROUP BY 1
 """.strip()
+
+
+def q_wow_change(sf_dir: str):
+    """Week-over-week change per event type: weekly counts + integer
+    micro-unit sums from one corpus pass, then lag/diff on the
+    BOUNDED (type, week) table — the period-over-period report.
+    Missing previous week surfaces as typed nulls (SQL lag
+    semantics)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "week": pc.floor_temporal(
+                    tbl.column("ts"), unit="week"
+                ).cast(pa.int64()),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+                "sum_micro": pa.array(
+                    np.floor(v * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+        return group_aggregate_table(
+            t, ["event_type", "week"],
+            [("n", "sum"), ("sum_micro", "sum")],
+        )
+
+    agg = (
+        hash_grouped_aggregate(
+            ev.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None),
+            ["event_type", "week"],
+            [("n", "sum"), ("sum_micro", "sum")],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "week"])
+        .reset_index(drop=True)
+    )
+    g = agg.groupby("event_type")
+    agg["prev_n"] = g["n"].shift(1).astype("Int64")
+    agg["n_change"] = (agg["n"] - agg["prev_n"]).astype("Int64")
+    agg["week"] = pd.to_datetime(agg["week"], unit="us")
+    agg["n"] = agg["n"].astype("int64")
+    agg["sum_micro"] = agg["sum_micro"].astype("int64")
+    return agg.reset_index(drop=True)
+
+
+QUERIES["wow_change"] = q_wow_change
+ORACLE_SQL["wow_change"] = """
+WITH w AS (
+  SELECT event_type,
+    CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+      AS sum_micro
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, n, sum_micro,
+  lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+  n - lag(n) OVER (PARTITION BY event_type ORDER BY week)
+    AS n_change
+FROM w
+""".strip()

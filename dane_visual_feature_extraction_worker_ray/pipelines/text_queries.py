@@ -3890,3 +3890,172 @@ SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
   CAST(count(*) AS DOUBLE) / sum(n) AS ttr
 FROM pt GROUP BY source
 """.strip()
+
+
+# --- bitext candidate mining (comparable-corpus alignment) ----------------
+
+_BX_MAX_DF = 3    # a token is an anchor if it appears in <= 3 docs
+_BX_MIN_SHARED = 2
+
+
+def q_bitext_candidates(sf_dir: str):
+    """Comparable-corpus mining: candidate translation pairs = docs in
+    DIFFERENT languages sharing >= {m} anchor tokens, where an anchor
+    is a rare token (document frequency <= {d}) — the classic bitext
+    candidate generator (rare names/numbers align documents across
+    languages). Pair emission happens per anchor-token group
+    (min_group_size=2) and is df-bounded (<= df² pairs per token), so
+    the frequent tail never explodes; per-pair counts aggregate in
+    the standard tiny exchange.""".format(m=_BX_MIN_SHARED,
+                                          d=_BX_MAX_DF)
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.tokenize import ws_tokens
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.exchange import hash_grouped_map
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    # planted anchors (both sides): docs 13k and 13k+1 share the two
+    # rare tokens anchorA<k>/anchorB<k> (df == 2) — the synthetic
+    # corpus's 31-token vocabulary has no naturally rare tokens, so
+    # without planting the query is vacuous at every tier. Pairs whose
+    # two docs happen to share a language are dropped by the
+    # cross-lang predicate, identically on both sides.
+    def _plant(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        txt = tbl.column("text").to_pandas().fillna("").to_numpy()
+        k = (ids // 13).astype(np.int64)
+        mark = (ids % 13) < 2
+        add = np.char.add(
+            np.char.add(" anchorA", k.astype(str)),
+            np.char.add(" anchorB", k.astype(str)),
+        )
+        out = np.where(mark, np.char.add(txt.astype(str), add),
+                       txt.astype(str))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "text": pa.array(out.astype(object), pa.string()),
+                "lang": tbl.column("lang"),
+            }
+        )
+
+    docs = docs.map_batches(_plant, batch_format="pyarrow")
+
+    def _doc_tokens(tbl: pa.Table) -> pa.Table:
+        row, flat = ws_tokens(tbl.column("text"))
+        ids = tbl.column("doc_id").to_numpy().astype(np.int64)
+        # lang as a small int via first-char+second-char packing is
+        # fragile; ship the string (bounded-domain dictionary in IPC)
+        lang = tbl.column("lang").to_pandas().to_numpy()
+        t = pa.table(
+            {
+                "tok": flat,
+                "doc_id": pa.array(ids[row]),
+                "lang": pa.array(lang[row].astype(object),
+                                 pa.string()),
+                "n": pa.array(np.ones(len(row), np.int64)),
+            }
+        )
+        # distinct (tok, doc) per batch
+        return group_aggregate_table(
+            t, ["tok", "doc_id", "lang"], [("n", "sum")]
+        )
+
+    tok_docs = hash_grouped_aggregate(
+        docs.map_batches(_doc_tokens, batch_format="pyarrow",
+                         batch_size=None),
+        ["tok", "doc_id", "lang"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("n", pa.int64())]
+    )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows > _BX_MAX_DF:  # frequent token: no anchor
+            return pair_schema.empty_table()
+        d = group.column("doc_id").to_numpy()
+        lg = group.column("lang").to_pandas().to_numpy()
+        o = np.argsort(d)
+        d, lg = d[o], lg[o]
+        ia, ib = np.triu_indices(len(d), k=1)
+        diff = lg[ia] != lg[ib]
+        ia, ib = ia[diff], ib[diff]
+        return pa.table(
+            {
+                "doc_a": pa.array(d[ia].astype(np.int64)),
+                "doc_b": pa.array(d[ib].astype(np.int64)),
+                "n": pa.array(np.ones(len(ia), np.int64)),
+            }
+        )
+
+    pairs = hash_grouped_aggregate(
+        hash_grouped_map(
+            tok_docs, "tok", _pairs, num_partitions=8,
+            empty_schema=pair_schema, min_group_size=2,
+        ),
+        ["doc_a", "doc_b"],
+        [("n", "sum")],
+        num_buckets=4,
+    )
+
+    def _filter(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = tbl.filter(
+            pc.greater_equal(tbl.column("n"), _BX_MIN_SHARED)
+        )
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "n_shared_anchors": t.column("n"),
+            }
+        )
+
+    return pairs.map_batches(
+        _filter, batch_format="pyarrow", batch_size=None
+    )
+
+
+QUERIES["bitext_candidates"] = q_bitext_candidates
+ORACLE_SQL["bitext_candidates"] = f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+    text || CASE WHEN doc_id % 13 < 2
+      THEN ' anchorA' || (doc_id // 13) || ' anchorB' || (doc_id // 13)
+      ELSE '' END AS text
+  FROM documents
+), td AS (
+  SELECT DISTINCT doc_id, lang,
+    unnest(list_filter(string_split_regex(text, '\\s+'),
+                       x -> x <> '')) AS tok
+  FROM aug
+), rare AS (
+  SELECT tok FROM td GROUP BY tok
+  HAVING count(*) BETWEEN 2 AND {_BX_MAX_DF}
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(count(*) AS BIGINT) AS n_shared_anchors
+  FROM td a
+  JOIN td b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            AND a.lang <> b.lang
+  JOIN rare r ON r.tok = a.tok
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared_anchors FROM p
+WHERE n_shared_anchors >= {_BX_MIN_SHARED}
+""".strip()

@@ -550,3 +550,88 @@ SELECT 'lineitem->orders_corrupted',
     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
        AND o.o_orderkey % 97 <> 0)) AS BIGINT)
 """.strip()
+
+
+def q_three_way_join_revenue(sf_dir: str):
+    """Chained multi-way equi-join: orders ⋈ customer ⋈ nation, then
+    revenue (integer cents) and order counts per (nation, priority).
+    Two back-to-back side-tagged hash exchanges — the chain shape a
+    star-schema query compiles to when no side is small enough to
+    broadcast (here nation IS broadcast-sized; auto_equi_join would
+    pick that — this query pins the pure chained-exchange path the
+    planner falls back to at scale)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    orders = read_parquet_tuned(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    customer = read_parquet_tuned(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nation = read_parquet_tuned(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    j1 = hash_equi_join(
+        orders, customer,
+        left_on="o_custkey", right_on="c_custkey",
+        right_columns=["c_nationkey"],
+        how="inner", num_partitions=16,
+    )
+    j2 = hash_equi_join(
+        j1, nation,
+        left_on="c_nationkey", right_on="n_nationkey",
+        right_columns=["n_name"],
+        how="inner", num_partitions=16,
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("o_totalprice").to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "n_name": tbl.column("n_name"),
+                "o_orderpriority": tbl.column("o_orderpriority"),
+                "n_orders": pa.array(
+                    np.ones(tbl.num_rows, np.int64)
+                ),
+                "revenue_cents": pa.array(
+                    np.floor(p * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+        return group_aggregate_table(
+            t, ["n_name", "o_orderpriority"],
+            [("n_orders", "sum"), ("revenue_cents", "sum")],
+        )
+
+    return hash_grouped_aggregate(
+        j2.map_batches(_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["n_name", "o_orderpriority"],
+        [("n_orders", "sum"), ("revenue_cents", "sum")],
+        num_buckets=4,
+    )
+
+
+QUERIES["three_way_join_revenue"] = q_three_way_join_revenue
+ORACLE_SQL["three_way_join_revenue"] = """
+SELECT n.n_name, o.o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+    AS BIGINT) AS revenue_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+""".strip()

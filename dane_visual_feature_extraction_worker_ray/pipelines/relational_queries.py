@@ -2290,3 +2290,115 @@ FROM lineitem
 WHERE epoch_us(l_shipdate) >= {_PRUNE_LO}
   AND epoch_us(l_shipdate) < {_PRUNE_HI}
 """.strip()
+
+
+_PSP_PACK = 1_000_000  # suppkey < 1e6 at any tier this runs
+
+
+def q_preferred_supplier_per_part(sf_dir: str):
+    """Grouped ARGMAX without a sort: for every part, the supplier
+    that shipped the most quantity (ties to the smaller suppkey).
+    The winner rides a packed combined key
+    ``qty_total * PACK + (PACK - 1 - suppkey)`` through the ordinary
+    MAX aggregation — the no-join, no-sort argmax idiom
+    (curation_stats' survivor-attribute trick) at per-part
+    cardinality. Two count-sized exchanges, no row data."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    li = read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def _qty_partial(tbl: pa.Table) -> pa.Table:
+        q = tbl.column("l_quantity").to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "l_partkey": tbl.column("l_partkey"),
+                "l_suppkey": tbl.column("l_suppkey"),
+                "qty": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["l_partkey", "l_suppkey"], [("qty", "sum")]
+        )
+
+    ps = hash_grouped_aggregate(
+        li.map_batches(_qty_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["l_partkey", "l_suppkey"],
+        [("qty", "sum")],
+        num_buckets=8,
+    )
+
+    def _pack(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("l_suppkey").to_numpy().astype(np.int64)
+        q = tbl.column("qty").to_numpy()
+        assert (s < _PSP_PACK).all() and (s >= 0).all()
+        return pa.table(
+            {
+                "l_partkey": tbl.column("l_partkey"),
+                "packed": pa.array(
+                    q * _PSP_PACK + (_PSP_PACK - 1 - s)
+                ),
+            }
+        )
+
+    best = hash_grouped_aggregate(
+        ps.map_batches(_pack, batch_format="pyarrow",
+                       batch_size=None),
+        ["l_partkey"],
+        [("packed", "max")],
+        num_buckets=8,
+    )
+
+    def _unpack(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("packed").to_numpy()
+        return pa.table(
+            {
+                "l_partkey": tbl.column("l_partkey").cast(
+                    pa.int64()
+                ),
+                "best_suppkey": pa.array(
+                    (_PSP_PACK - 1 - (p % _PSP_PACK)).astype(
+                        np.int64
+                    )
+                ),
+                "qty_total": pa.array(
+                    (p // _PSP_PACK).astype(np.int64)
+                ),
+            }
+        )
+
+    return best.map_batches(
+        _unpack, batch_format="pyarrow", batch_size=None
+    )
+
+
+QUERIES["preferred_supplier_per_part"] = q_preferred_supplier_per_part
+ORACLE_SQL["preferred_supplier_per_part"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+      AS qty
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT l_partkey, l_suppkey, qty,
+    row_number() OVER (PARTITION BY l_partkey
+                       ORDER BY qty DESC, l_suppkey) AS rn
+  FROM ps
+)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+  CAST(l_suppkey AS BIGINT) AS best_suppkey,
+  qty AS qty_total
+FROM r WHERE rn = 1
+""".strip()

@@ -1305,3 +1305,78 @@ QUERIES["sft_pairs"] = q_sft_pairs
 ORACLE_SQL["sft_pairs"] = SQL_SFT
 QUERIES["dedup_conversations"] = q_dedup_conversations
 ORACLE_SQL["dedup_conversations"] = SQL_DEDUP_CONV
+
+
+# --------------------------------------------------------------------------
+# LLM training-context assembly on the core transcript payload
+
+_CTX_K = 2  # previous turns included (window = K+1 turns)
+
+
+def q_context_window_assembly(sf_dir: str):
+    """Per-turn training-context assembly: each turn's model input is
+    the concatenation of its previous {k} turns' text plus its own
+    (' | '-joined) — the context builder a conversational fine-tuning
+    pipeline runs over every turn. One conv_id grouped exchange;
+    inside the group the rolling concat is vectorized shifted-array
+    string addition, no per-turn Python.""".format(k=_CTX_K)
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.events_adapter import events_to_turns
+    from ..stages.exchange import hash_grouped_map
+
+    turns = events_to_turns(_events(sf_dir))
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("context", pa.string()),
+        ]
+    )
+
+    def _assemble(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        ok = group.column("order_key").to_numpy()
+        o = np.lexsort((ok, ts))
+        txt = (
+            group.column("text").to_pandas().fillna("").to_numpy()
+        )[o].astype(str)
+        n = len(txt)
+        ctx = txt.copy()
+        for k in range(1, _CTX_K + 1):
+            prev = np.empty(n, dtype=object)
+            prev[:k] = None
+            prev[k:] = txt[:-k]
+            has = np.arange(n) >= k
+            ctx = np.where(
+                has, np.char.add(np.char.add(prev.astype(str), " | "),
+                                 ctx.astype(str)), ctx
+            )
+        cid = group.column("conv_id").to_pandas().to_numpy()[o]
+        return pa.table(
+            {
+                "conv_id": pa.array(cid.astype(object), pa.string()),
+                "turn_idx": pa.array(
+                    np.arange(n, dtype=np.int32), pa.int32()
+                ),
+                "context": pa.array(ctx.astype(object), pa.string()),
+            }
+        )
+
+    return hash_grouped_map(
+        turns, "conv_id", _assemble, num_partitions=16,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["context_window_assembly"] = q_context_window_assembly
+ORACLE_SQL["context_window_assembly"] = f"""
+WITH {SQL_TURNS_CTE}
+SELECT conv_id, turn_idx,
+  string_agg(coalesce(text, ''), ' | ') OVER (
+    PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN {_CTX_K} PRECEDING AND CURRENT ROW) AS context
+FROM turns
+""".strip()

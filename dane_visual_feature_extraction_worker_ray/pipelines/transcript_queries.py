@@ -1380,3 +1380,86 @@ SELECT conv_id, turn_idx,
     ROWS BETWEEN {_CTX_K} PRECEDING AND CURRENT ROW) AS context
 FROM turns
 """.strip()
+
+
+_DRIFT_PREFIX = 48  # codepoints compared (bounds the DP like the
+# edit-distance dedup; both sides truncate identically)
+
+
+def q_turn_drift_features(sf_dir: str):
+    """Per-turn conversational drift: Levenshtein distance between
+    each turn's text prefix and the previous turn's (NULL on turn 0)
+    — the repetition/template signal at turn granularity. Rides the
+    conv_id exchange; inside each group the adjacent pairs go through
+    the vectorized column-wise DP shared with the edit-distance dedup
+    (stages/dedup.py:_levenshtein_pairs_vec), no per-pair Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.events_adapter import events_to_turns
+    from ..stages.dedup import _codepoint_matrix, _levenshtein_pairs_vec
+    from ..stages.exchange import hash_grouped_map
+
+    turns = events_to_turns(_events(sf_dir))
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("drift", pa.int64()),
+        ]
+    )
+
+    def _drift(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        ok = group.column("order_key").to_numpy()
+        o = np.lexsort((ok, ts))
+        txt = (
+            group.column("text").to_pandas().fillna("").to_numpy()
+        )[o]
+        n = len(txt)
+        cp, lens = _codepoint_matrix(
+            [t[:_DRIFT_PREFIX] for t in txt], _DRIFT_PREFIX
+        )
+        if n > 1:
+            ia = np.arange(1, n)
+            ib = np.arange(0, n - 1)
+            d = _levenshtein_pairs_vec(cp, lens, ia, ib)
+        else:
+            d = np.empty(0, np.int64)
+        drift = np.concatenate(([0], d)).astype(np.int64)
+        cid = group.column("conv_id").to_pandas().to_numpy()[o]
+        return pa.table(
+            {
+                "conv_id": pa.array(cid.astype(object), pa.string()),
+                "turn_idx": pa.array(
+                    np.arange(n, dtype=np.int32), pa.int32()
+                ),
+                "drift": pa.array(
+                    drift, pa.int64(),
+                    mask=np.r_[True, np.zeros(n - 1, bool)],
+                ),
+            }
+        )
+
+    return hash_grouped_map(
+        turns, "conv_id", _drift, num_partitions=16,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["turn_drift_features"] = q_turn_drift_features
+ORACLE_SQL["turn_drift_features"] = f"""
+WITH {SQL_TURNS_CTE}
+SELECT conv_id, turn_idx,
+  CAST(levenshtein(
+    substr(coalesce(text, ''), 1, {_DRIFT_PREFIX}),
+    substr(coalesce(lag(text) OVER w, ''), 1, {_DRIFT_PREFIX})
+  ) AS BIGINT) AS drift
+FROM turns
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+QUALIFY lag(text) OVER w IS NOT NULL OR turn_idx > 0
+UNION ALL
+SELECT conv_id, turn_idx, CAST(NULL AS BIGINT) AS drift
+FROM turns WHERE turn_idx = 0
+""".strip()

@@ -2789,8 +2789,10 @@ def q_wow_change(sf_dir: str):
         .reset_index(drop=True)
     )
     g = agg.groupby("event_type")
-    agg["prev_n"] = g["n"].shift(1).astype("Int64")
-    agg["n_change"] = (agg["n"] - agg["prev_n"]).astype("Int64")
+    # float64-with-NaN, matching DuckDB's nullable-BIGINT .df()
+    # rendering (the same dtype every Arrow nullable-int query yields)
+    agg["prev_n"] = g["n"].shift(1).astype("float64")
+    agg["n_change"] = (agg["n"] - agg["prev_n"]).astype("float64")
     agg["week"] = pd.to_datetime(agg["week"], unit="us")
     agg["n"] = agg["n"].astype("int64")
     agg["sum_micro"] = agg["sum_micro"].astype("int64")

@@ -602,3 +602,102 @@ SELECT q.quartile,
 FROM (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
              (CAST(3 AS BIGINT))) AS q(quartile)
 """.strip()
+
+
+_DRIFT_BIN_MICRO = 5_000_000  # 5-unit value bins, integer micro-units
+
+
+def q_histogram_drift(sf_dir: str):
+    """Distribution-drift monitor between two event partitions (first
+    vs second half of the month): per-value-bin integer histograms
+    and the EXACT total-variation distance — the numerator
+    Σ|c_old·N_new − c_new·N_old| is pure integer arithmetic, so the
+    drift statistic is hash-stable (contrast KL/χ², whose float
+    accumulation order is engine-dependent). One histogram exchange;
+    the bin table is bounded by the value range."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    SPLIT_US = 1_705_276_800_000_000  # 2024-01-15
+    ev = _events(sf_dir, ["ts", "value"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        micro = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "bin": pa.array(micro // _DRIFT_BIN_MICRO),
+                "is_new": pa.array(
+                    (ts >= SPLIT_US).astype(np.int64)
+                ),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["bin", "is_new"], [("n", "sum")]
+        )
+
+    h = hash_grouped_aggregate(
+        ev.map_batches(_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["bin", "is_new"],
+        [("n", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+    piv = h.pivot_table(
+        index="bin", columns="is_new", values="n", fill_value=0,
+        aggfunc="sum",
+    )
+    c_old = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(
+        dtype=np.int64
+    )
+    c_new = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(
+        dtype=np.int64
+    )
+    n_old = int(c_old.sum())
+    n_new = int(c_new.sum())
+    tv_numer = int(np.abs(c_old * n_new - c_new * n_old).sum())
+    return pd.DataFrame(
+        {
+            "n_bins": [int(len(piv))],
+            "n_old": [n_old],
+            "n_new": [n_new],
+            "tv_numer": [tv_numer],
+            "tv": [float(tv_numer) / float(2 * n_old * n_new)],
+        }
+    )
+
+
+QUERIES["histogram_drift"] = q_histogram_drift
+ORACLE_SQL["histogram_drift"] = f"""
+WITH b AS (
+  SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+           // {_DRIFT_BIN_MICRO} AS bin,
+    CASE WHEN epoch_us(ts) >= 1705276800000000 THEN 1 ELSE 0 END
+      AS is_new
+  FROM events
+), h AS (
+  SELECT bin,
+    CAST(sum(1 - is_new) AS BIGINT) AS c_old,
+    CAST(sum(is_new) AS BIGINT) AS c_new
+  FROM b GROUP BY 1
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+    CAST(sum(c_old) AS BIGINT) AS n_old,
+    CAST(sum(c_new) AS BIGINT) AS n_new,
+    CAST(sum(abs(c_old * (SELECT sum(c_new) FROM h)
+                 - c_new * (SELECT sum(c_old) FROM h)))
+      AS BIGINT) AS tv_numer
+  FROM h
+)
+SELECT n_bins, n_old, n_new, tv_numer,
+  CAST(tv_numer AS DOUBLE) / (2 * n_old * n_new) AS tv
+FROM t
+""".strip()

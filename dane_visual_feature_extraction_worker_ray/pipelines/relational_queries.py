@@ -2402,3 +2402,87 @@ SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
   qty AS qty_total
 FROM r WHERE rn = 1
 """.strip()
+
+
+def q_percentile_bridge(sf_dir: str):
+    """Cross-table CDF feature: for every order, how many lineitem
+    prices (integer cents) fall strictly below its total — the
+    percentile-against-a-reference-distribution feature a risk/pricing
+    model consumes. The reference CDF is ONE broadcast sorted int
+    array (searchsorted per batch, zero shuffle); the percentile is a
+    single exact-integer division. At 100 TB the broadcast becomes
+    the per-value count table (bounded by distinct cents), same
+    lookup."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..sources.parquet import read_parquet_tuned
+
+    li = read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice"],
+    )
+    cents_parts = []
+    for b in li.iter_batches(batch_size=1 << 20,
+                             batch_format="pyarrow"):
+        p = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )
+        cents_parts.append(np.floor(p * 100 + 0.5).astype(np.int64))
+    ref = np.sort(np.concatenate(cents_parts))
+    ref_ref = ray.put(ref)
+    n_ref = len(ref)
+
+    orders = read_parquet_tuned(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def _pct(tbl: pa.Table) -> pa.Table:
+        r = ray.get(ref_ref)
+        c = np.floor(
+            tbl.column("o_totalprice").to_numpy(
+                zero_copy_only=False
+            ) * 100 + 0.5
+        ).astype(np.int64)
+        below = np.searchsorted(r, c, side="left").astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey").cast(
+                    pa.int64()
+                ),
+                "n_below": pa.array(below),
+                "pct": pa.array(
+                    below.astype(np.float64) / float(n_ref)
+                ),
+            }
+        )
+
+    return orders.map_batches(
+        _pct, batch_format="pyarrow", batch_size=None
+    )
+
+
+QUERIES["percentile_bridge"] = q_percentile_bridge
+ORACLE_SQL["percentile_bridge"] = """
+WITH u AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+    1 AS is_ref, CAST(NULL AS BIGINT) AS o_orderkey
+  FROM lineitem
+  UNION ALL
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+    0 AS is_ref, o_orderkey
+  FROM orders
+), w AS (
+  SELECT o_orderkey, is_ref,
+    CAST(coalesce(sum(is_ref) OVER (ORDER BY c, is_ref
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_below
+  FROM u
+)
+SELECT o_orderkey, n_below,
+  CAST(n_below AS DOUBLE)
+    / (SELECT count(*) FROM lineitem) AS pct
+FROM w WHERE is_ref = 0
+""".strip()

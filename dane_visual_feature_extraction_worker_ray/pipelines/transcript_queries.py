@@ -1463,3 +1463,81 @@ UNION ALL
 SELECT conv_id, turn_idx, CAST(NULL AS BIGINT) AS drift
 FROM turns WHERE turn_idx = 0
 """.strip()
+
+
+def q_role_rle(sf_dir: str):
+    """Run-length-encoded role sequence per conversation
+    ('view:3>click:1>...') plus run count and longest run — the
+    compact conversation-shape signature (burst detection, template
+    spotting). One conv exchange; runs found by one vectorized
+    neighbor compare."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.events_adapter import events_to_turns
+    from ..stages.exchange import hash_grouped_map
+
+    turns = events_to_turns(_events(sf_dir))
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("rle", pa.string()),
+            ("n_runs", pa.int64()),
+            ("max_run", pa.int64()),
+        ]
+    )
+
+    def _rle(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        ok = group.column("order_key").to_numpy()
+        o = np.lexsort((ok, ts))
+        roles = group.column("role").to_pandas().to_numpy()[o]
+        n = len(roles)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = roles[1:] != roles[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, n])
+        parts = [
+            f"{roles[s]}:{l}" for s, l in zip(starts, lens)
+        ]
+        cid = group.column("conv_id")[0].as_py()
+        return pa.table(
+            {
+                "conv_id": pa.array([cid], pa.string()),
+                "rle": pa.array([">".join(parts)], pa.string()),
+                "n_runs": pa.array([len(starts)], pa.int64()),
+                "max_run": pa.array([int(lens.max())], pa.int64()),
+            }
+        )
+
+    return hash_grouped_map(
+        turns, "conv_id", _rle, num_partitions=16,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["role_rle"] = q_role_rle
+ORACLE_SQL["role_rle"] = f"""
+WITH {SQL_TURNS_CTE},
+brk AS (
+  SELECT conv_id, turn_idx, role,
+    CASE WHEN lag(role) OVER w IS DISTINCT FROM role
+         THEN 1 ELSE 0 END AS b
+  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), isl AS (
+  SELECT conv_id, turn_idx, role,
+    sum(b) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run
+  FROM brk
+), runs AS (
+  SELECT conv_id, run, min(turn_idx) AS s, role,
+    CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY conv_id, run, role
+)
+SELECT conv_id,
+  string_agg(role || ':' || len, '>' ORDER BY s) AS rle,
+  CAST(count(*) AS BIGINT) AS n_runs,
+  CAST(max(len) AS BIGINT) AS max_run
+FROM runs GROUP BY conv_id
+""".strip()

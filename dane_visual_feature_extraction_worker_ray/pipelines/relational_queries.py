@@ -2486,3 +2486,119 @@ SELECT o_orderkey, n_below,
     / (SELECT count(*) FROM lineitem) AS pct
 FROM w WHERE is_ref = 0
 """.strip()
+
+
+def q_fulfillment_latency_histogram(sf_dir: str):
+    """Order-fulfillment latency distribution: days from order date to
+    the order's LAST shipment, bucketed — lineitem first collapses to
+    one (orderkey, max shipdate) row per order (mergeable MAX
+    partials), the orders join rides the key exchange, and only the
+    bounded day-bucket histogram leaves. Integer-µs day math end to
+    end."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+    from ..stages.join import hash_equi_join
+
+    DAY = 86_400_000_000
+    li = read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+
+    def _ship_partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "last_ship": tbl.column("l_shipdate").cast(
+                    pa.int64()
+                ),
+            }
+        )
+        return group_aggregate_table(
+            t, ["l_orderkey"], [("last_ship", "max")]
+        )
+
+    last_ship = hash_grouped_aggregate(
+        li.map_batches(_ship_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["l_orderkey"],
+        [("last_ship", "max")],
+        num_buckets=8,
+    )
+
+    orders = read_parquet_tuned(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+
+    def _odate(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey"),
+                "odate": tbl.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    joined = hash_equi_join(
+        orders.map_batches(_odate, batch_format="pyarrow",
+                           batch_size=None),
+        last_ship,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        right_columns=["last_ship"],
+        how="inner",
+        num_partitions=16,
+    )
+
+    def _hist_partial(tbl: pa.Table) -> pa.Table:
+        a = (
+            tbl.column("last_ship").to_numpy()
+            - tbl.column("odate").to_numpy()
+        )
+        # TRUNCATING week division, matching DuckDB's integer `//`
+        # (numpy floors; they differ on the negative latencies this
+        # uncorrelated synthetic data produces)
+        WEEK = 7 * DAY
+        q = a // WEEK
+        q = q + ((a % WEEK != 0) & (a < 0))
+        t = pa.table(
+            {
+                "latency_weeks": pa.array(q.astype(np.int64)),
+                "n_orders": pa.array(
+                    np.ones(tbl.num_rows, np.int64)
+                ),
+            }
+        )
+        return group_aggregate_table(
+            t, ["latency_weeks"], [("n_orders", "sum")]
+        )
+
+    return hash_grouped_aggregate(
+        joined.map_batches(_hist_partial, batch_format="pyarrow",
+                           batch_size=None),
+        ["latency_weeks"],
+        [("n_orders", "sum")],
+        num_buckets=4,
+    )
+
+
+QUERIES["fulfillment_latency_histogram"] = (
+    q_fulfillment_latency_histogram
+)
+ORACLE_SQL["fulfillment_latency_histogram"] = """
+WITH ls AS (
+  SELECT l_orderkey, max(epoch_us(l_shipdate)) AS last_ship
+  FROM lineitem GROUP BY 1
+)
+SELECT (ls.last_ship - epoch_us(o.o_orderdate)) // 604800000000
+    AS latency_weeks,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN ls ON ls.l_orderkey = o.o_orderkey
+GROUP BY 1
+""".strip()

@@ -988,3 +988,124 @@ SELECT CAST(sum(n) AS BIGINT) AS n_docs,
     / CAST(sum(bytes) AS DOUBLE) AS savings
 FROM g
 """.strip()
+
+
+# --- asymmetric containment (quote / inclusion detection) -----------------
+
+_CT_OFFSET = 40_000_000
+_CT_PREFIX_TOKENS = 40
+_CT_K = 3
+
+
+def q_containment_pairs(sf_dir: str):
+    """ASYMMETRIC near-duplication: shingle containment
+    |A∩B| / |A| per direction — the quote/inclusion signal symmetric
+    Jaccard misses (a short doc quoted inside a long one scores low
+    Jaccard but high containment). Planted quoting docs (first 40
+    tokens of every doc_id % 17 == 0 doc + unique filler) keep both
+    directions non-vacuous at every tier. The set arithmetic runs on
+    the shingle-partitioned exchange (stages/dedup.py:
+    jaccard_verify_distributed with counts); candidate pairs are
+    given — at scale they come from the MinHash/LSH generators."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import jaccard_verify_distributed
+
+    import pandas as pd
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).column("doc_id").to_numpy()
+    planted = np.sort(ids[ids % 17 == 0]).astype(np.int64)
+    pairs = [(int(d), int(d + _CT_OFFSET)) for d in planted]
+
+    def pd_str(arr):
+        return pd.Series(arr).astype(str).to_numpy()
+
+    def _aug(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("doc_id").to_numpy()
+        txt = tbl.column("text").to_pandas().fillna("")
+        m = d % 17 == 0
+        q = txt[m].str.split().str[:_CT_PREFIX_TOKENS].str.join(" ")
+        qd = d[m]
+        quote = (
+            q
+            + " qx" + pd_str(qd) + " qy" + pd_str(qd) + " qz"
+            + pd_str(qd)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([d, qd + _CT_OFFSET]).astype(
+                        np.int64
+                    )
+                ),
+                "text": pa.array(
+                    np.concatenate(
+                        [txt.to_numpy(), quote.to_numpy()]
+                    ).astype(object),
+                    pa.string(),
+                ),
+            }
+        )
+
+    aug = _docs(sf_dir).map_batches(_aug, batch_format="pyarrow")
+    df = jaccard_verify_distributed(
+        aug, pairs, shingle_k=_CT_K, num_partitions=16,
+        return_counts=True,
+    )
+    df["containment_in_a"] = df["n_inter"].astype("float64") / df[
+        "n_a"
+    ].astype("float64")
+    df["containment_in_b"] = df["n_inter"].astype("float64") / df[
+        "n_b"
+    ].astype("float64")
+    return df[
+        ["doc_a", "doc_b", "n_inter", "n_a", "n_b",
+         "containment_in_a", "containment_in_b"]
+    ].sort_values("doc_a").reset_index(drop=True)
+
+
+_CT_GRAM = "||' '||".join(f"tk[pos+{j}]" for j in range(_CT_K))
+ORACLE_SQL["containment_pairs"] = f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CT_OFFSET},
+    array_to_string(
+      list_filter(string_split_regex(text, '\\s+'),
+                  x -> x <> '')[1:{_CT_PREFIX_TOKENS}], ' ')
+    || ' qx' || doc_id || ' qy' || doc_id || ' qz' || doc_id
+  FROM documents WHERE doc_id % 17 = 0
+), tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM aug
+), pos AS (
+  SELECT doc_id, tk,
+    unnest(range(1, len(tk) - {_CT_K - 2})) AS pos
+  FROM tok
+), sets AS (
+  SELECT DISTINCT doc_id, {_CT_GRAM} AS g FROM pos
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sets GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(count(*) AS BIGINT) AS n_inter
+  FROM sets a JOIN sets b
+    ON a.g = b.g AND b.doc_id = a.doc_id + {_CT_OFFSET}
+  WHERE a.doc_id % 17 = 0
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+  sa.n AS n_a, sb.n AS n_b,
+  CAST(i.n_inter AS DOUBLE) / sa.n AS containment_in_a,
+  CAST(i.n_inter AS DOUBLE) / sb.n AS containment_in_b
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+""".strip()
+QUERIES["containment_pairs"] = q_containment_pairs

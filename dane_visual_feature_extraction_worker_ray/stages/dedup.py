@@ -377,6 +377,7 @@ def jaccard_verify_distributed(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     num_partitions: int = 32,
+    return_counts: bool = False,
 ):
     """Exact word-k-gram Jaccard for explicit candidate pairs, with the
     set arithmetic distributed (unlike :func:`jaccard_verify`, which
@@ -518,16 +519,16 @@ def jaccard_verify_distributed(
     for a, b in pairs:
         ka, kb = (min(a, b), max(a, b))
         inter = imap.get((ka, kb), 0)
-        union = (
-            int(size_map.get(a, 0)) + int(size_map.get(b, 0)) - inter
-        )
-        out.append(
-            {
-                "doc_a": a,
-                "doc_b": b,
-                "jaccard": inter / union if union else 0.0,
-            }
-        )
+        na, nb = int(size_map.get(a, 0)), int(size_map.get(b, 0))
+        union = na + nb - inter
+        rec = {
+            "doc_a": a,
+            "doc_b": b,
+            "jaccard": inter / union if union else 0.0,
+        }
+        if return_counts:
+            rec.update(n_inter=inter, n_a=na, n_b=nb)
+        out.append(rec)
     return pd.DataFrame(out)
 
 

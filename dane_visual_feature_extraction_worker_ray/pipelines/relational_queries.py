@@ -2602,3 +2602,150 @@ SELECT (ls.last_ship - epoch_us(o.o_orderdate)) // 604800000000
 FROM orders o JOIN ls ON ls.l_orderkey = o.o_orderkey
 GROUP BY 1
 """.strip()
+
+
+def q_open_orders_over_time(sf_dir: str):
+    """Backlog (work-in-progress) time series: per day, the number of
+    orders OPEN on that day (orderdate .. last shipment inclusive) —
+    interval stabbing solved as delta events (+1 open day, −1 day
+    after close), per-day delta aggregation, then the engine's global
+    prefix scan (stages/scan.global_scan — per-block int sums,
+    O(blocks) scalars through the driver). Only days with a delta
+    appear (the backlog is constant between them), keeping output
+    bounded by 2×orders, not the time span."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+    from ..stages.join import hash_equi_join
+    from ..stages.scan import global_scan
+
+    DAY = 86_400_000_000
+    li = read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+
+    def _ship_partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey"),
+                "last_ship": tbl.column("l_shipdate").cast(
+                    pa.int64()
+                ),
+            }
+        )
+        return group_aggregate_table(
+            t, ["l_orderkey"], [("last_ship", "max")]
+        )
+
+    last_ship = hash_grouped_aggregate(
+        li.map_batches(_ship_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["l_orderkey"],
+        [("last_ship", "max")],
+        num_buckets=8,
+    )
+
+    orders = read_parquet_tuned(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+
+    def _odate(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey"),
+                "odate": tbl.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    joined = hash_equi_join(
+        orders.map_batches(_odate, batch_format="pyarrow",
+                           batch_size=None),
+        last_ship,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        right_columns=["last_ship"],
+        how="inner",
+        num_partitions=16,
+    )
+
+    def _deltas(tbl: pa.Table) -> pa.Table:
+        start = (tbl.column("odate").to_numpy() // DAY) * DAY
+        close = (tbl.column("last_ship").to_numpy() // DAY) * DAY
+        # synthetic dates are uncorrelated: an order may "close"
+        # before it opens; interval = [min, max] keeps deltas sane
+        lo = np.minimum(start, close)
+        hi = np.maximum(start, close)
+        t = pa.table(
+            {
+                "day": pa.array(np.concatenate([lo, hi + DAY])),
+                "delta": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(lo), np.int64),
+                            -np.ones(len(hi), np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+        return group_aggregate_table(t, ["day"], [("delta", "sum")])
+
+    deltas = hash_grouped_aggregate(
+        joined.map_batches(_deltas, batch_format="pyarrow",
+                           batch_size=None),
+        ["day"],
+        [("delta", "sum")],
+        num_buckets=8,
+    )
+    scanned = global_scan(
+        deltas,
+        [("day", "ascending")],
+        [("delta", "open_orders")],
+    )
+
+    def _final(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": tbl.column("day").cast(pa.timestamp("us")),
+                "open_orders": tbl.column("open_orders"),
+            }
+        )
+
+    return scanned.map_batches(
+        _final, batch_format="pyarrow", batch_size=None
+    )
+
+
+QUERIES["open_orders_over_time"] = q_open_orders_over_time
+ORACLE_SQL["open_orders_over_time"] = """
+WITH ls AS (
+  SELECT l_orderkey, max(epoch_us(l_shipdate)) AS last_ship
+  FROM lineitem GROUP BY 1
+), iv AS (
+  SELECT
+    least((epoch_us(o.o_orderdate) // 86400000000) * 86400000000,
+          (ls.last_ship // 86400000000) * 86400000000) AS lo,
+    greatest((epoch_us(o.o_orderdate) // 86400000000) * 86400000000,
+             (ls.last_ship // 86400000000) * 86400000000) AS hi
+  FROM orders o JOIN ls ON ls.l_orderkey = o.o_orderkey
+), ev AS (
+  SELECT lo AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT hi + 86400000000, -1 FROM iv
+), d AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+  FROM ev GROUP BY 1
+)
+SELECT CAST(to_timestamp(day / 1000000) AS TIMESTAMP) AS day,
+  CAST(sum(delta) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS open_orders
+FROM d
+""".strip()

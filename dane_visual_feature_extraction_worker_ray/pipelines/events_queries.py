@@ -2815,3 +2815,119 @@ SELECT event_type, week, n, sum_micro,
     AS n_change
 FROM w
 """.strip()
+
+
+_SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+def q_bounce_rate_daily(sf_dir: str):
+    """Web-analytics sessionization on the raw event stream: 30-min
+    gap sessions per user, then per DAY of session start: sessions,
+    single-event (bounce) sessions, and the bounce rate (one exact
+    division). Session detection is a vectorized gap compare inside
+    the user exchange; only per-day count partials leave."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_grouped_map
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def _narrow(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts").cast(pa.int64()),
+                "event_id": tbl.column("event_id"),
+            }
+        )
+
+    part_schema = pa.schema(
+        [
+            ("day", pa.int64()),
+            ("n_sessions", pa.int64()),
+            ("n_bounces", pa.int64()),
+        ]
+    )
+    DAY = 86_400_000_000
+
+    def _sessions(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        o = np.lexsort((eid, ts))
+        ts = ts[o]
+        n = len(ts)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (ts[1:] - ts[:-1]) > _SESS_GAP_US
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, n])
+        day = (ts[starts] // DAY) * DAY
+        t = pa.table(
+            {
+                "day": pa.array(day),
+                "n_sessions": pa.array(
+                    np.ones(len(starts), np.int64)
+                ),
+                "n_bounces": pa.array(
+                    (lens == 1).astype(np.int64)
+                ),
+            }
+        )
+        return group_aggregate_table(
+            t, ["day"], [("n_sessions", "sum"), ("n_bounces", "sum")]
+        )
+
+    agg = hash_grouped_aggregate(
+        hash_grouped_map(
+            ev.map_batches(_narrow, batch_format="pyarrow",
+                           batch_size=None),
+            "user_id",
+            _sessions,
+            num_partitions=16,
+            empty_schema=part_schema,
+        ),
+        ["day"],
+        [("n_sessions", "sum"), ("n_bounces", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+    import pandas as pd
+
+    agg["day"] = pd.to_datetime(agg["day"], unit="us")
+    agg["bounce_rate"] = (
+        agg["n_bounces"].astype("float64")
+        / agg["n_sessions"].astype("float64")
+    )
+    return agg.sort_values("day").reset_index(drop=True)
+
+
+QUERIES["bounce_rate_daily"] = q_bounce_rate_daily
+ORACLE_SQL["bounce_rate_daily"] = f"""
+WITH r AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+           > {_SESS_GAP_US}
+           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM r
+), sess AS (
+  SELECT user_id, sid,
+    CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bounces,
+  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS bounce_rate
+FROM sess GROUP BY day
+""".strip()

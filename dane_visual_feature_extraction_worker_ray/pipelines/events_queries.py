@@ -2931,3 +2931,109 @@ SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
     / count(*) AS bounce_rate
 FROM sess GROUP BY day
 """.strip()
+
+
+_COLD_WINDOW_US = 7 * 86_400_000_000
+
+
+def q_cold_start_profile(sf_dir: str):
+    """Entity-bootstrap features: each user's activity profile in
+    their FIRST 7 days (relative to their own first event) — events,
+    active days, purchases, integer-micro purchase value. The
+    per-user relative window needs the user's min ts co-located with
+    their events: one user exchange, then a vectorized window filter;
+    only the per-user feature row leaves."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import hash_grouped_map
+
+    ev = _events(sf_dir, ["ts", "user_id", "event_type", "value"])
+
+    def _narrow(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts").cast(pa.int64()),
+                "is_buy": pc.equal(
+                    tbl.column("event_type"), "purchase"
+                ),
+                "micro": pa.array(
+                    np.floor(v * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events_7d", pa.int64()),
+            ("n_active_days_7d", pa.int64()),
+            ("n_purchases_7d", pa.int64()),
+            ("buy_micro_7d", pa.int64()),
+        ]
+    )
+    DAY = 86_400_000_000
+
+    def _profile(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy()
+        t0 = ts.min()
+        sel = ts < t0 + _COLD_WINDOW_US
+        buy = group.column("is_buy").to_numpy(
+            zero_copy_only=False
+        )[sel]
+        micro = group.column("micro").to_numpy()[sel]
+        days = np.unique(ts[sel] // DAY)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [int(group.column("user_id")[0].as_py())],
+                    pa.int64(),
+                ),
+                "n_events_7d": pa.array(
+                    [int(sel.sum())], pa.int64()
+                ),
+                "n_active_days_7d": pa.array(
+                    [len(days)], pa.int64()
+                ),
+                "n_purchases_7d": pa.array(
+                    [int(buy.sum())], pa.int64()
+                ),
+                "buy_micro_7d": pa.array(
+                    [int(micro[buy].sum())], pa.int64()
+                ),
+            }
+        )
+
+    return hash_grouped_map(
+        ev.map_batches(_narrow, batch_format="pyarrow",
+                       batch_size=None),
+        "user_id",
+        _profile,
+        num_partitions=16,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["cold_start_profile"] = q_cold_start_profile
+ORACLE_SQL["cold_start_profile"] = f"""
+WITH f AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1
+), w AS (
+  SELECT e.user_id, e.ts, e.event_type, e.value
+  FROM events e JOIN f USING (user_id)
+  WHERE epoch_us(e.ts) < epoch_us(f.t0) + {_COLD_WINDOW_US}
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(count(*) AS BIGINT) AS n_events_7d,
+  CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+    AS n_active_days_7d,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_purchases_7d,
+  CAST(sum(CASE WHEN event_type = 'purchase'
+    THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END)
+    AS BIGINT) AS buy_micro_7d
+FROM w GROUP BY user_id
+""".strip()

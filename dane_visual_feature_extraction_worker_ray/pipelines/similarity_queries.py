@@ -804,3 +804,98 @@ WITH e AS (
 SELECT label_a, label_b, round(dot / (na * nb), 4) AS cosine
 FROM pair
 """.strip()
+
+
+def q_cluster_quality_stats(sf_dir: str):
+    """Cluster profiling across tables (the SemDeDup analysis view):
+    every vector assigned to its seed centroid (kmeans_assign,
+    deterministic at iters=0), then joined doc-side (vec_id ==
+    doc_id) to aggregate per cluster: members, docs matched, total
+    and mean characters (exact integer sums, one closing division).
+    The assignment streams; the doc join rides a key exchange; only
+    K rows reach the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.clustering import kmeans_assign, kmeans_fit
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+    from ..stages.join import hash_equi_join
+
+    emb = _emb(sf_dir)
+    centroids = kmeans_fit(emb, k=KMEANS_K, iters=0)
+    assign = kmeans_assign(emb, centroids).map_batches(
+        lambda t: t.select(["vec_id", "cluster"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    joined = hash_equi_join(
+        assign, docs,
+        left_on="vec_id", right_on="doc_id",
+        right_columns=["n_chars"],
+        how="inner", num_partitions=16,
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cluster": tbl.column("cluster").cast(pa.int64()),
+                "n_docs": pa.array(
+                    np.ones(tbl.num_rows, np.int64)
+                ),
+                "total_chars": tbl.column("n_chars").cast(
+                    pa.int64()
+                ),
+            }
+        )
+        return group_aggregate_table(
+            t, ["cluster"],
+            [("n_docs", "sum"), ("total_chars", "sum")],
+        )
+
+    agg = hash_grouped_aggregate(
+        joined.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None),
+        ["cluster"],
+        [("n_docs", "sum"), ("total_chars", "sum")],
+        num_buckets=2,
+    ).to_pandas()
+    agg["mean_chars"] = (
+        agg["total_chars"].astype("float64")
+        / agg["n_docs"].astype("float64")
+    )
+    return agg.sort_values("cluster").reset_index(drop=True)
+
+
+QUERIES["cluster_quality_stats"] = q_cluster_quality_stats
+ORACLE_SQL["cluster_quality_stats"] = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+), d AS (
+  SELECT e.vec_id, c.cluster,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dist
+  FROM embeddings e CROSS JOIN cent c
+), a AS (
+  SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY round(dist, 4), cluster) AS rk
+    FROM d)
+  WHERE rk = 1
+)
+SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc.n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(doc.n_chars) AS DOUBLE) / count(*) AS mean_chars
+FROM a JOIN documents doc ON doc.doc_id = a.vec_id
+GROUP BY 1
+""".strip()

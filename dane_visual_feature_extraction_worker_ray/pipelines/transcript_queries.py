@@ -1541,3 +1541,81 @@ SELECT conv_id,
   CAST(max(len) AS BIGINT) AS max_run
 FROM runs GROUP BY conv_id
 """.strip()
+
+
+_SAFE_TERMS = ["merge", "window"]  # synthetic-vocab stand-ins
+
+
+def q_conv_safety_rate(sf_dir: str):
+    """Conversation-level safety rollup on the core payload: per
+    conversation, turns containing a blocked term and the flagged
+    fraction (token-exact C++ value-set lookup per turn, exact
+    division per conversation) — the triage view a moderation queue
+    sorts by. Per-turn flags collapse in-batch; one conv-keyed count
+    exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import ws_tokens
+    from ..sources.events_adapter import events_to_turns
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    turns = events_to_turns(_events(sf_dir))
+    vs = pa.array(sorted(set(_SAFE_TERMS)), pa.string())
+
+    def _flags(tbl: pa.Table) -> pa.Table:
+        row, flat = ws_tokens(tbl.column("text"))
+        n = tbl.num_rows
+        hit = pc.is_in(flat, value_set=vs).to_numpy(
+            zero_copy_only=False
+        )
+        flagged = (
+            np.bincount(row[hit], minlength=n) > 0
+        ).astype(np.int64) if len(row) else np.zeros(n, np.int64)
+        t = pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "n_turns": pa.array(np.ones(n, np.int64)),
+                "n_flagged": pa.array(flagged),
+            }
+        )
+        return group_aggregate_table(
+            t, ["conv_id"],
+            [("n_turns", "sum"), ("n_flagged", "sum")],
+        )
+
+    agg = hash_grouped_aggregate(
+        turns.map_batches(_flags, batch_format="pyarrow",
+                          batch_size=None),
+        ["conv_id"],
+        [("n_turns", "sum"), ("n_flagged", "sum")],
+        num_buckets=8,
+    ).to_pandas()
+    agg["flag_rate"] = (
+        agg["n_flagged"].astype("float64")
+        / agg["n_turns"].astype("float64")
+    )
+    return agg.sort_values("conv_id").reset_index(drop=True)
+
+
+_SAFE_SQL_LIST = ", ".join(f"'{t}'" for t in sorted(set(_SAFE_TERMS)))
+QUERIES["conv_safety_rate"] = q_conv_safety_rate
+ORACLE_SQL["conv_safety_rate"] = f"""
+WITH {SQL_TURNS_CTE},
+fl AS (
+  SELECT conv_id,
+    CASE WHEN len(list_filter(
+      list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                  x -> x <> ''),
+      x -> x IN ({_SAFE_SQL_LIST}))) > 0 THEN 1 ELSE 0 END AS f
+  FROM turns
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(f) AS BIGINT) AS n_flagged,
+  CAST(sum(f) AS DOUBLE) / count(*) AS flag_rate
+FROM fl GROUP BY conv_id
+""".strip()

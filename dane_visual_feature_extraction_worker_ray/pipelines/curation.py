@@ -1999,3 +1999,73 @@ SELECT lang, n,
             ELSE level END AS BIGINT) AS allocation
 FROM p
 """.strip()
+
+
+def q_contingency_deviation(sf_dir: str):
+    """Exact contingency-table independence deviations for
+    (lang x source): observed count, row/column totals, and the
+    integer deviation N·o_ij − r_i·c_j per cell (the χ² numerator
+    core, kept in exact integers — the float χ² sum is
+    accumulation-order-dependent and deliberately NOT emitted). One
+    count exchange; totals fold on the bounded cell table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": tbl.column("lang"),
+                "source": tbl.column("source"),
+                "o": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["lang", "source"], [("o", "sum")]
+        )
+
+    cells = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["lang", "source"],
+        [("o", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+    r = cells.groupby("lang")["o"].transform("sum")
+    c = cells.groupby("source")["o"].transform("sum")
+    N = int(cells["o"].sum())
+    cells = cells.rename(columns={"o": "observed"})
+    cells["row_total"] = r.astype("int64")
+    cells["col_total"] = c.astype("int64")
+    cells["deviation"] = (
+        N * cells["observed"] - cells["row_total"] * cells["col_total"]
+    ).astype("int64")
+    return cells.sort_values(["lang", "source"]).reset_index(
+        drop=True
+    )
+
+
+QUERIES["contingency_deviation"] = q_contingency_deviation
+ORACLE_SQL["contingency_deviation"] = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS observed
+  FROM documents GROUP BY 1, 2
+), t AS (SELECT CAST(sum(observed) AS BIGINT) AS N FROM cells)
+SELECT lang, source, observed,
+  CAST(sum(observed) OVER (PARTITION BY lang) AS BIGINT)
+    AS row_total,
+  CAST(sum(observed) OVER (PARTITION BY source) AS BIGINT)
+    AS col_total,
+  CAST((SELECT N FROM t) * observed
+    - sum(observed) OVER (PARTITION BY lang)
+      * sum(observed) OVER (PARTITION BY source) AS BIGINT)
+    AS deviation
+FROM cells
+""".strip()

@@ -1619,3 +1619,88 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
   CAST(sum(f) AS DOUBLE) / count(*) AS flag_rate
 FROM fl GROUP BY conv_id
 """.strip()
+
+
+_BUDGET_TOKENS = 64
+
+
+def q_context_budget_fit(sf_dir: str):
+    """Dataloader truncation math: per turn, how many TRAILING turns
+    (current included) fit a {b}-token context budget — the number of
+    history turns a fixed-window collator would keep. Exact integers:
+    per-turn whitespace token counts, a per-conversation prefix sum,
+    and one searchsorted per turn inside the conv exchange; SQL
+    verifies with the bounded per-conv self-join.""".format(
+        b=_BUDGET_TOKENS
+    )
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.tokenize import ws_tokens
+    from ..sources.events_adapter import events_to_turns
+    from ..stages.exchange import hash_grouped_map
+
+    turns = events_to_turns(_events(sf_dir))
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("n_tokens", pa.int64()),
+            ("n_turns_fit", pa.int64()),
+        ]
+    )
+
+    def _fit(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        ok = group.column("order_key").to_numpy()
+        o = np.lexsort((ok, ts))
+        row, _flat = ws_tokens(group.column("text").take(pa.array(o)))
+        n = len(o)
+        nt = np.bincount(row, minlength=n).astype(np.int64)
+        c = np.concatenate(([0], np.cumsum(nt)))
+        j = np.searchsorted(
+            c, c[1:] - _BUDGET_TOKENS, side="left"
+        )
+        fit = np.arange(1, n + 1) - j
+        cid = group.column("conv_id")[0].as_py()
+        return pa.table(
+            {
+                "conv_id": pa.array([cid] * n, pa.string()),
+                "turn_idx": pa.array(
+                    np.arange(n, dtype=np.int32), pa.int32()
+                ),
+                "n_tokens": pa.array(nt),
+                "n_turns_fit": pa.array(fit.astype(np.int64)),
+            }
+        )
+
+    return hash_grouped_map(
+        turns, "conv_id", _fit, num_partitions=16,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["context_budget_fit"] = q_context_budget_fit
+ORACLE_SQL["context_budget_fit"] = f"""
+WITH {SQL_TURNS_CTE},
+tt AS (
+  SELECT conv_id, turn_idx,
+    CAST(len(list_filter(
+      string_split_regex(coalesce(text, ''), '\\s+'),
+      x -> x <> '')) AS BIGINT) AS nt
+  FROM turns
+), cum AS (
+  SELECT conv_id, turn_idx, nt,
+    CAST(sum(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS c
+  FROM tt
+)
+SELECT a.conv_id, a.turn_idx, a.nt AS n_tokens,
+  CAST(sum(CASE WHEN a.c - (b.c - b.nt) <= {_BUDGET_TOKENS}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_turns_fit
+FROM cum a JOIN cum b
+  ON a.conv_id = b.conv_id AND b.turn_idx <= a.turn_idx
+GROUP BY 1, 2, 3
+""".strip()

@@ -2069,3 +2069,108 @@ SELECT lang, source, observed,
     AS deviation
 FROM cells
 """.strip()
+
+
+_PPS_N = 50  # samples drawn
+
+
+def q_pps_systematic_sample(sf_dir: str):
+    """Systematic probability-proportional-to-size sampling: docs
+    weighted by n_chars, {n} selection points placed at
+    floor((2i+1)·W / (2·{n})) along the cumulative-weight axis, a doc
+    selected once per point landing in its weight interval — the
+    deterministic PPS design (every byte equally likely to be
+    sampled, long docs proportionally more often; no RNG state).
+    Global cumulative weights come from the engine's two-phase prefix
+    scan in doc_id order; the point set is O({n}) and broadcast; each
+    batch does one searchsorted. Exact integers throughout.""".format(
+        n=_PPS_N
+    )
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.scan import global_scan
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+
+    def _w(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "w": tbl.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    scanned = global_scan(
+        docs.map_batches(_w, batch_format="pyarrow",
+                         batch_size=None),
+        [("doc_id", "ascending")],
+        [("w", "cw")],
+    ).materialize()
+
+    # total weight = max cumulative (last block's last row)
+    import pyarrow.compute as pc
+
+    W = 0
+    for b in scanned.iter_batches(batch_size=1 << 20,
+                                  batch_format="pyarrow"):
+        m = pc.max(b.column("cw")).as_py()
+        W = max(W, int(m if m is not None else 0))
+    pts = np.array(
+        [((2 * i + 1) * W) // (2 * _PPS_N) for i in range(_PPS_N)],
+        dtype=np.int64,
+    )
+    pts_ref = ray.put(pts)
+
+    def _select(tbl: pa.Table) -> pa.Table:
+        p = ray.get(pts_ref)
+        cw = tbl.column("cw").to_numpy()
+        w = tbl.column("w").to_numpy()
+        lo = cw - w  # interval [lo, cw): points p with lo <= p < cw
+        n_hits = (
+            np.searchsorted(p, cw, side="left")
+            - np.searchsorted(p, lo, side="left")
+        ).astype(np.int64)
+        keep = n_hits > 0
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").filter(
+                    pa.array(keep)
+                ),
+                "w": pa.array(w[keep]),
+                "n_hits": pa.array(n_hits[keep]),
+            }
+        )
+
+    return scanned.map_batches(
+        _select, batch_format="pyarrow", batch_size=None
+    )
+
+
+QUERIES["pps_systematic_sample"] = q_pps_systematic_sample
+ORACLE_SQL["pps_systematic_sample"] = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(n_chars AS BIGINT) AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, w,
+    CAST(sum(w) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cw
+  FROM d
+), t AS (SELECT CAST(max(cw) AS BIGINT) AS W FROM c),
+p AS (
+  SELECT ((2 * CAST(i AS BIGINT) + 1) * (SELECT W FROM t))
+           // (2 * {_PPS_N}) AS pt
+  FROM unnest(range(0, {_PPS_N})) AS u(i)
+)
+SELECT c.doc_id, c.w, CAST(count(*) AS BIGINT) AS n_hits
+FROM c JOIN p ON p.pt >= c.cw - c.w AND p.pt < c.cw
+GROUP BY 1, 2
+""".strip()

@@ -3037,3 +3037,89 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
     AS BIGINT) AS buy_micro_7d
 FROM w GROUP BY user_id
 """.strip()
+
+
+_TIER_W = 10  # events per activity tier
+
+
+def q_activity_tier_transitions(sf_dir: str):
+    """User-lifecycle mobility: each user's activity tier
+    (event count // {w}) in the first vs second half of the month,
+    and the tier-pair transition counts — the churn/engagement
+    transition matrix. Per-user half counts fold as mergeable sums in
+    one exchange; the transition matrix is a bounded second
+    aggregation.""".format(w=_TIER_W)
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    SPLIT_US = 1_705_276_800_000_000  # 2024-01-15
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        late = (ts >= SPLIT_US).astype(np.int64)
+        t = pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "n1": pa.array(1 - late),
+                "n2": pa.array(late),
+            }
+        )
+        return group_aggregate_table(
+            t, ["user_id"], [("n1", "sum"), ("n2", "sum")]
+        )
+
+    pu = hash_grouped_aggregate(
+        ev.map_batches(_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["user_id"],
+        [("n1", "sum"), ("n2", "sum")],
+        num_buckets=8,
+    )
+
+    def _tiers(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "tier_h1": pa.array(
+                    tbl.column("n1").to_numpy() // _TIER_W
+                ),
+                "tier_h2": pa.array(
+                    tbl.column("n2").to_numpy() // _TIER_W
+                ),
+                "n_users": pa.array(
+                    np.ones(tbl.num_rows, np.int64)
+                ),
+            }
+        )
+        return group_aggregate_table(
+            t, ["tier_h1", "tier_h2"], [("n_users", "sum")]
+        )
+
+    return hash_grouped_aggregate(
+        pu.map_batches(_tiers, batch_format="pyarrow",
+                       batch_size=None),
+        ["tier_h1", "tier_h2"],
+        [("n_users", "sum")],
+        num_buckets=2,
+    )
+
+
+QUERIES["activity_tier_transitions"] = q_activity_tier_transitions
+ORACLE_SQL["activity_tier_transitions"] = f"""
+WITH pu AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN epoch_us(ts) < 1705276800000000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN epoch_us(ts) >= 1705276800000000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM events GROUP BY 1
+)
+SELECT n1 // {_TIER_W} AS tier_h1, n2 // {_TIER_W} AS tier_h2,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM pu GROUP BY 1, 2
+""".strip()

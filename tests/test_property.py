@@ -554,3 +554,64 @@ def test_table_diff_property(case):
         return
     got = got_df.set_index("k")["change_type"].sort_index().to_dict()
     assert got == exp
+
+
+@st.composite
+def _para_corpus(draw):
+    vocab = ["a", "b", "c", "d"]
+    n_docs = draw(st.integers(1, 8))
+    docs = []
+    for _ in range(n_docs):
+        n_tok = draw(st.integers(0, 17))
+        docs.append(
+            " ".join(
+                draw(st.sampled_from(vocab)) for _ in range(n_tok)
+            )
+        )
+    w = draw(st.sampled_from([2, 3]))
+    return docs, w
+
+
+@settings(max_examples=10, deadline=None)
+@given(_para_corpus())
+def test_paragraph_dedup_property(case):
+    """Randomized keep-first chunk dedup vs a sequential python
+    oracle — tiny vocab forces heavy natural chunk collisions,
+    including intra-doc and cross-doc, plus empty docs and ragged
+    tails."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dane_visual_feature_extraction_worker_ray.stages.dedup import (
+        paragraph_dedup,
+    )
+
+    docs, w = case
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs),
+            }
+        )
+    ).repartition(2)
+    out = (
+        paragraph_dedup(ds, chunk_w=w, num_partitions=4)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    seen = set()
+    for d, text in enumerate(docs):
+        toks = text.split()
+        cs = [
+            " ".join(toks[i:i + w]) for i in range(0, len(toks), w)
+        ]
+        kept, nrem = [], 0
+        for c in cs:
+            if c in seen:
+                nrem += 1
+            else:
+                seen.add(c)
+                kept.append(c)
+        assert out.loc[d, "clean_text"] == " ".join(kept), (d, docs)
+        assert out.loc[d, "n_kept_chunks"] == len(cs) - nrem
+        assert out.loc[d, "n_removed_chunks"] == nrem

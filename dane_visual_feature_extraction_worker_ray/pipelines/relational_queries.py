@@ -2749,3 +2749,87 @@ SELECT CAST(to_timestamp(day / 1000000) AS TIMESTAMP) AS day,
     AS open_orders
 FROM d
 """.strip()
+
+
+def q_part_type_hierarchy(sf_dir: str):
+    """Hierarchical dimension rollup: the catalog drill-down tree
+    type → brand → size counted at every depth, from ONE pass — the
+    finest (l1, l2, l3) counts aggregate distributed, coarser levels
+    derive from that bounded table driver-side (the additive-rollup
+    shape of lineitem_rollup)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    part = read_parquet_tuned(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_type", "p_brand", "p_size"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l1": pc.fill_null(tbl.column("p_type"), ""),
+                "l2": pc.fill_null(tbl.column("p_brand"), ""),
+                "l3": pc.cast(
+                    pc.fill_null(tbl.column("p_size"), 0),
+                    pa.string(),
+                ),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["l1", "l2", "l3"], [("n", "sum")]
+        )
+
+    fine = hash_grouped_aggregate(
+        part.map_batches(_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["l1", "l2", "l3"],
+        [("n", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+
+    out = []
+    g1 = fine.groupby("l1", as_index=False)["n"].sum()
+    g1["path"] = g1["l1"]
+    g1["depth"] = 1
+    out.append(g1[["depth", "path", "n"]])
+    g2 = fine.groupby(["l1", "l2"], as_index=False)["n"].sum()
+    g2["path"] = g2["l1"] + ">" + g2["l2"]
+    g2["depth"] = 2
+    out.append(g2[["depth", "path", "n"]])
+    g3 = fine.copy()
+    g3["path"] = g3["l1"] + ">" + g3["l2"] + ">" + g3["l3"]
+    g3["depth"] = 3
+    out.append(g3[["depth", "path", "n"]])
+    res = pd.concat(out, ignore_index=True)
+    res["depth"] = res["depth"].astype("int64")
+    res["n"] = res["n"].astype("int64")
+    return res.sort_values(["depth", "path"]).reset_index(drop=True)
+
+
+QUERIES["part_type_hierarchy"] = q_part_type_hierarchy
+ORACLE_SQL["part_type_hierarchy"] = """
+WITH w AS (
+  SELECT coalesce(p_type, '') AS l1, coalesce(p_brand, '') AS l2,
+    CAST(coalesce(p_size, 0) AS VARCHAR) AS l3
+  FROM part
+)
+SELECT CAST(1 AS BIGINT) AS depth, l1 AS path,
+  CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY l1
+UNION ALL
+SELECT 2, l1 || '>' || l2, CAST(count(*) AS BIGINT)
+FROM w GROUP BY l1, l2
+UNION ALL
+SELECT 3, l1 || '>' || l2 || '>' || l3, CAST(count(*) AS BIGINT)
+FROM w GROUP BY l1, l2, l3
+""".strip()

@@ -353,6 +353,15 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
             repeats=heavy_repeats,
         )
 
+        # retrieval-prep chunking at 1M docs: the ragged-expansion
+        # path (sliding 16/8 token windows, ~2x output text) timed at
+        # data scale
+        timed(
+            "rag_chunking_1m",
+            lambda: text_queries.q_overlapping_chunks(doc_dir),
+            repeats=heavy_repeats,
+        )
+
     # 29M-turn tier (3.4x the headline corpus), recorded per-round so
     # scale-flatness is a JSON datum, not a prose claim (round-4 #8).
     # One repeat: the point is the big-tier turns/s next to the 8.5M

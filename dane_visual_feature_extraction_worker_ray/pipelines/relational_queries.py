@@ -2833,3 +2833,98 @@ UNION ALL
 SELECT 3, l1 || '>' || l2 || '>' || l3, CAST(count(*) AS BIGINT)
 FROM w GROUP BY l1, l2, l3
 """.strip()
+
+
+def q_compacted_scan_roundtrip(sf_dir: str):
+    """Table maintenance end to end: the zone-mapped layout from
+    pruned_scan_roundtrip is COMPACTED (adjacent small files merged
+    toward a byte target, order preserved, fresh zone manifest —
+    stages/zonemap.py:compact_files), then the SAME pruned year-range
+    aggregate runs against the compacted layout. The oracle is the
+    raw-table aggregate, so compaction provably changed the file
+    layout (counters record before/after) and nothing else."""
+    import hashlib
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..sources.parquet import read_parquet_tuned
+    from ..stages.zonemap import (
+        compact_files,
+        read_pruned,
+        write_sorted_with_zonemaps,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp/graft_zonemap", tag + "_c_src")
+    cdir = os.path.join("/tmp/graft_zonemap", tag + "_compacted")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(cdir, ignore_errors=True)
+
+    li = read_parquet_tuned(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice"],
+    )
+
+    def _narrow(tbl: pa.Table) -> pa.Table:
+        p = tbl.column("l_extendedprice").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "ship_us": tbl.column("l_shipdate").cast(pa.int64()),
+                "cents": pa.array(
+                    np.floor(p * 100 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    # deliberately many small files, then compact toward 4 files
+    write_sorted_with_zonemaps(
+        li.map_batches(_narrow, batch_format="pyarrow",
+                       batch_size=None),
+        "ship_us",
+        out_dir,
+        num_partitions=16,
+    )
+    total = sum(
+        os.path.getsize(os.path.join(out_dir, f))
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    compact_files(out_dir, max(1, total // 4 + 1), cdir)
+    ds, _t, _r = read_pruned(cdir, _PRUNE_LO, _PRUNE_HI)
+
+    def _agg(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.greater_equal(tbl.column("ship_us"), _PRUNE_LO),
+            pc.less(tbl.column("ship_us"), _PRUNE_HI),
+        )
+        t = tbl.filter(m)
+        c = t.column("cents").to_numpy()
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "sum_cents": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        _agg, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": [int(parts["n_rows"].sum())],
+            "sum_cents": [int(parts["sum_cents"].sum())],
+        }
+    )
+
+
+QUERIES["compacted_scan_roundtrip"] = q_compacted_scan_roundtrip
+ORACLE_SQL["compacted_scan_roundtrip"] = (
+    ORACLE_SQL["pruned_scan_roundtrip"]
+)

@@ -87,3 +87,76 @@ def read_pruned(out_dir: str, lo: int, hi: int):
     return rd.read_parquet(
         [os.path.join(out_dir, k) for k in keep]
     ), len(man["zones"]), len(keep)
+
+
+def compact_files(
+    out_dir: str,
+    target_bytes: int,
+    compacted_dir: str,
+):
+    """Small-file compaction over a zone-mapped layout: adjacent files
+    (the layout is range-sorted, so adjacency preserves global order)
+    are greedily grouped until ``target_bytes``, each group rewritten
+    by ONE Ray task into one file, and a fresh ``_ZONES.json`` is
+    published — the table-maintenance pass that keeps file counts
+    bounded as incremental writers append small files. Returns
+    (n_files_before, n_files_after). Planning reads only the manifest
+    and file sizes; data moves worker-side, never through the
+    driver."""
+    import json
+
+    import ray.data as rd  # noqa: F401  (import parity with reader)
+
+    with open(os.path.join(out_dir, "_ZONES.json")) as f:
+        man = json.load(f)
+    zones = man["zones"]
+    sizes = {
+        z["file"]: os.path.getsize(os.path.join(out_dir, z["file"]))
+        for z in zones
+    }
+    groups, cur, cur_b = [], [], 0
+    for z in zones:  # manifest order == range order
+        b = sizes[z["file"]]
+        if cur and cur_b + b > target_bytes:
+            groups.append(cur)
+            cur, cur_b = [], 0
+        cur.append(z)
+        cur_b += b
+    if cur:
+        groups.append(cur)
+    os.makedirs(compacted_dir, exist_ok=True)
+
+    @ray.remote
+    def _merge(zs, idx: int):
+        pa.set_cpu_count(1)
+        tbl = pa.concat_tables(
+            [
+                pq.read_table(os.path.join(out_dir, z["file"]))
+                for z in zs
+            ]
+        )
+        name = f"part-{idx:05d}.parquet"
+        tmp = os.path.join(compacted_dir, f".tmp.{name}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(compacted_dir, name))
+        return {
+            "file": name,
+            "min": min(z["min"] for z in zs),
+            "max": max(z["max"] for z in zs),
+            "rows": sum(z["rows"] for z in zs),
+        }
+
+    new_zones = ray.get(
+        [_merge.remote(g, i) for i, g in enumerate(groups)]
+    )
+    tmp = os.path.join(compacted_dir, ".tmp._ZONES.json")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"sort_col": man["sort_col"], "zones": new_zones}, f
+        )
+    os.replace(tmp, os.path.join(compacted_dir, "_ZONES.json"))
+    from ..state import counters
+
+    counters.add("compact_files_before", len(zones))
+    counters.add("compact_files_after", len(new_zones))
+    return len(zones), len(new_zones)

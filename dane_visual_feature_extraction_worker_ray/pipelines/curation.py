@@ -2174,3 +2174,159 @@ SELECT c.doc_id, c.w, CAST(count(*) AS BIGINT) AS n_hits
 FROM c JOIN p ON p.pt >= c.cw - c.w AND p.pt < c.cw
 GROUP BY 1, 2
 """.strip()
+
+
+_KFL_OFFSET = 60_000_000
+
+
+def q_kfold_leakage_audit(sf_dir: str):
+    """CV-leakage audit on top of grouped_kfold: texts that appear in
+    MORE than one fold (possible exactly when duplicates span
+    sources, since folds are source-level) — the check that catches a
+    bad fold design before it inflates eval numbers. Planted
+    cross-source duplicates (doc_id % 11 == 0 copied under a new id
+    with the next source, both sides) keep the audit non-vacuous; the
+    natural corpus has no cross-source dups, which the audit itself
+    proves. Text-hash groups collapse per batch; only
+    (hash, fold)-distinct partials exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from ..functions.hashing import hash64, rehash64
+    from ..sources.parquet import read_parquet_tuned
+
+    docs = read_parquet_tuned(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    # fold map: identical chain to grouped_kfold
+    def _distinct(tbl: pa.Table) -> pa.Table:
+        return pa.table({"source": tbl.column("source").unique()})
+
+    srcs = sorted(
+        set(
+            s
+            for b in docs.map_batches(
+                _distinct, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            for s in b.column("source").to_pylist()
+        )
+    )
+    codes = np.arange(len(srcs), dtype=np.uint64)
+    folds = (rehash64(codes, 0) % np.uint64(_KFOLD)).astype(np.int64)
+    fold_of = dict(zip(srcs, folds.tolist()))
+    # the planted copy uses the NEXT source in sorted order
+    next_src = {
+        s: srcs[(i + 1) % len(srcs)] for i, s in enumerate(srcs)
+    }
+    maps_ref = ray.put((fold_of, next_src))
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        fm, ns = ray.get(maps_ref)
+        ids = tbl.column("doc_id").to_numpy()
+        txt = tbl.column("text").to_pandas().fillna("")
+        src = tbl.column("source").to_pandas()
+        m = ids % 11 == 0
+        all_txt = pd.concat([txt, txt[m]], ignore_index=True)
+        all_src = pd.concat(
+            [src, src[m].map(ns)], ignore_index=True
+        )
+        h = hash64(all_txt)
+        f = all_src.map(fm).to_numpy(dtype=np.int64)
+        t = pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "fold": pa.array(f),
+                "n": pa.array(np.ones(len(h), np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["h", "fold"], [("n", "sum")]
+        )
+
+    hf = hash_grouped_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["h", "fold"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    def _per_text(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "h": tbl.column("h"),
+                "n_folds": pa.array(
+                    np.ones(tbl.num_rows, np.int64)
+                ),
+            }
+        )
+        return group_aggregate_table(t, ["h"], [("n_folds", "sum")])
+
+    per_text = hash_grouped_aggregate(
+        hf.map_batches(_per_text, batch_format="pyarrow",
+                       batch_size=None),
+        ["h"],
+        [("n_folds", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+    nf = per_text["n_folds"].to_numpy()
+    return pd.DataFrame(
+        {
+            "n_texts": [int(len(per_text))],
+            "n_leaking_texts": [int((nf > 1).sum())],
+            "max_folds_spanned": [int(nf.max()) if len(nf) else 0],
+        }
+    )
+
+
+def _kfl_sql() -> str:
+    from .text_queries import _splitmix_mulmod
+
+    chain = _KF_CHAIN.format(
+        m1=_splitmix_mulmod(0xBF58476D1CE4E5B9),
+        m2=_splitmix_mulmod(0x94D049BB133111EB),
+    )
+    return f"""
+WITH src AS (SELECT DISTINCT source FROM documents),
+s0 AS (
+  SELECT source,
+    CAST(row_number() OVER (ORDER BY source) - 1 AS UBIGINT) AS x
+  FROM src
+){chain},
+fold AS (
+  SELECT source, CAST(x % {_KFOLD} AS BIGINT) AS fold FROM s5
+), ranked_src AS (
+  SELECT source, row_number() OVER (ORDER BY source) AS rk,
+    count(*) OVER () AS ns
+  FROM src
+), nxt AS (
+  SELECT a.source, b.source AS next_source
+  FROM ranked_src a JOIN ranked_src b
+    ON b.rk = (a.rk % a.ns) + 1
+), aug AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT d.text, nxt.next_source
+  FROM documents d JOIN nxt ON nxt.source = d.source
+  WHERE d.doc_id % 11 = 0
+), tf AS (
+  SELECT DISTINCT a.text, f.fold
+  FROM aug a JOIN fold f USING (source)
+), pt AS (
+  SELECT text, CAST(count(*) AS BIGINT) AS n_folds
+  FROM tf GROUP BY text
+)
+SELECT CAST(count(*) AS BIGINT) AS n_texts,
+  CAST(sum(CASE WHEN n_folds > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_leaking_texts,
+  CAST(max(n_folds) AS BIGINT) AS max_folds_spanned
+FROM pt
+""".strip()
+
+
+QUERIES["kfold_leakage_audit"] = q_kfold_leakage_audit
+ORACLE_SQL["kfold_leakage_audit"] = _kfl_sql()

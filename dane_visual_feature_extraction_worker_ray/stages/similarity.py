@@ -388,30 +388,85 @@ def near_dup_pairs_cosine(
     )
 
 
+_HN_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("neg_id", pa.int64()),
+        ("score", pa.float64()),
+    ]
+)
+
+
 def hard_negative_mining(
     emb_ds,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
     round_decimals: int = 4,
+    broadcast_max_bytes: int = 1 << 30,
+    n_lists: int = 32,
+    n_probe: int | None = None,
+    num_partitions: int = 32,
 ):
     """Contrastive hard-negative mining: for every vector, the single
     most-similar vector with a DIFFERENT label (cosine, rounded for
     cross-engine comparability; ties broken by smaller negative id).
 
-    Shape: the corpus side (ids, labels, normalized matrix) is
-    broadcast ONCE via ``ray.put`` and every streaming batch does one
-    (B x N) matmul against it — the scan side streams, nothing but the
-    one-row-per-vector result moves. This is the exact-mining regime
-    (corpus matrix fits a worker's heap: N x d x 8 bytes, ~4 GB at
-    5M x 100-dim float64); past that, route candidates through
-    :func:`knn_ivf`'s coarse lists and mine within probed lists only.
+    Size-gated two-regime shape (mirrors ``dedup._anti_drop_filter``):
 
-    Rows whose label matches the whole corpus (no valid negative)
-    are dropped, like SQL's inner anti-label join.
+    - **Broadcast regime** (corpus matrix measures ≤
+      ``broadcast_max_bytes``): ids/labels/normalized matrix are
+      gathered once, broadcast via ``ray.put``, and every streaming
+      batch does one (B x N) matmul — nothing but the one-row-per-
+      vector result moves. Exact.
+    - **IVF regime** (above the gate): the driver never holds the
+      corpus — only ``n_lists`` coarse centroids (seeded from the
+      ``n_lists`` smallest-id vectors, same deterministic quantizer as
+      :func:`knn_ivf`). Each vector ships once to its home list as a
+      mining *candidate* and ``n_probe`` times as a *query* replica;
+      one hash exchange on the list id co-locates them, each list
+      mines locally (rounded cosine, same-label mask, smallest-id
+      tie-break), and a second key exchange on ``id_col`` reduces the
+      per-list winners to the global best per query. ``n_probe=None``
+      probes every list — exact, A/B-tested against the broadcast
+      regime; smaller ``n_probe`` trades recall for a ~``n_probe``/
+      ``n_lists`` cut in exchange volume (IVF semantics: a negative
+      outside every probed list is missed).
+
+    Driver-held bytes for the chosen route are recorded in the lineage
+    counters (``hardneg_driver_bytes_max``, ``hardneg_route_*``);
+    ``tests/test_similarity.py`` asserts the bound on an above-gate
+    corpus. Rows whose label matches every scored candidate (no valid
+    negative) are dropped, like SQL's inner anti-label join.
     """
-    import pyarrow.parquet  # noqa: F401  (keeps import surface explicit)
+    from ..state import counters
 
+    # measure, don't guess: corpus matrix bytes from count x dim x 8
+    schema = emb_ds.schema()
+    vec_type = schema.base_schema.field(vec_col).type
+    if pa.types.is_fixed_size_list(vec_type):
+        dim = vec_type.list_size
+    else:
+        first = emb_ds.take(1)
+        dim = len(first[0][vec_col]) if first else 0
+    n_rows = emb_ds.count()
+    est_bytes = n_rows * (dim * 8 + 16)  # float64 matrix + id + label
+    if est_bytes <= broadcast_max_bytes:
+        counters.add("hardneg_route_broadcast", 1)
+        return _hard_negatives_broadcast(
+            emb_ds, vec_col, id_col, label_col, round_decimals, counters
+        )
+    counters.add("hardneg_route_ivf", 1)
+    return _hard_negatives_ivf(
+        emb_ds, vec_col, id_col, label_col, round_decimals,
+        n_lists, n_probe, num_partitions, counters,
+    )
+
+
+def _hard_negatives_broadcast(
+    emb_ds, vec_col, id_col, label_col, round_decimals, counters
+):
+    """Exact regime: one corpus broadcast, streaming batch matmuls."""
     mats, idl, labl = [], [], []
     for ref in emb_ds.to_arrow_refs():
         t = ray.get(ref)
@@ -424,18 +479,16 @@ def hard_negative_mining(
                     .astype(np.int64))
     if not mats:
         return emb_ds.map_batches(
-            lambda tbl: pa.table(
-                {"vec_id": pa.array([], pa.int64()),
-                 "neg_id": pa.array([], pa.int64()),
-                 "score": pa.array([], pa.float64())}
-            ),
-            batch_format="pyarrow",
+            lambda tbl: _HN_SCHEMA.empty_table(), batch_format="pyarrow"
         )
     mat = np.vstack(mats)
     ids = np.concatenate(idl)
     labs = np.concatenate(labl)
     o = np.argsort(ids)          # id-ascending columns: np.argmax's
     mat, ids, labs = mat[o], ids[o], labs[o]  # first-max = smallest id
+    counters.set_max(
+        "hardneg_driver_bytes", int(mat.nbytes + ids.nbytes + labs.nbytes)
+    )
     corpus_ref = ray.put((ids, labs, mat))
 
     def _mine(tbl: pa.Table) -> pa.Table:
@@ -459,3 +512,144 @@ def hard_negative_mining(
         )
 
     return emb_ds.map_batches(_mine, batch_format="pyarrow")
+
+
+def _hard_negatives_ivf(
+    emb_ds, vec_col, id_col, label_col, round_decimals,
+    n_lists, n_probe, num_partitions, counters,
+):
+    """Scale regime: mine within IVF coarse lists on the hash
+    exchange; the driver holds only the ``n_lists x d`` centroids."""
+    from .exchange import hash_exchange, hash_grouped_map
+
+    # deterministic coarse quantizer: the n_lists smallest-id vectors
+    # (knn_ivf's seed) — per-batch partial keeps the gather bounded by
+    # n_lists x blocks, never corpus-proportional
+    def _seed(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy()
+        if len(ids) > n_lists:
+            keep = np.zeros(len(ids), dtype=bool)
+            keep[np.argpartition(ids, n_lists)[:n_lists]] = True
+            return tbl.filter(pa.array(keep)).select([id_col, vec_col])
+        return tbl.select([id_col, vec_col])
+
+    cand = pa.concat_tables(
+        list(
+            emb_ds.map_batches(
+                _seed, batch_format="pyarrow"
+            ).iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+    )
+    if cand.num_rows == 0:
+        return rd_from_empty(_HN_SCHEMA)
+    order = np.argsort(cand.column(id_col).to_numpy())[:n_lists]
+    centroids = _normalize(
+        _matrix(cand.take(pa.array(order)), vec_col).astype(np.float64)
+    )
+    counters.set_max("hardneg_driver_bytes", int(centroids.nbytes))
+    c_ref = ray.put(centroids)
+    L = centroids.shape[0]
+    probes = L if n_probe is None else min(n_probe, L)
+    dim = centroids.shape[1]
+
+    def _fsl(m: np.ndarray) -> pa.Array:
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(m).ravel(), type=pa.float64()),
+            m.shape[1],
+        )
+
+    # one pass emits BOTH sides of the list-local join: each vector
+    # once to its home list (role 0, candidate) and `probes` times to
+    # its probed lists (role 1, query) — home is top-1 ⊆ top-probes,
+    # so every vector meets at least its own list's candidates
+    def _explode(tbl: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        m = _normalize(_matrix(tbl, vec_col).astype(np.float64))
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        labs = tbl.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(ids)
+        sims = m @ C.T  # (n, L)
+        home = np.argmax(sims, axis=1).astype(np.int64)
+        if probes >= L:
+            probe = np.tile(np.arange(L, dtype=np.int64), (n, 1))
+        else:
+            probe = np.argpartition(-sims, probes - 1, axis=1)[:, :probes]
+            probe = probe.astype(np.int64)
+        lists = np.concatenate([home, probe.ravel()])
+        role = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(n * probes, np.int8)]
+        )
+        rep_ids = np.concatenate([ids, np.repeat(ids, probes)])
+        rep_labs = np.concatenate([labs, np.repeat(labs, probes)])
+        rep_m = np.concatenate([m, np.repeat(m, probes, axis=0)])
+        return pa.table(
+            {
+                "list": pa.array(lists),
+                "role": pa.array(role),
+                id_col: pa.array(rep_ids),
+                label_col: pa.array(rep_labs),
+                "nvec": _fsl(rep_m),
+            }
+        )
+
+    exploded = emb_ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _mine_list(g: pa.Table) -> pa.Table:
+        role = g.column("role").to_numpy()
+        ids = g.column(id_col).to_numpy()
+        labs = g.column(label_col).to_numpy()
+        flat = g.column("nvec").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        m = flat.reshape(g.num_rows, dim)
+        cmask = role == 0
+        qmask = ~cmask
+        if not cmask.any() or not qmask.any():
+            return _HN_SCHEMA.empty_table()
+        cid, clab, cm = ids[cmask], labs[cmask], m[cmask]
+        qid, qlab, qm = ids[qmask], labs[qmask], m[qmask]
+        o = np.argsort(cid)  # id-ascending: first-max = smallest id
+        cid, clab, cm = cid[o], clab[o], cm[o]
+        scores = np.round(qm @ cm.T, round_decimals)
+        scores[qlab[:, None] == clab[None, :]] = -2.0
+        j = np.argmax(scores, axis=1)
+        best = scores[np.arange(len(qid)), j]
+        keep = best > -2.0
+        return pa.table(
+            {
+                "vec_id": pa.array(qid[keep]),
+                "neg_id": pa.array(cid[j[keep]]),
+                "score": pa.array(best[keep]),
+            }
+        )
+
+    per_list = hash_grouped_map(
+        exploded, "list", _mine_list,
+        num_partitions=min(num_partitions, max(1, L)),
+        empty_schema=_HN_SCHEMA,
+    )
+
+    # global best per query across its probed lists: one key exchange,
+    # vectorized keep-first per partition (score desc, neg_id asc)
+    def _best(p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _HN_SCHEMA.empty_table()
+        vid = tbl.column("vec_id").to_numpy()
+        nid = tbl.column("neg_id").to_numpy()
+        sc = tbl.column("score").to_numpy()
+        order = np.lexsort((nid, -sc, vid))
+        vs = vid[order]
+        first = np.ones(len(vs), dtype=bool)
+        first[1:] = vs[1:] != vs[:-1]
+        return tbl.take(pa.array(order[first]))
+
+    return hash_exchange(
+        per_list, "vec_id", num_partitions, _best, empty_schema=_HN_SCHEMA
+    )
+
+
+def rd_from_empty(schema: pa.Schema):
+    import ray.data as rd
+
+    return rd.from_arrow(schema.empty_table())

@@ -412,3 +412,77 @@ def test_hard_negative_mining_single_label_empty(ray_session):
     )
     out = hard_negative_mining(rd.from_arrow(tbl)).to_pandas()
     assert len(out) == 0
+
+
+def test_hard_negative_mining_ivf_matches_broadcast(ray_session):
+    """Above-gate route (IVF lists, full probes) is bit-identical to
+    the broadcast regime, with driver bytes bounded by the centroid
+    matrix — never the corpus (VERDICT r4 item 1)."""
+    import pandas as pd
+
+    from dane_visual_feature_extraction_worker_ray.stages.similarity import (
+        hard_negative_mining,
+    )
+    from dane_visual_feature_extraction_worker_ray.state import counters
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 16
+    m = rng.standard_normal((n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(m.astype(np.float32)),
+                                  pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 5, n), pa.int32()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(5)
+    exact = (
+        hard_negative_mining(ds)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    counters.reset()
+    ivf = (
+        hard_negative_mining(
+            ds, broadcast_max_bytes=2048, n_lists=8, num_partitions=8
+        )
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, ivf)
+    snap = counters.snapshot()
+    assert snap.get("hardneg_route_ivf") == 1
+    # driver holds only the 8 x 16 float64 centroid matrix
+    assert snap["hardneg_driver_bytes_max"] <= 8 * 16 * 8
+
+
+def test_hard_negative_mining_partial_probe_subset(ray_session):
+    """n_probe < n_lists: every mined score is <= the exact best for
+    that query (IVF can only miss negatives, never invent better
+    ones), and the result schema matches the exact regime."""
+    from dane_visual_feature_extraction_worker_ray.stages.similarity import (
+        hard_negative_mining,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 8
+    m = rng.standard_normal((n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(m.astype(np.float32)),
+                                  pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 3, n), pa.int32()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    exact = (
+        hard_negative_mining(ds)
+        .to_pandas().set_index("vec_id")["score"]
+    )
+    approx = hard_negative_mining(
+        ds, broadcast_max_bytes=1, n_lists=8, n_probe=2, num_partitions=8
+    ).to_pandas()
+    assert list(approx.columns) == ["vec_id", "neg_id", "score"]
+    assert len(approx) > 0
+    for vid, sc in zip(approx["vec_id"], approx["score"]):
+        assert sc <= exact.loc[vid] + 1e-9

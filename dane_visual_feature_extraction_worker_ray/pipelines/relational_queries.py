@@ -2408,31 +2408,29 @@ def q_percentile_bridge(sf_dir: str):
     """Cross-table CDF feature: for every order, how many lineitem
     prices (integer cents) fall strictly below its total — the
     percentile-against-a-reference-distribution feature a risk/pricing
-    model consumes. The reference CDF is ONE broadcast sorted int
-    array (searchsorted per batch, zero shuffle); the percentile is a
-    single exact-integer division. At 100 TB the broadcast becomes
-    the per-value count table (bounded by distinct cents), same
-    lookup."""
+    model consumes. The reference CDF is the per-VALUE count table
+    from :func:`_lineitem_cent_hist` (mergeable (cent, count)
+    partials → tiny exchange → driver ``(vals, cum)``) — driver state
+    is O(distinct cents), never O(rows); the strictly-below count is
+    one ``searchsorted`` against it per batch, the percentile a single
+    exact-integer division. Driver-held bytes recorded in the lineage
+    counter ``pctbridge_driver_bytes_max``."""
     import numpy as np
     import pyarrow as pa
     import ray
 
     from ..sources.parquet import read_parquet_tuned
+    from ..state import counters
 
     li = read_parquet_tuned(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_extendedprice"],
     )
-    cents_parts = []
-    for b in li.iter_batches(batch_size=1 << 20,
-                             batch_format="pyarrow"):
-        p = b.column("l_extendedprice").to_numpy(
-            zero_copy_only=False
-        )
-        cents_parts.append(np.floor(p * 100 + 0.5).astype(np.int64))
-    ref = np.sort(np.concatenate(cents_parts))
-    ref_ref = ray.put(ref)
-    n_ref = len(ref)
+    vals, cum, n_ref = _lineitem_cent_hist(li)
+    counters.set_max(
+        "pctbridge_driver_bytes", int(vals.nbytes + cum.nbytes)
+    )
+    hist_ref = ray.put((vals, cum))
 
     orders = read_parquet_tuned(
         os.path.join(sf_dir, "orders.parquet"),
@@ -2440,13 +2438,16 @@ def q_percentile_bridge(sf_dir: str):
     )
 
     def _pct(tbl: pa.Table) -> pa.Table:
-        r = ray.get(ref_ref)
+        v, cm = ray.get(hist_ref)
         c = np.floor(
             tbl.column("o_totalprice").to_numpy(
                 zero_copy_only=False
             ) * 100 + 0.5
         ).astype(np.int64)
-        below = np.searchsorted(r, c, side="left").astype(np.int64)
+        pos = np.searchsorted(v, c, side="left")
+        below = np.where(pos > 0, cm[np.maximum(pos - 1, 0)], 0).astype(
+            np.int64
+        )
         return pa.table(
             {
                 "o_orderkey": tbl.column("o_orderkey").cast(

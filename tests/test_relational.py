@@ -72,3 +72,33 @@ def test_pareto_orders_ties_and_duplicates(ray_session, tmp_path):
     )
     exp = set(con.execute(ORACLE_SQL["pareto_orders"]).df()["o_orderkey"])
     assert got == exp
+
+
+def test_percentile_bridge_driver_bytes_bounded(ray_session):
+    """percentile_bridge's driver state is the per-value cent
+    histogram — bounded by DISTINCT cents, never rows (VERDICT r4
+    item 2)."""
+    import duckdb
+
+    from dane_visual_feature_extraction_worker_ray.pipelines.relational_queries import (  # noqa: E501
+        q_percentile_bridge,
+    )
+    from dane_visual_feature_extraction_worker_ray.state import counters
+
+    sf = "/root/testdata/sf0.001"
+    counters.reset()
+    got = q_percentile_bridge(sf).to_pandas()
+    assert len(got) > 0
+    con = duckdb.connect()
+    n_rows, n_distinct = con.execute(
+        "SELECT count(*), count(DISTINCT CAST(floor(l_extendedprice"
+        f"*100+0.5) AS BIGINT)) FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchone()
+    snap = counters.snapshot()
+    held = snap["pctbridge_driver_bytes_max"]
+    # 16 B per DISTINCT value (int64 value + int64 cum count): bounded
+    # by the cent domain, which saturates with scale while rows grow —
+    # at this tiny tier distinct ≈ rows, so assert the exact shape, not
+    # a rows ratio
+    assert held == n_distinct * 16
+    assert n_rows == 6000  # sanity: the tier we think we're testing

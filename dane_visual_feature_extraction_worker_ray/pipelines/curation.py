@@ -67,24 +67,16 @@ def q_curation_stats(sf_dir: str):
     langs_ref = ray.put(np.array(langs, dtype=object))
     codes_ref = ray.put(code_of)
 
-    stop_set = frozenset(_STOPWORDS)
+    stop_arr = pa.array(sorted(_STOPWORDS), pa.string())
 
     def _filter_and_key(tbl: pa.Table) -> pa.Table:
         """Quality gate + per-batch dedup partial on (hash, text)."""
-        import pandas as pd
-
         from ..functions.hashing import hash64
+        from ..functions.tokenize import space_stopword_stats
 
-        s = tbl.column("text").to_pandas().fillna("")
-        words = s.str.split(" ")
-        n_words = words.str.len().to_numpy(dtype=np.int64)
-        ex = words.explode()
-        mask = ex.notna()
-        row = ex.index.to_numpy()[mask].astype(np.int64)
-        stop_hits = ex[mask].isin(stop_set).to_numpy()
-        n_stop = np.bincount(
-            row, weights=stop_hits.astype(np.float64), minlength=len(s)
-        ).astype(np.int64)
+        n_words, n_stop = space_stopword_stats(
+            tbl.column("text"), stop_arr
+        )
         nw_safe = np.where(n_words == 0, 1, n_words)
         ratio = n_stop.astype(np.float64) / nw_safe.astype(np.float64)
         keep = (n_words >= MIN_WORDS) & (ratio <= MAX_STOPWORD_RATIO)
@@ -1008,21 +1000,14 @@ def q_corpus_build_manifest(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "source", "n_chars"],
     )
-    stop_set = frozenset(_STOPWORDS)
+    stop_arr = pa.array(sorted(_STOPWORDS), pa.string())
 
     def _quality(tbl: pa.Table) -> pa.Table:
-        import pandas as pd
+        from ..functions.tokenize import space_stopword_stats
 
-        s = tbl.column("text").to_pandas().fillna("")
-        words = s.str.split(" ")
-        n_words = words.str.len().to_numpy(dtype=np.int64)
-        ex = words.explode()
-        mask = ex.notna()
-        row = ex.index.to_numpy()[mask].astype(np.int64)
-        stop_hits = ex[mask].isin(stop_set).to_numpy()
-        n_stop = np.bincount(
-            row, weights=stop_hits.astype(np.float64), minlength=len(s)
-        ).astype(np.int64)
+        n_words, n_stop = space_stopword_stats(
+            tbl.column("text"), stop_arr
+        )
         nw_safe = np.where(n_words == 0, 1, n_words)
         ratio = n_stop.astype(np.float64) / nw_safe.astype(np.float64)
         keep = (n_words >= MIN_WORDS) & (ratio <= MAX_STOPWORD_RATIO)

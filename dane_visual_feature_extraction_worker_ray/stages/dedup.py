@@ -540,12 +540,11 @@ def simhash_signatures(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     """64-bit SimHash per doc (weighted bit-vote over token hashes)."""
 
     def _sig(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column(text_col).to_pandas()
-        n = len(texts)
-        toks = texts.fillna("").str.split().explode()
-        mask = toks.notna()
-        row = toks.index.to_numpy()[mask].astype(np.int64)
-        th = hash64(pd.Series(toks[mask].to_numpy(dtype=object)))
+        from ..functions.tokenize import ws_tokens
+
+        n = tbl.num_rows
+        row, flat = ws_tokens(tbl.column(text_col))
+        th = hash64(flat.to_pandas())
         votes = np.zeros((n, 64), dtype=np.int64)
         if len(row):
             bits = (

@@ -39,22 +39,22 @@ def text_quality(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     division of exact ints.
     """
 
+    stop_arr = pa.array(sorted(_STOPWORDS), pa.string())
+
     def _quality(tbl: pa.Table) -> pa.Table:
-        s = tbl.column(text_col).to_pandas().fillna("")
-        n_chars = s.str.len().to_numpy(dtype=np.int64)
-        words = s.str.split(" ")
-        n_words = words.str.len().to_numpy(dtype=np.int64)
-        no_space = s.str.replace(" ", "", regex=False).str.len().to_numpy(
-            dtype=np.int64
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import space_stopword_stats
+
+        s = pc.fill_null(tbl.column(text_col).combine_chunks(), "")
+        n_chars = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
-        ex = words.explode()
-        mask = ex.notna()
-        row = ex.index.to_numpy()[mask].astype(np.int64)
-        toks = ex[mask]
-        stop_hits = toks.isin(_STOPWORDS).to_numpy()
-        n_stop = np.bincount(
-            row, weights=stop_hits.astype(np.float64), minlength=len(s)
+        # len(replace(" ", "")) == n_chars - n_spaces (spaces are 1 char)
+        no_space = n_chars - pc.count_substring(s, " ").to_numpy(
+            zero_copy_only=False
         ).astype(np.int64)
+        n_words, n_stop = space_stopword_stats(s, stop_arr)
         nw_safe = np.where(n_words == 0, 1, n_words)
         return pa.table(
             {
@@ -75,15 +75,25 @@ def text_quality(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def token_counts(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
-    r"""Token counts: whitespace tokens and regex word tokens (\w+)."""
-    import re
+    r"""Token counts: whitespace tokens and regex word tokens (\w+).
 
-    word_re = re.compile(r"\w+")
+    ``\w`` is RE2 semantics (ASCII word chars), matching the DuckDB
+    oracle's ``regexp_extract_all`` exactly — Python ``re`` would count
+    unicode word chars differently."""
 
     def _count(tbl: pa.Table) -> pa.Table:
-        s = tbl.column(text_col).to_pandas().fillna("")
-        ws = s.str.split().str.len().to_numpy(dtype=np.int64)
-        rx = s.str.count(word_re).to_numpy(dtype=np.int64)
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import ws_tokens
+
+        s = pc.fill_null(tbl.column(text_col).combine_chunks(), "")
+        row_idx, _flat = ws_tokens(s)
+        ws = np.bincount(row_idx, minlength=len(s)).astype(np.int64)
+        rx = (
+            pc.count_substring_regex(s, r"\w+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         return pa.table(
             {
                 id_col: tbl.column(id_col),

@@ -183,12 +183,18 @@ def q_value_quantiles_sketch(sf_dir: str):
 
 
 def q_hll_distinct_values(sf_dir: str):
-    """Approximate distinct count of events.value (HyperLogLog p=12,
-    register-max merge). Probabilistic -> rows-only gate; the ±2%
-    envelope vs the exact count is asserted in tests/test_sketches.py."""
-    from ..stages.sketches import hll_distinct
+    """Approximate distinct count of events.event_id (HyperLogLog
+    p=12, register-max merge) in the fully-reproducible regime:
+    splitmix64 hash + exact bit-length ranks + the RAW estimator with
+    an integer register sum, so the DuckDB oracle replays the sketch
+    bit-for-bit (VERDICT r4 item 5 — promoted from rows-only). The
+    production path (SipHash over arbitrary column tuples +
+    linear-counting correction) keeps its ±2% envelope gate in
+    tests/test_sketches.py and serves hll_tokens_per_source."""
+    from ..stages.sketches import hll_distinct_int_exact
 
-    est = hll_distinct(_events(sf_dir, ["value"]), ["value"], p=12)
+    est = hll_distinct_int_exact(_events(sf_dir, ["event_id"]), "event_id",
+                                 p=12)
     return pa.table({"n_distinct_approx": pa.array([est], pa.float64())})
 
 
@@ -202,6 +208,47 @@ def _events(sf_dir: str, columns):
 
 QUERIES["value_quantiles_sketch"] = q_value_quantiles_sketch
 QUERIES["hll_distinct_values"] = q_hll_distinct_values
+
+
+def _hll_mulmod(c: int) -> str:
+    """x*c mod 2^64 via 32-bit halves (same trick as the
+    weighted_sample_docs oracle, text_queries._splitmix_mulmod)."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"CAST((((CAST(x AS HUGEINT) % 4294967296) * {hi} % 4294967296)"
+        f" * 4294967296 + CAST(x AS HUGEINT) * {lo})"
+        f" % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+# the full sketch replayed in SQL: splitmix64 chain, register index =
+# top 12 bits, rank = 65 - bit_length((h<<12) | sentinel) via bin(),
+# integer register sum (BIGINT terms, HUGEINT total), ONE final divide
+ORACLE_SQL["hll_distinct_values"] = f"""
+WITH s0 AS (SELECT CAST(event_id AS UBIGINT) AS x FROM events
+), s1 AS (SELECT xor(x, x >> 30) AS x FROM s0
+), s2 AS (SELECT {_hll_mulmod(0xBF58476D1CE4E5B9)} AS x FROM s1
+), s3 AS (SELECT xor(x, x >> 27) AS x FROM s2
+), s4 AS (SELECT {_hll_mulmod(0x94D049BB133111EB)} AS x FROM s3
+), s5 AS (SELECT xor(x, x >> 31) AS x FROM s4
+), occ AS (
+  SELECT CAST(x >> 52 AS BIGINT) AS idx,
+         max(65 - length(bin(
+           CAST((CAST(x AS HUGEINT) * 4096) % 18446744073709551616
+                AS UBIGINT) | CAST(2048 AS UBIGINT)
+         ))) AS r
+  FROM s5 GROUP BY idx
+), allregs AS (
+  SELECT g.idx, COALESCE(o.r, 0) AS r
+  FROM (SELECT unnest(generate_series(0, 4095)) AS idx) g
+  LEFT JOIN occ o ON g.idx = o.idx
+), stot AS (
+  SELECT sum(CAST(1 AS BIGINT) << (53 - r)) AS s_int FROM allregs
+)
+SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+       * 9007199254740992.0 / CAST(s_int AS DOUBLE) AS n_distinct_approx
+FROM stot
+""".strip()
 ORACLE_SQL["value_quantiles_sketch"] = " UNION ALL ".join(
     f"SELECT CAST({q} AS DOUBLE) AS q, "
     f"quantile_disc(value, {q}) AS value FROM events"

@@ -190,7 +190,10 @@ def knn_pq_adc(
             dist2 += L[j, codes]
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
         if n > k:
-            part = np.argpartition(dist2, k)[:k]
+            # lexsort, not argpartition: partial top-k must break
+            # distance TIES by id or the block boundary silently keeps
+            # arbitrary rows (same rule as knn_brute_force)
+            part = np.lexsort((ids, dist2))[:k]
             ids, dist2 = ids[part], dist2[part]
         return pa.table(
             {
@@ -300,7 +303,8 @@ def knn_ivf_pq(
                 dist2[sel] += lut[j, codes[sel]]
         ids = t.column(id_col).to_numpy()
         if n > k:
-            part = np.argpartition(dist2, k)[:k]
+            # deterministic tie-break (see knn_pq_adc)
+            part = np.lexsort((ids, dist2))[:k]
             ids, dist2 = ids[part], dist2[part]
         return pa.table(
             {

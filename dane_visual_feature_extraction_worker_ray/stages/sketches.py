@@ -206,6 +206,101 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 (0 → 0) — integer
+    shift/compare ladder, no float log2 (whose 1-ulp libm divergence
+    vs other engines can flip a floor() at powers of two)."""
+    bl = np.zeros(x.shape, np.int64)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v = np.where(m, v >> np.uint64(s), v)
+    return bl + (v != 0).astype(np.int64)
+
+
+def hll_registers_partial_exact(h: np.ndarray, p: int) -> np.ndarray:
+    """Like :func:`hll_registers_partial` but with EXACT integer ranks
+    (rank = 65 − bit_length(rest), sentinel-capped) — bit-reproducible
+    against any engine that can compute a bit length."""
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    rank = 65 - _bit_length_u64(rest)
+    regs = np.zeros(m, np.uint8)
+    np.maximum.at(regs, idx, rank.astype(np.uint8))
+    return regs
+
+
+def hll_estimate_raw_exact(regs: np.ndarray) -> float:
+    """RAW HLL estimator (no small-range linear-counting branch — that
+    branch needs ln(), which diverges by 1 ulp across libms and is
+    never hash-compared here; it stays on the production
+    :func:`hll_estimate` path) with the register sum carried as an
+    EXACT integer: Σ 2^(−reg) · 2^53 is a sum of integer powers of two
+    (rank ≤ 53 at p ≥ 12), so the only rounding is the single final
+    IEEE divide — bit-identical to the SQL oracle's HUGEINT sum."""
+    m = len(regs)
+    max_rank = 64 - int(np.log2(m)) + 1
+    if max_rank > 53:
+        raise ValueError("hll_estimate_raw_exact: need p >= 12")
+    # Python-int accumulation: the total reaches 2^65 (4096 × 2^53)
+    # and would wrap an int64 np.sum; 2^p driver-side adds are free
+    counts = np.bincount(regs.astype(np.int64), minlength=54)
+    s_int = sum(int(c) << (53 - r) for r, c in enumerate(counts) if c)
+    alpha = _hll_alpha(m)
+    return alpha * m * m * 9007199254740992.0 / float(s_int)
+
+
+def hll_distinct_int_exact(
+    ds, col: str, p: int = 12, combine_partitions: int = 16
+) -> float:
+    """Approximate distinct count of one non-negative INTEGER column,
+    fully oracle-reproducible: splitmix64 finalizer hash
+    (= ``rehash64(ids, seed=0)``, the same chain the
+    ``weighted_sample_docs`` SQL proves), exact bit-length ranks, raw
+    estimator with an integer register sum. Same distributed shape as
+    :func:`hll_distinct` (2^p-byte partials, two-level max-combine)."""
+    from ..functions.hashing import rehash64
+
+    m = 1 << p
+    idx_arr = pa.array(np.arange(m, dtype=np.int32))
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(col).to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        h = rehash64(ids, 0)
+        return pa.table(
+            {"i": idx_arr, "r": pa.array(hll_registers_partial_exact(h, p))}
+        )
+
+    def _combine(tbl: pa.Table) -> pa.Table:
+        regs = np.zeros(m, np.uint8)
+        np.maximum.at(
+            regs,
+            tbl.column("i").to_numpy().astype(np.int64),
+            tbl.column("r").to_numpy(),
+        )
+        return pa.table({"i": idx_arr, "r": pa.array(regs)})
+
+    combined = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .repartition(combine_partitions)
+        .map_batches(_combine, batch_format="pyarrow", batch_size=None)
+    )
+    regs = np.zeros(m, np.uint8)
+    for ref in combined.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            np.maximum.at(
+                regs,
+                t.column("i").to_numpy().astype(np.int64),
+                t.column("r").to_numpy(),
+            )
+    return hll_estimate_raw_exact(regs)
+
+
 def hll_distinct(
     ds, cols: list[str], p: int = 12, combine_partitions: int = 16
 ) -> float:

@@ -275,3 +275,38 @@ def _vc(toks):
 
     vc = pd.Series(toks).value_counts(sort=False)
     return vc.index.to_numpy(dtype=object), vc.to_numpy().astype(np.int64)
+
+
+def test_hll_exact_bit_length_and_raw_estimate():
+    """Exact-rank HLL internals: the bit-length ladder vs Python
+    int.bit_length on edge values, and the raw estimator's integer
+    register sum (regression: an int64 np.sum wraps at 2^63 when all
+    registers are 0 — the sum is 4096 * 2^53 = 2^65)."""
+    import numpy as np
+
+    from dane_visual_feature_extraction_worker_ray.stages.sketches import (
+        _bit_length_u64,
+        hll_estimate_raw_exact,
+        hll_registers_partial_exact,
+    )
+
+    vals = np.array(
+        [0, 1, 2, 3, 2047, 2048, 2049, 2**32 - 1, 2**32, 2**63,
+         2**64 - 1],
+        dtype=np.uint64,
+    )
+    assert _bit_length_u64(vals).tolist() == [
+        int(v).bit_length() for v in vals.tolist()
+    ]
+
+    # all-zero registers: s_int = m * 2^53 exactly, est = alpha * m
+    m = 4096
+    est = hll_estimate_raw_exact(np.zeros(m, np.uint8))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    assert est == alpha * m * m * 9007199254740992.0 / float(m << 53)
+    assert est > 0  # the int64-overflow bug made this negative
+
+    # rank caps at 53 for p=12 (sentinel bit at position 11)
+    h = np.array([0], dtype=np.uint64)  # h<<12 == 0 -> rest == 2048
+    regs = hll_registers_partial_exact(h, 12)
+    assert int(regs[0]) == 53

@@ -85,7 +85,16 @@ def detect_mega_conversations(turns_ds, threshold: int) -> pd.DataFrame:
         lambda t: t.filter(pc.greater(t.column("n_rows"), threshold)),
         batch_format="pyarrow",
     )
-    return big.to_pandas()  # tiny: only the skewed tail
+    df = big.to_pandas()  # tiny: only the skewed tail
+    # recorded fact, not a prose claim: the driver holds one row per
+    # MEGA conversation (the skewed tail), never per conversation
+    from ..state import counters
+
+    counters.add("mega_detect_driver_rows", len(df))
+    counters.add(
+        "mega_detect_driver_bytes", int(df.memory_usage(deep=True).sum())
+    )
+    return df
 
 
 # ---------------------------------------------------------------------------

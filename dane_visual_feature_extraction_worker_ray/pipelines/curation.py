@@ -983,17 +983,24 @@ def q_corpus_build_manifest(
     engine's named operator; the oracle nests the same six steps in
     SQL, so the composition (not just each piece) is hash-verified.
 
-    Scale shape: streaming filters, the skew-safe ≤cap domain
-    partials, a text-hash dedup exchange + doc_id semi join, ONE
-    range-partitioned sort for the shuffle order, the two-phase prefix
-    scan, and a tiny manifest aggregate. Driver state: O(blocks)
-    scalars from the scan."""
+    Scale shape (round-5 restructure): document TEXT is read exactly
+    once, by the quality scan, which emits 28-byte metadata rows
+    ``(doc_id, h=hash64(text), source_code, n_chars)`` — every wide
+    step (domain cap, dedup, sort, scan) runs on metadata only, so NO
+    text ever crosses an exchange (the round-4 design shipped full
+    text through the cap exchange, the dedup exchange AND a semi
+    join). Dedup groups on the 64-bit content hash — the same
+    negligible-collision stance as the paragraph/gram-hash exchanges
+    (`stages/dedup.py`); the SQL oracle groups by full text, so the
+    equivalence is hash-verified at every tier. The survivor's
+    ``n_chars`` rides a packed ``doc_id·2²⁴ + n_chars`` min-key (the
+    ``preferred_supplier_per_part`` argmin trick), so no join back.
+    Driver state: O(blocks) scalars from the scan."""
     import pyarrow as pa
 
-    from ..functions.hashing import rehash64
+    from ..functions.hashing import hash64, rehash64
     from ..sources.parquet import read_parquet_tuned
-    from ..stages.groupagg import hash_grouped_aggregate
-    from ..stages.join import hash_equi_join
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
     from ..stages.scan import global_scan
 
     docs = read_parquet_tuned(
@@ -1001,9 +1008,13 @@ def q_corpus_build_manifest(
         columns=["doc_id", "text", "source", "n_chars"],
     )
     stop_arr = pa.array(sorted(_STOPWORDS), pa.string())
+    _NC_BITS = 24  # n_chars < 2^24 packed under doc_id (min-key trick)
 
-    def _quality(tbl: pa.Table) -> pa.Table:
+    def _quality_meta(tbl: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_arrow_threads
         from ..functions.tokenize import space_stopword_stats
+
+        pin_arrow_threads()
 
         n_words, n_stop = space_stopword_stats(
             tbl.column("text"), stop_arr
@@ -1011,13 +1022,34 @@ def q_corpus_build_manifest(
         nw_safe = np.where(n_words == 0, 1, n_words)
         ratio = n_stop.astype(np.float64) / nw_safe.astype(np.float64)
         keep = (n_words >= MIN_WORDS) & (ratio <= MAX_STOPWORD_RATIO)
-        return tbl.filter(pa.array(keep))
+        t = tbl.filter(pa.array(keep))
+        nc = t.column("n_chars").cast(pa.int64()).to_numpy()
+        if len(nc) and int(nc.max()) >= (1 << _NC_BITS):
+            raise ValueError("corpus_build: n_chars exceeds pack width")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "h": pa.array(hash64(t.column("text").to_pandas())),
+                "source": t.column("source"),
+                "n_chars": pa.array(nc),
+            }
+        )
 
-    q = docs.map_batches(_quality, batch_format="pyarrow",
-                         batch_size=None)
+    meta = docs.map_batches(_quality_meta, batch_format="pyarrow",
+                            batch_size=None)
 
-    # per-domain cap: <=CAP-row partials per source on the exchange
+    # per-domain cap on metadata: <=CAP-row partials per source per
+    # batch, then one tiny source-keyed exchange finalizes the cap
     from ..stages.exchange import hash_grouped_map
+
+    cap_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("h", pa.uint64()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
 
     def _cap_partial(tbl: pa.Table) -> pa.Table:
         import pandas as pd
@@ -1026,105 +1058,65 @@ def q_corpus_build_manifest(
             {
                 "doc_id": tbl.column("doc_id").to_numpy(),
                 "source": tbl.column("source").to_pandas(),
-                "n_chars": tbl.column("n_chars").to_numpy(),
-                "text": tbl.column("text").to_pandas(),
             }
         ).sort_values(["source", "doc_id"])
-        keep = df.groupby("source", sort=False).cumcount() < domain_cap
-        df = df[keep]
-        return pa.table(
-            {
-                "doc_id": pa.array(df["doc_id"].to_numpy().astype(np.int64)),
-                "source": pa.array(df["source"].to_numpy(dtype=object)),
-                "n_chars": pa.array(
-                    df["n_chars"].to_numpy().astype(np.int64)
-                ),
-                "text": pa.array(df["text"].to_numpy(dtype=object)),
-            }
-        )
-
-    cap_schema = pa.schema(
-        [
-            ("doc_id", pa.int64()),
-            ("source", pa.string()),
-            ("n_chars", pa.int64()),
-            ("text", pa.string()),
-        ]
-    )
+        keep = np.zeros(tbl.num_rows, bool)
+        keep[df.index[df.groupby("source", sort=False).cumcount()
+                      < domain_cap]] = True
+        return tbl.filter(pa.array(keep))
 
     def _cap_final(g: pa.Table) -> pa.Table:
         ids = g.column("doc_id").to_numpy()
         order = np.argsort(ids, kind="stable")[:domain_cap]
         return g.take(pa.array(order)).select(
-            ["doc_id", "source", "n_chars", "text"]
+            ["doc_id", "h", "source", "n_chars"]
         )
 
     capped = hash_grouped_map(
-        q.map_batches(_cap_partial, batch_format="pyarrow",
-                      batch_size=None),
+        meta.map_batches(_cap_partial, batch_format="pyarrow",
+                         batch_size=None),
         "source",
         lambda g: _cap_final(g),
         num_partitions=8,
         empty_schema=cap_schema,
     )
 
-    # exact dedup keep-min: survivor ids via text-keyed aggregate, then
-    # a doc_id semi join back (keeps lang/source/n_chars without a
-    # corpus-scale broadcast)
+    # exact dedup keep-min on the content hash; the packed key carries
+    # the survivor's n_chars through the min-aggregate (no join back)
     def _dedup_partial(tbl: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = (
-            pd.DataFrame(
-                {
-                    "text": tbl.column("text").to_pandas(),
-                    "doc_id": tbl.column("doc_id").to_numpy(),
-                }
-            )
-            .groupby("text", sort=False)["doc_id"]
-            .min()
-            .reset_index()
+        packed = (
+            tbl.column("doc_id").to_numpy() * (1 << _NC_BITS)
+            + tbl.column("n_chars").to_numpy()
         )
-        return pa.table(
-            {
-                "text": pa.array(df["text"].to_numpy(dtype=object)),
-                "doc_id": pa.array(
-                    df["doc_id"].to_numpy().astype(np.int64)
-                ),
-            }
+        t = pa.table(
+            {"h": tbl.column("h"), "packed": pa.array(packed)}
         )
+        return group_aggregate_table(t, ["h"], [("packed", "min")])
 
     survivors = hash_grouped_aggregate(
         capped.map_batches(_dedup_partial, batch_format="pyarrow",
                            batch_size=None),
-        ["text"],
-        [("doc_id", "min")],
+        ["h"],
+        [("packed", "min")],
         num_buckets=8,
-    ).map_batches(
-        lambda t: t.select(["doc_id"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-
-    deduped = hash_equi_join(
-        capped, survivors, "doc_id", "doc_id", right_columns=[],
-        how="semi", num_partitions=8,
     )
 
     # deterministic shuffle order + shard packing on the prefix scan
     def _order_key(tbl: pa.Table) -> pa.Table:
-        ids = tbl.column("doc_id").to_numpy().astype(np.uint64)
-        x = rehash64(ids, 0)
+        packed = tbl.column("packed").to_numpy()
+        ids = (packed >> _NC_BITS).astype(np.int64)
+        nc = (packed & ((1 << _NC_BITS) - 1)).astype(np.int64)
+        x = rehash64(ids.astype(np.uint64), 0)
         return pa.table(
             {
-                "doc_id": tbl.column("doc_id").cast(pa.int64()),
-                "n_chars": tbl.column("n_chars").cast(pa.int64()),
+                "doc_id": pa.array(ids),
+                "n_chars": pa.array(nc),
                 "x": pa.array(x, pa.uint64()),
             }
         )
 
-    keyed = deduped.map_batches(_order_key, batch_format="pyarrow",
-                                batch_size=None)
+    keyed = survivors.map_batches(_order_key, batch_format="pyarrow",
+                                  batch_size=None)
     scanned = global_scan(
         keyed,
         sort_keys=[("x", "ascending"), ("doc_id", "ascending")],

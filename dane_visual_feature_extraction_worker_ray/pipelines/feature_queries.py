@@ -1,0 +1,637 @@
+"""ML feature-engineering operators (round 5): target encodings,
+grouped exact order statistics, vocabulary-coverage features, top-k
+share features.
+
+These are the per-row FEATURE COLUMNS a training pipeline derives from
+relational/label tables — the classic tabular-ML constructions
+(leave-one-out and fold-aware target encoding, winsorized aggregates,
+OOV rate) expressed Ray-Data-first: one metadata exchange for the
+sufficient statistics, a broadcast of the (tiny) statistic table, then
+a streaming per-row map. Float parity with the DuckDB oracles is
+engineered the repo's usual way: integer-cent sums, identical
+expression shapes, one final IEEE division on both sides.
+
+Reference analog: the per-record metadata assembly the reference does
+per batch (``/root/reference/data_handling.py:60-84``) — here the
+"metadata" is learned from the corpus itself, which is what makes the
+leakage rules (leave-one-out, fold-aware) matter.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+_TE_FOLDS = 5
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    from ..sources.parquet import read_parquet_tuned
+
+    return read_parquet_tuned(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+def _cents(arr) -> np.ndarray:
+    v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+    return np.round(v * 100.0).astype(np.int64)
+
+
+def _orders_with_segment(sf_dir: str):
+    """orders ⋈ customer on custkey → (o_orderkey, c_mktsegment,
+    cents, c_custkey) — the shared input of both target encodings.
+    Distributed shape: one key exchange via ``hash_equi_join`` (the
+    size-gated planner would broadcast customer at these tiers; the
+    explicit hash join keeps the shape honest at 100 TB where both
+    sides are large)."""
+    from ..stages.join import hash_equi_join
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_equi_join(
+        orders, cust, "o_custkey", "c_custkey",
+        right_columns=["c_mktsegment"], num_partitions=16,
+    )
+
+    def _prep(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey").cast(pa.int64()),
+                "c_custkey": tbl.column("o_custkey").cast(pa.int64()),
+                "c_mktsegment": tbl.column("c_mktsegment"),
+                "cents": pa.array(_cents(tbl.column("o_totalprice"))),
+            }
+        )
+
+    return joined.map_batches(_prep, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def q_loo_target_encoding(sf_dir: str):
+    """Leave-one-out target encoding of ``c_mktsegment`` against the
+    order total: each order's feature is the mean total of OTHER
+    orders in its segment — the standard leakage-safe categorical
+    encoding (an order never sees its own label).
+
+    Scale shape: per-segment (sum, count) int-cent partials — one tiny
+    aggregate bounded by segment cardinality — broadcast back into a
+    streaming per-row map; the single IEEE division
+    ``(seg_sum − own) / (seg_n − 1)`` is the only float op."""
+    import ray
+
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    oc = _orders_with_segment(sf_dir)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.select(["c_mktsegment", "cents"]).append_column(
+            "n", pa.array(np.ones(tbl.num_rows, np.int64))
+        )
+        return group_aggregate_table(
+            t, ["c_mktsegment"], [("cents", "sum"), ("n", "sum")]
+        )
+
+    seg = hash_grouped_aggregate(
+        oc.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["c_mktsegment"],
+        [("cents", "sum"), ("n", "sum")],
+        num_buckets=4,
+    ).to_pandas()  # bounded: one row per segment
+    stats = {
+        r.c_mktsegment: (int(r.cents), int(r.n))
+        for r in seg.itertuples()
+    }
+    stats_ref = ray.put(stats)
+
+    def _encode(tbl: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        segs = tbl.column("c_mktsegment").to_pylist()
+        own = tbl.column("cents").to_numpy()
+        s = np.fromiter((st[x][0] for x in segs), np.int64, len(segs))
+        n = np.fromiter((st[x][1] for x in segs), np.int64, len(segs))
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey"),
+                "c_mktsegment": tbl.column("c_mktsegment"),
+                "loo_avg_cents": pa.array(
+                    (s - own).astype(np.float64)
+                    / (n - 1).astype(np.float64)
+                ),
+            }
+        )
+
+    return oc.map_batches(_encode, batch_format="pyarrow",
+                          batch_size=None)
+
+
+QUERIES["loo_target_encoding"] = q_loo_target_encoding
+ORACLE_SQL["loo_target_encoding"] = """
+WITH oc AS (
+  SELECT o_orderkey, c_mktsegment,
+         CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT c_mktsegment, CAST(sum(cents) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM oc GROUP BY c_mktsegment
+)
+SELECT oc.o_orderkey, oc.c_mktsegment,
+  CAST(seg.s - oc.cents AS DOUBLE) / CAST(seg.n - 1 AS DOUBLE)
+    AS loo_avg_cents
+FROM oc JOIN seg USING (c_mktsegment)
+""".strip()
+
+
+def q_target_encoding_kfold(sf_dir: str):
+    """Fold-aware target encoding: customers hash into K=5 folds
+    (splitmix64 of ``c_custkey`` — RNG-free, resume/retry-stable, the
+    ``grouped_kfold`` convention), and an order's feature is the mean
+    total of the OTHER folds' orders in its segment:
+    ``(seg_sum − fold_sum) / (seg_n − fold_n)`` — how target encoding
+    is actually computed for cross-validated training (leave-one-out
+    still leaks fold-internal order statistics; this doesn't).
+
+    Scale shape: one (segment × fold) int-cent aggregate — ≤ 5·K rows
+    — broadcast into the streaming encode map."""
+    import ray
+
+    from ..functions.hashing import rehash64
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    oc = _orders_with_segment(sf_dir)
+
+    def _with_fold(tbl: pa.Table) -> pa.Table:
+        ck = tbl.column("c_custkey").to_numpy().astype(np.uint64)
+        fold = (rehash64(ck, 0) % np.uint64(_TE_FOLDS)).astype(np.int64)
+        return tbl.append_column("fold", pa.array(fold))
+
+    ocf = oc.map_batches(_with_fold, batch_format="pyarrow",
+                         batch_size=None)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.select(["c_mktsegment", "fold", "cents"]).append_column(
+            "n", pa.array(np.ones(tbl.num_rows, np.int64))
+        )
+        return group_aggregate_table(
+            t, ["c_mktsegment", "fold"], [("cents", "sum"), ("n", "sum")]
+        )
+
+    sf = hash_grouped_aggregate(
+        ocf.map_batches(_partial, batch_format="pyarrow",
+                        batch_size=None),
+        ["c_mktsegment", "fold"],
+        [("cents", "sum"), ("n", "sum")],
+        num_buckets=4,
+    ).to_pandas()  # bounded: segments × folds rows
+    seg_tot: dict = {}
+    cell: dict = {}
+    for r in sf.itertuples():
+        cell[(r.c_mktsegment, int(r.fold))] = (int(r.cents), int(r.n))
+        s, n = seg_tot.get(r.c_mktsegment, (0, 0))
+        seg_tot[r.c_mktsegment] = (s + int(r.cents), n + int(r.n))
+    stats_ref = ray.put((seg_tot, cell))
+
+    def _encode(tbl: pa.Table) -> pa.Table:
+        seg_t, cells = ray.get(stats_ref)
+        segs = tbl.column("c_mktsegment").to_pylist()
+        folds = tbl.column("fold").to_numpy()
+        m = len(segs)
+        s_all = np.fromiter((seg_t[x][0] for x in segs), np.int64, m)
+        n_all = np.fromiter((seg_t[x][1] for x in segs), np.int64, m)
+        s_f = np.fromiter(
+            (cells.get((x, int(f)), (0, 0))[0]
+             for x, f in zip(segs, folds)),
+            np.int64, m,
+        )
+        n_f = np.fromiter(
+            (cells.get((x, int(f)), (0, 0))[1]
+             for x, f in zip(segs, folds)),
+            np.int64, m,
+        )
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey"),
+                "c_mktsegment": tbl.column("c_mktsegment"),
+                "fold": pa.array(folds.astype(np.int64)),
+                "te_cents": pa.array(
+                    (s_all - s_f).astype(np.float64)
+                    / (n_all - n_f).astype(np.float64)
+                ),
+            }
+        )
+
+    return ocf.map_batches(_encode, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def _splitmix_sql(inp: str, out: str, src: str) -> str:
+    """splitmix64 finalizer of an integer column as chained CTEs
+    (same chain the weighted_sample_docs oracle proves)."""
+
+    def mm(c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"CAST((((CAST(x AS HUGEINT) % 4294967296) * {hi}"
+            f" % 4294967296) * 4294967296 + CAST(x AS HUGEINT) * {lo})"
+            f" % 18446744073709551616 AS UBIGINT)"
+        )
+
+    return f"""
+f0 AS (SELECT *, CAST({inp} AS UBIGINT) AS x FROM {src}
+), f1 AS (SELECT * REPLACE (xor(x, x >> 30) AS x) FROM f0
+), f2 AS (SELECT * REPLACE ({mm(0xBF58476D1CE4E5B9)} AS x) FROM f1
+), f3 AS (SELECT * REPLACE (xor(x, x >> 27) AS x) FROM f2
+), f4 AS (SELECT * REPLACE ({mm(0x94D049BB133111EB)} AS x) FROM f3
+), f5 AS (SELECT * REPLACE (xor(x, x >> 31) AS x) FROM f4
+), {out} AS (
+  SELECT * EXCLUDE (x),
+         CAST(x % {_TE_FOLDS} AS BIGINT) AS fold FROM f5
+)""".strip()
+
+
+QUERIES["target_encoding_kfold"] = q_target_encoding_kfold
+ORACLE_SQL["target_encoding_kfold"] = f"""
+WITH oc0 AS (
+  SELECT o_orderkey, o_custkey, c_mktsegment,
+         CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), {_splitmix_sql("o_custkey", "oc", "oc0")},
+cellagg AS (
+  SELECT c_mktsegment, fold, CAST(sum(cents) AS BIGINT) AS s_f,
+         CAST(count(*) AS BIGINT) AS n_f
+  FROM oc GROUP BY c_mktsegment, fold
+), segagg AS (
+  SELECT c_mktsegment, CAST(sum(s_f) AS BIGINT) AS s,
+         CAST(sum(n_f) AS BIGINT) AS n
+  FROM cellagg GROUP BY c_mktsegment
+)
+SELECT oc.o_orderkey, oc.c_mktsegment, oc.fold,
+  CAST(segagg.s - cellagg.s_f AS DOUBLE)
+    / CAST(segagg.n - cellagg.n_f AS DOUBLE) AS te_cents
+FROM oc
+JOIN cellagg ON oc.c_mktsegment = cellagg.c_mktsegment
+            AND oc.fold = cellagg.fold
+JOIN segagg ON oc.c_mktsegment = segagg.c_mktsegment
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# grouped exact order statistics from ONE value-histogram exchange —
+# the per-group generalization of the _lineitem_cent_hist machinery
+# (relational_queries.py): driver state is O(groups × distinct cents),
+# never rows
+
+
+def _flag_cent_hist(sf_dir: str):
+    """(l_returnflag, cent) → count, sorted per flag, on the driver."""
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": tbl.column("l_returnflag"),
+                "price_c": pa.array(_cents(tbl.column("l_extendedprice"))),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(
+            t, ["l_returnflag", "price_c"], [("n", "sum")]
+        )
+
+    hist = hash_grouped_aggregate(
+        li.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["l_returnflag", "price_c"],
+        [("n", "sum")],
+        num_buckets=4,
+    ).to_pandas()
+    out = {}
+    for flag, g in hist.groupby("l_returnflag"):
+        vals = g["price_c"].to_numpy()
+        cnt = g["n"].to_numpy().astype(np.int64)
+        o = np.argsort(vals)
+        out[flag] = (vals[o], np.cumsum(cnt[o]))
+    return out
+
+
+def _hist_qdisc(vals: np.ndarray, cum: np.ndarray, q: float) -> int:
+    """quantile_disc: order statistic at 0-based ceil(q·n) − 1."""
+    k = int(np.ceil(q * int(cum[-1]))) - 1
+    return int(vals[np.searchsorted(cum, k + 1)])
+
+
+def q_grouped_median_price(sf_dir: str):
+    """Exact per-group median (quantile_disc 0.5 of the integer cent
+    price per returnflag) — grouped order statistics from ONE bounded
+    histogram exchange, no per-group sort of raw rows."""
+    hists = _flag_cent_hist(sf_dir)
+    flags = sorted(hists)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "median_cents": pa.array(
+                [_hist_qdisc(*hists[f], 0.5) for f in flags], pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["grouped_median_price"] = q_grouped_median_price
+ORACLE_SQL["grouped_median_price"] = """
+SELECT l_returnflag,
+  quantile_disc(CAST(round(l_extendedprice*100, 0) AS BIGINT), 0.5)
+    AS median_cents
+FROM lineitem GROUP BY l_returnflag
+""".strip()
+
+
+def q_grouped_winsorized_totals(sf_dir: str):
+    """Per-group winsorized revenue: clip each price at the group's
+    exact [p01, p99] (quantile_disc) and total the clipped cents —
+    the robust per-category aggregate a feature store serves. The
+    clipped total is computed FROM THE HISTOGRAM
+    (Σ clip(v)·count, exact ints), so the raw rows are scanned exactly
+    once, by the histogram pass."""
+    hists = _flag_cent_hist(sf_dir)
+    flags = sorted(hists)
+    lo, hi, tot = [], [], []
+    for f in flags:
+        vals, cum = hists[f]
+        cnt = np.diff(np.r_[0, cum])
+        lo_c = _hist_qdisc(vals, cum, 0.01)
+        hi_c = _hist_qdisc(vals, cum, 0.99)
+        clipped = np.minimum(np.maximum(vals, lo_c), hi_c)
+        lo.append(lo_c)
+        hi.append(hi_c)
+        tot.append(int(np.dot(clipped, cnt)))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "lo_cents": pa.array(lo, pa.int64()),
+            "hi_cents": pa.array(hi, pa.int64()),
+            "winsorized_sum_cents": pa.array(tot, pa.int64()),
+        }
+    )
+
+
+QUERIES["grouped_winsorized_totals"] = q_grouped_winsorized_totals
+ORACLE_SQL["grouped_winsorized_totals"] = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice*100, 0) AS BIGINT) AS cents
+  FROM lineitem
+), th AS (
+  SELECT l_returnflag,
+         quantile_disc(cents, 0.01) AS lo_cents,
+         quantile_disc(cents, 0.99) AS hi_cents
+  FROM c GROUP BY l_returnflag
+)
+SELECT c.l_returnflag, th.lo_cents, th.hi_cents,
+  CAST(sum(least(greatest(c.cents, th.lo_cents), th.hi_cents))
+       AS BIGINT) AS winsorized_sum_cents
+FROM c JOIN th USING (l_returnflag)
+GROUP BY c.l_returnflag, th.lo_cents, th.hi_cents
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# vocabulary-coverage feature (OOV rate per document)
+
+_OOV_VOCAB_K = 200
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-document out-of-vocabulary rate against the corpus top-K
+    vocabulary (K=200 by count desc, token asc — deterministic ties).
+    The feature a tokenizer-fit or domain-shift monitor reads.
+
+    Scale shape: per-batch token-count partials → one token-keyed
+    exchange → per-block top-K partials (K·blocks rows to the driver,
+    the top_tokens bound) → broadcast vocab set → streaming per-doc
+    ``is_in`` ratio (split(" ") fields, empties excluded, same as the
+    oracle's string_split + filter)."""
+    import ray
+
+    from ..functions.tokenize import space_fields
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tok_partial(tbl: pa.Table) -> pa.Table:
+        _row, flat, _counts = space_fields(tbl.column("text"))
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        t = pa.table(
+            {
+                "tok": flat,
+                "n": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["tok"], [("n", "sum")])
+
+    counts = hash_grouped_aggregate(
+        docs.map_batches(_tok_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["tok"],
+        [("n", "sum")],
+        num_buckets=8,
+    )
+
+    def _topk_partial(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n").to_numpy()
+        toks = tbl.column("tok").to_pandas().to_numpy(dtype=object)
+        order = np.lexsort((toks, -n))[:_OOV_VOCAB_K]
+        return pa.table(
+            {
+                "tok": pa.array(toks[order].tolist(), pa.string()),
+                "n": pa.array(n[order]),
+            }
+        )
+
+    import pandas as pd
+
+    parts = [
+        ray.get(r)
+        for r in counts.map_batches(
+            _topk_partial, batch_format="pyarrow", batch_size=None
+        ).to_arrow_refs()
+    ]
+    m = pa.concat_tables([t for t in parts if t.num_rows]).to_pandas()
+    toks = m["tok"].to_numpy(dtype=object)
+    n = m["n"].to_numpy()
+    top = np.lexsort((toks, -n))[:_OOV_VOCAB_K]
+    vocab = pa.array(sorted(toks[top].tolist()), pa.string())
+    vocab_ref = ray.put(vocab)
+
+    def _rate(tbl: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        row, flat, counts_ = space_fields(tbl.column("text"))
+        nz = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        hits = pc.is_in(flat, value_set=v).to_numpy(zero_copy_only=False)
+        n_rows = tbl.num_rows
+        n_tok = np.bincount(row[nz], minlength=n_rows).astype(np.int64)
+        n_in = np.bincount(row[nz & hits], minlength=n_rows).astype(
+            np.int64
+        )
+        keep = n_tok > 0  # zero-token docs drop on both sides
+        n_oov = (n_tok - n_in)[keep]
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "n_oov": pa.array(n_oov),
+                "n_tokens": pa.array(n_tok[keep]),
+                "oov_rate": pa.array(
+                    n_oov.astype(np.float64)
+                    / n_tok[keep].astype(np.float64)
+                ),
+            }
+        )
+
+    return docs.map_batches(_rate, batch_format="pyarrow",
+                            batch_size=None)
+
+
+QUERIES["oov_rate"] = q_oov_rate
+ORACLE_SQL["oov_rate"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), nz AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM nz GROUP BY tok
+    ORDER BY c DESC, tok LIMIT {_OOV_VOCAB_K})
+), scored AS (
+  SELECT nz.doc_id,
+    CAST(count(*) FILTER (WHERE vocab.tok IS NULL) AS BIGINT) AS n_oov,
+    CAST(count(*) AS BIGINT) AS n_tokens
+  FROM nz LEFT JOIN vocab ON nz.tok = vocab.tok
+  GROUP BY nz.doc_id
+)
+SELECT doc_id, n_oov, n_tokens,
+  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+FROM scored
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# top-2 supplier share per part (rank features with exact shares)
+
+
+def q_top2_supplier_share(sf_dir: str):
+    """Per part: the top-2 suppliers by revenue with their revenue
+    share — the 'concentration' feature of a categorical pair (and the
+    rank-k generalization of ``preferred_supplier_per_part``'s argmax).
+    Ties break to the smaller suppkey on both sides.
+
+    Scale shape: (part, supp) int-cent revenue partials collapse
+    per batch before ONE partkey exchange; the reduce kernel ranks a
+    whole partition vectorized (no per-group Python calls) and emits
+    ≤2 rows per part; share = one IEEE division of exact ints."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.groupagg import group_aggregate_table
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev_partial(tbl: pa.Table) -> pa.Table:
+        price_c = _cents(tbl.column("l_extendedprice"))
+        disc_c = _cents(tbl.column("l_discount"))
+        rev = price_c * (100 - disc_c)  # cents·1e2, exact ints
+        t = pa.table(
+            {
+                "l_partkey": tbl.column("l_partkey").cast(pa.int64()),
+                "l_suppkey": tbl.column("l_suppkey").cast(pa.int64()),
+                "rev_c2": pa.array(rev),
+            }
+        )
+        return group_aggregate_table(
+            t, ["l_partkey", "l_suppkey"], [("rev_c2", "sum")]
+        )
+
+    out_schema = pa.schema(
+        [
+            ("l_partkey", pa.int64()),
+            ("rk", pa.int64()),
+            ("l_suppkey", pa.int64()),
+            ("rev_c2", pa.int64()),
+            ("share", pa.float64()),
+        ]
+    )
+
+    def _top2(pidx: int, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        # merge cross-batch partials, then rank within part — all
+        # vectorized over the whole partition
+        m = group_aggregate_table(
+            g, ["l_partkey", "l_suppkey"], [("rev_c2", "sum")]
+        )
+        part = m.column("l_partkey").to_numpy()
+        supp = m.column("l_suppkey").to_numpy()
+        rev = m.column("rev_c2").to_numpy()
+        order = np.lexsort((supp, -rev, part))
+        part, supp, rev = part[order], supp[order], rev[order]
+        starts = np.flatnonzero(np.r_[True, part[1:] != part[:-1]])
+        grp = np.cumsum(np.r_[False, part[1:] != part[:-1]])
+        rk = np.arange(len(part), dtype=np.int64) - starts[grp] + 1
+        tot = np.add.reduceat(rev, starts)[grp]
+        keep = rk <= 2
+        return pa.table(
+            {
+                "l_partkey": pa.array(part[keep]),
+                "rk": pa.array(rk[keep]),
+                "l_suppkey": pa.array(supp[keep]),
+                "rev_c2": pa.array(rev[keep]),
+                "share": pa.array(
+                    rev[keep].astype(np.float64)
+                    / tot[keep].astype(np.float64)
+                ),
+            }
+        )
+
+    return hash_exchange(
+        li.map_batches(_rev_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "l_partkey",
+        16,
+        _top2,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["top2_supplier_share"] = q_top2_supplier_share
+ORACLE_SQL["top2_supplier_share"] = """
+WITH rev AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount*100, 0) AS BIGINT)))
+         AS BIGINT) AS rev_c2
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), ranked AS (
+  SELECT l_partkey, l_suppkey, rev_c2,
+    row_number() OVER (PARTITION BY l_partkey
+                       ORDER BY rev_c2 DESC, l_suppkey) AS rk,
+    CAST(sum(rev_c2) OVER (PARTITION BY l_partkey) AS BIGINT) AS tot
+  FROM rev
+)
+SELECT l_partkey, CAST(rk AS BIGINT) AS rk, l_suppkey, rev_c2,
+  CAST(rev_c2 AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+FROM ranked WHERE rk <= 2
+""".strip()

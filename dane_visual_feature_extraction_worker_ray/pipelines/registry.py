@@ -39,7 +39,7 @@ def _optional_suites():
                  "multimodal_queries", "curation", "join_queries",
                  "stats_queries", "events_queries", "window_queries",
                  "setop_queries", "ingest_queries",
-                 "classifier_queries"):
+                 "classifier_queries", "feature_queries"):
         try:
             mods.append(
                 __import__(

@@ -635,3 +635,225 @@ SELECT l_partkey, CAST(rk AS BIGINT) AS rk, l_suppkey, rev_c2,
   CAST(rev_c2 AS DOUBLE) / CAST(tot AS DOUBLE) AS share
 FROM ranked WHERE rk <= 2
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# RFM customer scoring (recency / frequency / monetary quintiles)
+
+
+def q_rfm_scores(sf_dir: str):
+    """Classic RFM feature block per customer: days since last order
+    (vs the corpus max date), order count, lifetime cents, each
+    quintiled with SQL ``ntile(5)`` semantics (deterministic ties via
+    c_custkey; recency ranks ascending — most recent = score 1;
+    frequency/monetary descending — biggest = score 1).
+
+    Scale shape: ONE custkey exchange collapses orders to a
+    customer-cardinality table, then three chained
+    ``global_scan`` rank passes over that (much smaller) table —
+    descending orders ride as negated integers. The ntile arithmetic
+    is the price_deciles formula; n comes from the scan itself."""
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+    from ..stages.scan import global_scan
+
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": tbl.column("o_custkey").cast(pa.int64()),
+                "last_us": tbl.column("o_orderdate").cast(pa.int64()),
+                "n_orders": pa.array(np.ones(tbl.num_rows, np.int64)),
+                "cents": pa.array(_cents(tbl.column("o_totalprice"))),
+            }
+        )
+        return group_aggregate_table(
+            t, ["c_custkey"],
+            [("last_us", "max"), ("n_orders", "sum"), ("cents", "sum")],
+        )
+
+    cust = hash_grouped_aggregate(
+        orders.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None),
+        ["c_custkey"],
+        [("last_us", "max"), ("n_orders", "sum"), ("cents", "sum")],
+        num_buckets=8,
+    )
+
+    # corpus anchor: max order date — per-block max partials, one
+    # int64 per block to the driver
+    import ray as _ray
+
+    cust = cust.materialize()  # customer-cardinality; reused below
+    anchor = max(
+        int(pc.max(t.column("last_us")).as_py())
+        for t in _ray.get(cust.to_arrow_refs())
+        if t.num_rows
+    )
+
+    def _metrics(tbl: pa.Table) -> pa.Table:
+        last = tbl.column("last_us").to_numpy()
+        rec = (anchor - last) // 86_400_000_000  # whole days, exact
+        nord = tbl.column("n_orders").to_numpy()
+        cents = tbl.column("cents").to_numpy()
+        return pa.table(
+            {
+                "c_custkey": tbl.column("c_custkey"),
+                "recency_days": pa.array(rec.astype(np.int64)),
+                "n_orders": pa.array(nord),
+                "monetary_cents": pa.array(cents),
+                # descending ntile == ascending over the negation
+                "neg_orders": pa.array(-nord),
+                "neg_cents": pa.array(-cents),
+            }
+        )
+
+    m = cust.map_batches(_metrics, batch_format="pyarrow",
+                         batch_size=None)
+    r1 = global_scan(
+        m, [("recency_days", "ascending"), ("c_custkey", "ascending")],
+        [], rank_col="r_rk",
+    )
+    r2 = global_scan(
+        r1, [("neg_orders", "ascending"), ("c_custkey", "ascending")],
+        [], rank_col="f_rk",
+    )
+    r3 = global_scan(
+        r2, [("neg_cents", "ascending"), ("c_custkey", "ascending")],
+        [], rank_col="m_rk",
+    ).materialize()  # customer-cardinality; reused for count + score
+    n = r3.count()
+    k = 5
+    q, rem = divmod(n, k)
+    cut = rem * (q + 1)
+
+    def _ntile(rk: np.ndarray) -> np.ndarray:
+        r0 = rk - 1
+        return (
+            np.where(r0 < cut, r0 // (q + 1),
+                     rem + (r0 - cut) // max(q, 1))
+            + 1
+        ).astype(np.int64)
+
+    def _score(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": tbl.column("c_custkey"),
+                "recency_days": tbl.column("recency_days"),
+                "n_orders": tbl.column("n_orders"),
+                "monetary_cents": tbl.column("monetary_cents"),
+                "r_score": pa.array(
+                    _ntile(tbl.column("r_rk").to_numpy())
+                ),
+                "f_score": pa.array(
+                    _ntile(tbl.column("f_rk").to_numpy())
+                ),
+                "m_score": pa.array(
+                    _ntile(tbl.column("m_rk").to_numpy())
+                ),
+            }
+        )
+
+    return r3.map_batches(_score, batch_format="pyarrow",
+                           batch_size=None)
+
+
+QUERIES["rfm_scores"] = q_rfm_scores
+ORACLE_SQL["rfm_scores"] = """
+WITH cust AS (
+  SELECT o_custkey AS c_custkey,
+    CAST(datediff('day', max(o_orderdate),
+                  (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+      AS recency_days,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+      AS monetary_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, recency_days, n_orders, monetary_cents,
+  CAST(ntile(5) OVER (ORDER BY recency_days, c_custkey) AS BIGINT)
+    AS r_score,
+  CAST(ntile(5) OVER (ORDER BY n_orders DESC, c_custkey) AS BIGINT)
+    AS f_score,
+  CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, c_custkey)
+       AS BIGINT) AS m_score
+FROM cust
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# character-class profile (stylometric / quality features)
+
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"  # ASCII punctuation, same RE2 both sides
+
+
+def q_char_class_profile(sf_dir: str):
+    """Per-document character-class counts and ratios (digit /
+    uppercase / punctuation / space shares of the character count) —
+    the stylometric block of a quality or formatting classifier.
+    Pure streaming map: four RE2 ``count_substring_regex`` kernels +
+    one division each (docs with no characters drop on both sides)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _profile(tbl: pa.Table) -> pa.Table:
+        s = pc.fill_null(tbl.column("text").combine_chunks(), "")
+        n = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+
+        def cnt(pat: str) -> np.ndarray:
+            return (
+                pc.count_substring_regex(s, pat)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+
+        digits, upper, punct, spaces = (
+            cnt("[0-9]"), cnt("[A-Z]"), cnt(_PUNCT_RE), cnt(" ")
+        )
+        keep = n > 0
+        nf = n[keep].astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "n_chars": pa.array(n[keep]),
+                "n_digits": pa.array(digits[keep]),
+                "n_upper": pa.array(upper[keep]),
+                "n_punct": pa.array(punct[keep]),
+                "digit_ratio": pa.array(digits[keep] / nf),
+                "upper_ratio": pa.array(upper[keep] / nf),
+                "punct_ratio": pa.array(punct[keep] / nf),
+                "space_ratio": pa.array(spaces[keep] / nf),
+            }
+        )
+
+    return docs.map_batches(_profile, batch_format="pyarrow",
+                            batch_size=None)
+
+
+QUERIES["char_class_profile"] = q_char_class_profile
+ORACLE_SQL["char_class_profile"] = rf"""
+WITH c AS (
+  SELECT doc_id,
+    CAST(len(text) AS BIGINT) AS n_chars,
+    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+         AS BIGINT) AS n_digits,
+    CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g'))
+         AS BIGINT) AS n_upper,
+    CAST(len(text) - len(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))
+         AS BIGINT) AS n_punct,
+    CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+  FROM documents WHERE len(text) > 0
+)
+SELECT doc_id, n_chars, n_digits, n_upper, n_punct,
+  CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) AS digit_ratio,
+  CAST(n_upper AS DOUBLE) / CAST(n_chars AS DOUBLE) AS upper_ratio,
+  CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+  CAST(n_spaces AS DOUBLE) / CAST(n_chars AS DOUBLE) AS space_ratio
+FROM c
+""".strip()

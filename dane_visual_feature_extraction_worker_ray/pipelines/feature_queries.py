@@ -857,3 +857,174 @@ SELECT doc_id, n_chars, n_digits, n_upper, n_punct,
   CAST(n_spaces AS DOUBLE) / CAST(n_chars AS DOUBLE) AS space_ratio
 FROM c
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# smoothed (empirical-Bayes) target encoding
+
+
+_TE_SMOOTH_A = 10.0
+
+
+def q_smoothed_target_encoding(sf_dir: str):
+    """Smoothed target encoder table: per segment,
+    ``(sum + A·prior) / (n + A)`` with A=10 and prior = the global
+    mean — the empirical-Bayes shrinkage every practical target
+    encoder applies so rare categories regress to the prior. Output is
+    the fitted ENCODER ARTIFACT (one row per category), the thing a
+    feature store persists.
+
+    Float parity: prior = one division of exact int cents; the
+    smoothed value chains exactly two IEEE ops in the same shape on
+    both sides."""
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    oc = _orders_with_segment(sf_dir)
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.select(["c_mktsegment", "cents"]).append_column(
+            "n", pa.array(np.ones(tbl.num_rows, np.int64))
+        )
+        return group_aggregate_table(
+            t, ["c_mktsegment"], [("cents", "sum"), ("n", "sum")]
+        )
+
+    seg = hash_grouped_aggregate(
+        oc.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["c_mktsegment"],
+        [("cents", "sum"), ("n", "sum")],
+        num_buckets=4,
+    ).to_pandas()  # bounded: one row per segment
+    gs, gn = int(seg["cents"].sum()), int(seg["n"].sum())
+    prior = float(gs) / float(gn)
+    s = seg["cents"].to_numpy().astype(np.float64)
+    n = seg["n"].to_numpy().astype(np.int64)
+    te = (s + _TE_SMOOTH_A * prior) / (n + 10).astype(np.float64)
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(
+                seg["c_mktsegment"].to_numpy(dtype=object).tolist(),
+                pa.string(),
+            ),
+            "n": pa.array(n),
+            "te_smoothed": pa.array(te),
+        }
+    )
+
+
+QUERIES["smoothed_target_encoding"] = q_smoothed_target_encoding
+ORACLE_SQL["smoothed_target_encoding"] = """
+WITH oc AS (
+  SELECT c_mktsegment,
+         CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT c_mktsegment, CAST(sum(cents) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM oc GROUP BY c_mktsegment
+), g AS (
+  SELECT CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS prior
+  FROM seg
+)
+SELECT c_mktsegment, n,
+  (CAST(s AS DOUBLE) + 10.0 * g.prior) / CAST(n + 10 AS DOUBLE)
+    AS te_smoothed
+FROM seg, g
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer spend (inequality / concentration)
+
+
+def q_customer_spend_gini(sf_dir: str):
+    """Gini coefficient of per-customer lifetime spend — the
+    concentration scalar a marketplace-health or data-balance monitor
+    tracks. Exact-integer construction: with spend sorted ascending
+    (ties by custkey) and 1-based ranks, ``G = (2·Σ rank·x − (n+1)·Σx)
+    / (n·Σx)`` — both sums exact integers, one final IEEE division.
+
+    Scale shape: one custkey exchange to customer cardinality, one
+    ``global_scan`` rank pass, then per-block ``Σ rank·x`` partials
+    carried as PYTHON ints (the product overflows int64 at ~10⁹
+    customers; block partials use the local-rank + offset split so
+    each in-block dot stays in int64)."""
+    import ray as _ray
+
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+    from ..stages.scan import global_scan
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": tbl.column("o_custkey").cast(pa.int64()),
+                "cents": pa.array(_cents(tbl.column("o_totalprice"))),
+            }
+        )
+        return group_aggregate_table(t, ["c_custkey"], [("cents", "sum")])
+
+    cust = hash_grouped_aggregate(
+        orders.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=None),
+        ["c_custkey"],
+        [("cents", "sum")],
+        num_buckets=8,
+    )
+    ranked = global_scan(
+        cust, [("cents", "ascending"), ("c_custkey", "ascending")],
+        [], rank_col="rk",
+    )
+
+    @_ray.remote
+    def _block_sums(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return 0, 0, 0
+        x = tbl.column("cents").to_numpy()
+        rk = tbl.column("rk").to_numpy()
+        off = int(rk[0])  # global_scan ranks are contiguous per block
+        local = rk - off  # 0-based in-block rank: fits int64 dots
+        sx = int(x.sum())
+        srx = int(np.dot(local, x)) + off * sx  # Python-int combine
+        return tbl.num_rows, sx, srx
+
+    parts = _ray.get(
+        [_block_sums.remote(r) for r in ranked.to_arrow_refs()]
+    )
+    n = sum(p[0] for p in parts)
+    sx = sum(p[1] for p in parts)
+    srx = sum(p[2] for p in parts)
+    gini = float(2 * srx - (n + 1) * sx) / float(n * sx)
+    return pa.table(
+        {
+            "n_customers": pa.array([n], pa.int64()),
+            "total_cents": pa.array([sx], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
+QUERIES["customer_spend_gini"] = q_customer_spend_gini
+ORACLE_SQL["customer_spend_gini"] = """
+WITH cust AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, c_custkey) AS rk
+  FROM cust
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sx,
+         sum(CAST(rk AS HUGEINT) * CAST(cents AS HUGEINT)) AS srx
+  FROM ranked
+)
+SELECT n AS n_customers, sx AS total_cents,
+  CAST(2 * srx - (CAST(n AS HUGEINT) + 1) * CAST(sx AS HUGEINT)
+       AS DOUBLE)
+    / CAST(CAST(n AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS gini
+FROM agg
+""".strip()

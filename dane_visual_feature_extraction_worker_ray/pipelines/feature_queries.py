@@ -1028,3 +1028,246 @@ SELECT n AS n_customers, sx AS total_cents,
     / CAST(CAST(n AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS gini
 FROM agg
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# preference-pair construction (reward-model / ranking training data)
+
+
+def q_preference_pairs(sf_dir: str):
+    """Per user: one (chosen, rejected) training pair — the
+    highest-value ``purchase`` event vs the highest-value ``view``
+    event (ties to the smaller event_id), for users having both.
+    The deterministic pair-mining shape reward-model data construction
+    uses (choose a positive and a hard negative per context).
+
+    Scale shape: both argmaxes ride ONE user_id exchange as packed
+    ``value_cents·2³² + (2³²−1−event_id)`` max-keys (argmax with
+    min-id tie-break in a single integer max), per-batch partials
+    collapse first; the pair emit is a vectorized per-partition map."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.groupagg import group_aggregate_table
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "value"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        et = tbl.column("event_type")
+        keep = pc.or_(pc.equal(et, "purchase"), pc.equal(et, "view"))
+        t = tbl.filter(keep)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "is_purchase": pa.array([], pa.int8()),
+                    "packed": pa.array([], pa.int64()),
+                }
+            )
+        cents = np.round(
+            t.column("value").cast(pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            * 100.0
+        ).astype(np.int64)
+        eid = t.column("event_id").to_numpy()
+        if cents.min() < 0 or eid.max() >= (1 << 32):
+            raise ValueError("preference_pairs: pack width exceeded")
+        packed = cents * (1 << 32) + ((1 << 32) - 1 - eid)
+        p = pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "is_purchase": pa.array(
+                    pc.equal(t.column("event_type"), "purchase")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int8)
+                ),
+                "packed": pa.array(packed),
+            }
+        )
+        return group_aggregate_table(
+            p, ["user_id", "is_purchase"], [("packed", "max")]
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("chosen_event_id", pa.int64()),
+            ("chosen_cents", pa.int64()),
+            ("rejected_event_id", pa.int64()),
+            ("rejected_cents", pa.int64()),
+        ]
+    )
+
+    def _pairs(pidx: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        m = group_aggregate_table(
+            tbl, ["user_id", "is_purchase"], [("packed", "max")]
+        )
+        uid = m.column("user_id").to_numpy()
+        isp = m.column("is_purchase").to_numpy()
+        packed = m.column("packed").to_numpy()
+        order = np.lexsort((isp, uid))
+        uid, isp, packed = uid[order], isp[order], packed[order]
+        # runs of length 2 = users with BOTH sides (view row first)
+        both = (
+            (uid[:-1] == uid[1:]) & (isp[:-1] == 0) & (isp[1:] == 1)
+            if len(uid) > 1
+            else np.zeros(0, bool)
+        )
+        vi = np.flatnonzero(both)
+        chosen, rejected = packed[vi + 1], packed[vi]
+        mask = np.int64((1 << 32) - 1)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[vi]),
+                "chosen_event_id": pa.array(
+                    mask - (chosen & mask)
+                ),
+                "chosen_cents": pa.array(chosen >> np.int64(32)),
+                "rejected_event_id": pa.array(
+                    mask - (rejected & mask)
+                ),
+                "rejected_cents": pa.array(rejected >> np.int64(32)),
+            }
+        )
+
+    return hash_exchange(
+        ev.map_batches(_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "user_id",
+        8,
+        _pairs,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["preference_pairs"] = q_preference_pairs
+ORACLE_SQL["preference_pairs"] = """
+WITH pv AS (
+  SELECT user_id, event_id, event_type,
+         CAST(round(value*100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'view')
+), best AS (
+  SELECT user_id, event_type, event_id, cents FROM (
+    SELECT user_id, event_type, event_id, cents,
+      row_number() OVER (PARTITION BY user_id, event_type
+                         ORDER BY cents DESC, event_id) AS rk
+    FROM pv) WHERE rk = 1
+)
+SELECT p.user_id,
+  p.event_id AS chosen_event_id, p.cents AS chosen_cents,
+  v.event_id AS rejected_event_id, v.cents AS rejected_cents
+FROM best p JOIN best v USING (user_id)
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# curriculum data ordering (phase by difficulty, shuffled within phase)
+
+
+_CURRICULUM_PHASES = 4
+
+
+def q_curriculum_schedule(sf_dir: str):
+    """Curriculum training order: documents staged into 4 phases by
+    difficulty (ntile over (n_chars, doc_id) — short/easy docs first),
+    deterministically shuffled WITHIN each phase (splitmix64, the
+    epoch-shuffle convention), with the global training position from
+    one prefix scan. The actual consumption ORDER a curriculum
+    dataloader reads, constructed RNG-state-free so it is identical
+    across retries, resumes and parallelism levels.
+
+    Scale shape: total count from parquet footers; ONE global_scan
+    over (phase, shuffle_key) — rank arithmetic is per-row; nothing
+    but O(blocks) ints reaches the driver."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.hashing import rehash64
+    from ..stages.scan import global_scan
+
+    n_total = _pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    k = _CURRICULUM_PHASES
+    q, rem = divmod(n_total, k)
+    cut = rem * (q + 1)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def _key(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy().astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "n_chars": tbl.column("n_chars").cast(pa.int64()),
+                "x": pa.array(rehash64(ids, 0), pa.uint64()),
+            }
+        )
+
+    ranked = global_scan(
+        docs.map_batches(_key, batch_format="pyarrow", batch_size=None),
+        [("n_chars", "ascending"), ("doc_id", "ascending")],
+        [],
+        rank_col="drk",
+    )
+
+    def _phase(tbl: pa.Table) -> pa.Table:
+        r0 = tbl.column("drk").to_numpy() - 1
+        ph = np.where(
+            r0 < cut, r0 // (q + 1), rem + (r0 - cut) // max(q, 1)
+        ).astype(np.int64) + 1
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "phase": pa.array(ph),
+                "x": tbl.column("x"),
+            }
+        )
+
+    phased = ranked.map_batches(_phase, batch_format="pyarrow",
+                                batch_size=None)
+    ordered = global_scan(
+        phased,
+        [("phase", "ascending"), ("x", "ascending"),
+         ("doc_id", "ascending")],
+        [],
+        rank_col="position",
+    )
+    return ordered.map_batches(
+        lambda t: t.select(["doc_id", "phase", "position"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def _curriculum_sql() -> str:
+    from .text_queries import _splitmix_mulmod
+
+    k = _CURRICULUM_PHASES
+    return f"""
+WITH s0 AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(doc_id AS UBIGINT) AS x
+  FROM documents
+), s1 AS (SELECT doc_id, n_chars, xor(x, x >> 30) AS x FROM s0
+), s2 AS (SELECT doc_id, n_chars, {_splitmix_mulmod(0xBF58476D1CE4E5B9)} AS x FROM s1
+), s3 AS (SELECT doc_id, n_chars, xor(x, x >> 27) AS x FROM s2
+), s4 AS (SELECT doc_id, n_chars, {_splitmix_mulmod(0x94D049BB133111EB)} AS x FROM s3
+), s5 AS (SELECT doc_id, n_chars, xor(x, x >> 31) AS x FROM s4
+), ph AS (
+  SELECT doc_id, x,
+         CAST(ntile({k}) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS phase
+  FROM s5
+)
+SELECT doc_id, phase,
+  CAST(row_number() OVER (
+    ORDER BY phase, CAST(x AS HUGEINT), doc_id) AS BIGINT) AS position
+FROM ph
+""".strip()
+
+
+QUERIES["curriculum_schedule"] = q_curriculum_schedule
+ORACLE_SQL["curriculum_schedule"] = _curriculum_sql()

@@ -1704,3 +1704,363 @@ FROM cum a JOIN cum b
   ON a.conv_id = b.conv_id AND b.turn_idx <= a.turn_idx
 GROUP BY 1, 2, 3
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# windowed latency-feature family: EWMA, OLS trend, lag-1 autocorrelation.
+# The reference's per-item feature loop (/root/reference/worker.py:192-266)
+# emits one vector per media item; these are the transcript analogs of the
+# derived temporal statistics a training pipeline attaches per turn/entity.
+# Float parity discipline: all sums are exact int64 µs, both engines apply
+# the SAME final IEEE expression shape (see module docstring).
+
+
+def _sorted_conv_deltas(tbl):
+    """Kernel prologue shared by the latency-feature family: sort one
+    exchange partition by (conv_id, ts, order_key), derive the
+    per-conversation turn position ``tix`` and the inter-turn
+    ``delta_us`` array (masked at each conversation's first turn).
+    Returns None when the partition is empty."""
+    import numpy as np
+    import pyarrow as pa
+
+    if tbl.num_rows == 0:
+        return None
+    conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+    uniq, codes = np.unique(conv, return_inverse=True)
+    ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+    okey = tbl.column("order_key").cast(pa.int64()).to_numpy()
+    order = np.lexsort((okey, ts, codes))
+    codes, ts = codes[order], ts[order]
+    n = len(codes)
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    lens = np.diff(np.r_[starts, n])
+    tix = (np.arange(n) - np.repeat(starts, lens)).astype(np.int32)
+    delta = np.empty(n, np.int64)
+    delta[0] = 0
+    if n > 1:
+        delta[1:] = ts[1:] - ts[:-1]
+    return {
+        "uniq": uniq,
+        "codes": codes,
+        "tix": tix,
+        "delta": delta,
+        "has_delta": tix > 0,
+    }
+
+
+def _latency_turns(sf_dir: str):
+    turns = events_to_turns(_events(sf_dir))
+
+    def _project(tbl):
+        return tbl.select(["conv_id", "ts", "order_key"])
+
+    return turns.map_batches(_project, batch_format="pyarrow", batch_size=None)
+
+
+_EWMA_WEIGHTS = (1.0, 0.5, 0.25, 0.125)  # lags 0..3; dyadic => exact floats
+
+
+def q_ewma_latency(sf_dir: str):
+    """Per-turn EWMA of inter-turn latency over the last 4 deltas
+    (weights 1, 1/2, 1/4, 1/8 — dyadic so each scaled term is an EXACT
+    float64), normalized over the lags actually present; the first turn
+    of a conversation (no delta anywhere in the window) is NULL. One
+    conv_id exchange, then fully vectorized lag-shift arithmetic; the
+    numerator/denominator additions replicate the oracle's left-fold
+    order bit for bit."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("ewma_latency_s", pa.float64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        st = _sorted_conv_deltas(tbl)
+        if st is None:
+            return out_schema.empty_table()
+        codes, tix, delta = st["codes"], st["tix"], st["delta"]
+        n = len(codes)
+        num = np.zeros(n, np.float64)
+        den = np.zeros(n, np.float64)
+        for j, w in enumerate(_EWMA_WEIGHTS):
+            valid = tix >= (j + 1)
+            dj = np.zeros(n, np.float64)
+            idx = np.flatnonzero(valid)
+            dj[idx] = delta[idx - j].astype(np.float64)
+            if j == 0:
+                num = dj
+            else:
+                num = num + dj * w
+            den = den + np.where(valid, w, 0.0)
+        present = den > 0.0
+        safe_den = np.where(present, den, 1.0)
+        ew = (num / safe_den) / 1000000.0
+        return pa.table(
+            {
+                "conv_id": pa.array(st["uniq"][codes], pa.string()),
+                "turn_idx": pa.array(tix, pa.int32()),
+                "ewma_latency_s": pa.array(ew, mask=~present),
+            }
+        )
+
+    return hash_exchange(
+        _latency_turns(sf_dir),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["ewma_latency"] = q_ewma_latency
+ORACLE_SQL["ewma_latency"] = f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id, turn_idx,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+lagd AS (
+  SELECT conv_id, turn_idx, delta_us AS d0,
+    lag(delta_us, 1) OVER w AS d1,
+    lag(delta_us, 2) OVER w AS d2,
+    lag(delta_us, 3) OVER w AS d3
+  FROM d
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, turn_idx,
+  CASE WHEN d0 IS NULL AND d1 IS NULL AND d2 IS NULL AND d3 IS NULL
+       THEN NULL
+  ELSE (COALESCE(CAST(d0 AS DOUBLE), 0)
+        + COALESCE(CAST(d1 AS DOUBLE), 0) * 0.5
+        + COALESCE(CAST(d2 AS DOUBLE), 0) * 0.25
+        + COALESCE(CAST(d3 AS DOUBLE), 0) * 0.125)
+     / ((CASE WHEN d0 IS NOT NULL THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN d1 IS NOT NULL THEN 0.5 ELSE 0.0 END)
+        + (CASE WHEN d2 IS NOT NULL THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN d3 IS NOT NULL THEN 0.125 ELSE 0.0 END))
+     / 1000000 END AS ewma_latency_s
+FROM lagd
+""".strip()
+
+
+def q_conv_latency_trend(sf_dir: str):
+    """Per-conversation OLS slope of inter-turn latency vs turn
+    position (is this conversation speeding up or slowing down?) —
+    the classic trend feature. Exact int64 sums (Σx, Σy, Σxy, Σx²)
+    per group via one reduceat pass, then the single closed-form
+    (m·Σxy − Σx·Σy) / (m·Σx² − (Σx)²) with both engines casting the
+    SAME exact integers to float64 first. Conversations with fewer
+    than 2 deltas drop out (slope undefined)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_deltas", pa.int64()),
+            ("slope_us_per_turn", pa.float64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        st = _sorted_conv_deltas(tbl)
+        if st is None:
+            return out_schema.empty_table()
+        has = st["has_delta"]
+        d_codes = st["codes"][has]
+        y = st["delta"][has]
+        if not len(d_codes):
+            return out_schema.empty_table()
+        starts = np.flatnonzero(np.r_[True, d_codes[1:] != d_codes[:-1]])
+        lens = np.diff(np.r_[starts, len(d_codes)])
+        x = (np.arange(len(d_codes)) - np.repeat(starts, lens) + 1).astype(
+            np.int64
+        )
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxy = np.add.reduceat(x * y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        m = lens.astype(np.int64)
+        keep = m >= 2
+        if not keep.any():
+            return out_schema.empty_table()
+        mf = m[keep].astype(np.float64)
+        sxf = sx[keep].astype(np.float64)
+        syf = sy[keep].astype(np.float64)
+        sxyf = sxy[keep].astype(np.float64)
+        sxxf = sxx[keep].astype(np.float64)
+        slope = (mf * sxyf - sxf * syf) / (mf * sxxf - sxf * sxf)
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    st["uniq"][d_codes[starts]][keep], pa.string()
+                ),
+                "n_deltas": pa.array(m[keep]),
+                "slope_us_per_turn": pa.array(slope),
+            }
+        )
+
+    return hash_exchange(
+        _latency_turns(sf_dir),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["conv_latency_trend"] = q_conv_latency_trend
+ORACLE_SQL["conv_latency_trend"] = f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id, turn_idx,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+  FROM turns),
+nn AS (
+  SELECT conv_id,
+    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         AS BIGINT) AS x,
+    delta_us AS y
+  FROM d WHERE delta_us IS NOT NULL),
+s AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS m,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM nn GROUP BY conv_id)
+SELECT conv_id, m AS n_deltas,
+  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_us_per_turn
+FROM s WHERE m >= 2
+""".strip()
+
+
+def q_latency_autocorr(sf_dir: str):
+    """Per-conversation lag-1 autocorrelation of inter-turn latency
+    (bursty vs evenly-paced conversations). Adjacent-delta pairs
+    (a_i, a_i+1) within each conversation, with deltas floor-divided
+    to whole SECONDS on both engines first — µs deltas can span months
+    (1e13 µs) and their squared sums overflow int64 (DuckDB raises,
+    numpy would silently wrap); at seconds a 30-year delta squares to
+    1e15, leaving int64 headroom for ~9000-pair groups. Exact int64
+    sums of a, b, a·b, a², b² per group, then one Pearson closed form
+    with sqrt —
+    sqrt is correctly rounded IEEE on both engines so identical inputs
+    give identical bits. Zero-variance groups (constant latency) have
+    denominator 0 → NULL on both sides via NULLIF / mask."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_pairs", pa.int64()),
+            ("latency_autocorr", pa.float64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        st = _sorted_conv_deltas(tbl)
+        if st is None:
+            return out_schema.empty_table()
+        codes, delta, has = st["codes"], st["delta"], st["has_delta"]
+        n = len(codes)
+        # a pair lives at row i when row i has a delta AND row i+1 is
+        # the next turn of the same conversation (its delta then exists
+        # by construction).
+        pair = has.copy()
+        pair[-1:] = False
+        if n > 1:
+            pair[:-1] &= codes[1:] == codes[:-1]
+        idx = np.flatnonzero(pair)
+        if not len(idx):
+            return out_schema.empty_table()
+        p_codes = codes[idx]
+        a = delta[idx] // 1000000
+        b = delta[idx + 1] // 1000000
+        starts = np.flatnonzero(np.r_[True, p_codes[1:] != p_codes[:-1]])
+        lens = np.diff(np.r_[starts, len(p_codes)])
+        sa = np.add.reduceat(a, starts)
+        sb = np.add.reduceat(b, starts)
+        sab = np.add.reduceat(a * b, starts)
+        saa = np.add.reduceat(a * a, starts)
+        sbb = np.add.reduceat(b * b, starts)
+        m = lens.astype(np.int64)
+        keep = m >= 2
+        if not keep.any():
+            return out_schema.empty_table()
+        mf = m[keep].astype(np.float64)
+        saf = sa[keep].astype(np.float64)
+        sbf = sb[keep].astype(np.float64)
+        sabf = sab[keep].astype(np.float64)
+        saaf = saa[keep].astype(np.float64)
+        sbbf = sbb[keep].astype(np.float64)
+        va = np.maximum(mf * saaf - saf * saf, 0.0)
+        vb = np.maximum(mf * sbbf - sbf * sbf, 0.0)
+        den = np.sqrt(va * vb)
+        ok = den != 0.0
+        r = (mf * sabf - saf * sbf) / np.where(ok, den, 1.0)
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    st["uniq"][p_codes[starts]][keep], pa.string()
+                ),
+                "n_pairs": pa.array(m[keep]),
+                "latency_autocorr": pa.array(r, mask=~ok),
+            }
+        )
+
+    return hash_exchange(
+        _latency_turns(sf_dir),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["latency_autocorr"] = q_latency_autocorr
+ORACLE_SQL["latency_autocorr"] = f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id, turn_idx,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+  FROM turns),
+nn AS (
+  SELECT conv_id, turn_idx, delta_us // 1000000 AS a,
+    lead(delta_us // 1000000) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS b
+  FROM d WHERE delta_us IS NOT NULL),
+s AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS p,
+    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+    CAST(sum(a * b) AS BIGINT) AS sab,
+    CAST(sum(a * a) AS BIGINT) AS saa,
+    CAST(sum(b * b) AS BIGINT) AS sbb
+  FROM nn WHERE b IS NOT NULL GROUP BY conv_id)
+SELECT conv_id, p AS n_pairs,
+  (CAST(p AS DOUBLE) * CAST(sab AS DOUBLE)
+     - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+  / NULLIF(sqrt(
+      GREATEST(CAST(p AS DOUBLE) * CAST(saa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE), 0)
+      * GREATEST(CAST(p AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE), 0)), 0)
+    AS latency_autocorr
+FROM s WHERE p >= 2
+""".strip()

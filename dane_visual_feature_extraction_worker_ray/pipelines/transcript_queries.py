@@ -2064,3 +2064,118 @@ SELECT conv_id, p AS n_pairs,
     AS latency_autocorr
 FROM s WHERE p >= 2
 """.strip()
+
+
+def q_latency_changepoint(sf_dir: str):
+    """Per-conversation CUSUM change-point over inter-turn latency:
+    the turn position where the cumulative deviation from the
+    conversation mean peaks (Page's classic structural-break statistic
+    — did this conversation's pacing shift?). Integer-exact by
+    construction: with m deltas and Σy, the scaled deviation
+    m·y_i − Σy is an INTEGER, so the running CUSUM and its argmax are
+    exact int64 on both engines (deltas floor-divided to seconds first
+    for headroom); the only float is the single final division
+    |CUSUM*|/m. Tie-break: earliest peak. The last position (CUSUM
+    identically 0) is excluded; conversations with fewer than 2 deltas
+    drop out."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("cp_turn", pa.int64()),
+            ("cp_scaled_abs", pa.int64()),
+            ("cp_stat_s", pa.float64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        st = _sorted_conv_deltas(tbl)
+        if st is None:
+            return out_schema.empty_table()
+        has = st["has_delta"]
+        d_codes = st["codes"][has]
+        y = st["delta"][has] // 1000000
+        if not len(d_codes):
+            return out_schema.empty_table()
+        starts = np.flatnonzero(np.r_[True, d_codes[1:] != d_codes[:-1]])
+        lens = np.diff(np.r_[starts, len(d_codes)])
+        seg = np.repeat(np.arange(len(starts)), lens)
+        m = lens.astype(np.int64)
+        sy = np.add.reduceat(y, starts)
+        dev = m[seg] * y - sy[seg]
+        cs = np.cumsum(dev)
+        base = np.zeros(len(starts), np.int64)
+        base[1:] = cs[starts[1:] - 1]
+        cusum = cs - base[seg]
+        a = np.abs(cusum)
+        # exclude each group's final position (CUSUM there is 0 by
+        # construction) and pick the earliest max among the rest
+        last = np.zeros(len(a), bool)
+        last[starts + lens - 1] = True
+        a_m = np.where(last, np.int64(-1), a)
+        gmax = np.maximum.reduceat(a_m, starts)
+        keep = m >= 2
+        idx = np.arange(len(a), dtype=np.int64)
+        cand = np.where(a_m == gmax[seg], idx, np.int64(2**62))
+        first = np.minimum.reduceat(cand, starts)
+        k = first - starts + 1  # 1-based position within the group
+        mf = m[keep].astype(np.float64)
+        maxabs = gmax[keep]
+        stat = maxabs.astype(np.float64) / mf
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    st["uniq"][d_codes[starts]][keep], pa.string()
+                ),
+                "cp_turn": pa.array(k[keep]),
+                "cp_scaled_abs": pa.array(maxabs),
+                "cp_stat_s": pa.array(stat),
+            }
+        )
+
+    return hash_exchange(
+        _latency_turns(sf_dir),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["latency_changepoint"] = q_latency_changepoint
+ORACLE_SQL["latency_changepoint"] = f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id, turn_idx,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+  FROM turns),
+yy AS (
+  SELECT conv_id,
+    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         AS BIGINT) AS k,
+    delta_us // 1000000 AS y
+  FROM d WHERE delta_us IS NOT NULL),
+g AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM yy GROUP BY conv_id),
+c AS (
+  SELECT yy.conv_id, yy.k, g.m,
+    CAST(sum(g.m * yy.y - g.sy) OVER (
+      PARTITION BY yy.conv_id ORDER BY yy.k) AS BIGINT) AS cusum
+  FROM yy JOIN g USING (conv_id)
+  WHERE g.m >= 2),
+r AS (
+  SELECT conv_id, k, m, abs(cusum) AS acs,
+    row_number() OVER (PARTITION BY conv_id
+                       ORDER BY abs(cusum) DESC, k) AS rn
+  FROM c WHERE k <= m - 1)
+SELECT conv_id, k AS cp_turn, acs AS cp_scaled_abs,
+  CAST(acs AS DOUBLE) / CAST(m AS DOUBLE) AS cp_stat_s
+FROM r WHERE rn = 1
+""".strip()

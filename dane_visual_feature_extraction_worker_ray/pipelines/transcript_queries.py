@@ -2179,3 +2179,241 @@ SELECT conv_id, k AS cp_turn, acs AS cp_scaled_abs,
   CAST(acs AS DOUBLE) / CAST(m AS DOUBLE) AS cp_stat_s
 FROM r WHERE rn = 1
 """.strip()
+
+
+ROLE_VALUES = ("click", "error", "purchase", "view")
+
+
+def q_role_onehot(sf_dir: str):
+    """Stateless one-hot encoding of the turn role — the categorical
+    encoder every feature matrix needs, as a pure streaming map (zero
+    shuffle; event-keyed so no rank assignment is required). Columns
+    is_<role> are BIGINT 0/1 on both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    turns = events_to_turns(_events(sf_dir))
+
+    def _onehot(tbl: pa.Table) -> pa.Table:
+        role = tbl.column("role")
+        cols = {
+            "conv_id": tbl.column("conv_id"),
+            "order_key": tbl.column("order_key").cast(pa.int64()),
+            "role": role,
+        }
+        for rv in ROLE_VALUES:
+            cols[f"is_{rv}"] = pc.cast(
+                pc.equal(role, rv), pa.int64()
+            )
+        return pa.table(cols)
+
+    return turns.map_batches(_onehot, batch_format="pyarrow")
+
+
+QUERIES["role_onehot"] = q_role_onehot
+ORACLE_SQL["role_onehot"] = (
+    f"WITH {SQL_TURNS_CTE} SELECT conv_id, CAST(event_id AS BIGINT) AS"
+    " order_key, role, "
+    + ", ".join(
+        f"CAST(role = '{rv}' AS BIGINT) AS is_{rv}" for rv in ROLE_VALUES
+    )
+    + " FROM turns"
+)
+
+
+_WDT_W = 8  # sliding window length (turns, current inclusive)
+
+
+def q_w_distinct_tools(sf_dir: str):
+    """Sliding-window DISTINCT count: how many distinct non-null tools
+    did this conversation use over its last 8 turns? Windowed distinct
+    has no ROWS-frame aggregate in either engine, so both sides expand
+    the window into 8 lag columns and count first occurrences with
+    null-safe pairwise comparisons (28 vectorized compares per batch —
+    O(W²/2·n), fine for feature-sized W). One conv_id exchange for the
+    in-conversation lags."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    turns = events_to_turns(_events(sf_dir))
+
+    def _project(tbl):
+        return tbl.select(["conv_id", "ts", "order_key", "tool"])
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("w_distinct_tools", pa.int64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        okey = tbl.column("order_key").cast(pa.int64()).to_numpy()
+        order = np.lexsort((okey, ts, codes))
+        codes, ts = codes[order], ts[order]
+        tool = tbl.column("tool").to_numpy(zero_copy_only=False)[order]
+        n = len(codes)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        tix = (np.arange(n) - np.repeat(starts, lens)).astype(np.int32)
+        # integer-encode tools; -1 = null
+        import pandas as pd
+
+        isnull = pd.isna(tool)
+        tvals = np.where(isnull, "", tool).astype(object)
+        _, tcodes = np.unique(tvals.astype(str), return_inverse=True)
+        tcodes = np.where(isnull, -1, tcodes).astype(np.int64)
+        lagged = np.full((_WDT_W, n), -1, np.int64)
+        for j in range(_WDT_W):
+            valid = tix >= j
+            idx = np.flatnonzero(valid)
+            lagged[j, idx] = tcodes[idx - j]
+        cnt = np.zeros(n, np.int64)
+        for j in range(_WDT_W):
+            new = lagged[j] >= 0
+            for i in range(j):
+                new &= lagged[j] != lagged[i]
+            cnt += new
+        return pa.table(
+            {
+                "conv_id": pa.array(uniq[codes], pa.string()),
+                "turn_idx": pa.array(tix, pa.int32()),
+                "w_distinct_tools": pa.array(cnt),
+            }
+        )
+
+    return hash_exchange(
+        turns.map_batches(_project, batch_format="pyarrow", batch_size=None),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+def _wdt_sql() -> str:
+    lags = ",\n    ".join(
+        f"lag(tool, {j}) OVER w AS t{j}" for j in range(_WDT_W)
+    )
+    terms = []
+    for j in range(_WDT_W):
+        conds = [f"t{j} IS NOT NULL"] + [
+            f"t{j} IS DISTINCT FROM t{i}" for i in range(j)
+        ]
+        terms.append(
+            "CASE WHEN " + " AND ".join(conds) + " THEN 1 ELSE 0 END"
+        )
+    expr = "\n      + ".join(terms)
+    return f"""
+WITH {SQL_TURNS_CTE},
+lagd AS (
+  SELECT conv_id, turn_idx,
+    {lags}
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, turn_idx,
+  CAST({expr} AS BIGINT) AS w_distinct_tools
+FROM lagd
+""".strip()
+
+
+QUERIES["w_distinct_tools"] = q_w_distinct_tools
+ORACLE_SQL["w_distinct_tools"] = _wdt_sql()
+
+
+# (lower_bound_us_inclusive, name) — upper bound is the next entry
+_LAT_BUCKETS = (
+    (0, "lt_1m"),
+    (60_000_000, "lt_1h"),
+    (3_600_000_000, "lt_1d"),
+    (86_400_000_000, "lt_7d"),
+    (604_800_000_000, "ge_7d"),
+)
+
+
+def q_latency_bucket_profile(sf_dir: str):
+    """Per-conversation bucketized latency profile (counts of
+    inter-turn deltas in <1m / <1h / <1d / <7d / ≥7d) — the binned
+    encoder form of the latency distribution, exact integer counts.
+    One conv_id exchange, reduceat per bucket mask."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    names = [nm for _, nm in _LAT_BUCKETS]
+    out_schema = pa.schema(
+        [("conv_id", pa.string())]
+        + [(f"n_{nm}", pa.int64()) for nm in names]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        st = _sorted_conv_deltas(tbl)
+        if st is None:
+            return out_schema.empty_table()
+        has = st["has_delta"]
+        d_codes = st["codes"][has]
+        y = st["delta"][has]
+        if not len(d_codes):
+            return out_schema.empty_table()
+        starts = np.flatnonzero(np.r_[True, d_codes[1:] != d_codes[:-1]])
+        bounds = [lo for lo, _ in _LAT_BUCKETS] + [None]
+        cols = {
+            "conv_id": pa.array(
+                st["uniq"][d_codes[starts]], pa.string()
+            )
+        }
+        for bi, (lo, nm) in enumerate(_LAT_BUCKETS):
+            hi = bounds[bi + 1]
+            mask = y >= lo if hi is None else (y >= lo) & (y < hi)
+            cols[f"n_{nm}"] = pa.array(
+                np.add.reduceat(mask.astype(np.int64), starts)
+            )
+        return pa.table(cols)
+
+    return hash_exchange(
+        _latency_turns(sf_dir),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+def _latency_bucket_sql() -> str:
+    bounds = [lo for lo, _ in _LAT_BUCKETS] + [None]
+    terms = []
+    for bi, (lo, nm) in enumerate(_LAT_BUCKETS):
+        hi = bounds[bi + 1]
+        cond = f"delta_us >= {lo}" + (
+            "" if hi is None else f" AND delta_us < {hi}"
+        )
+        terms.append(
+            f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{nm}"
+        )
+    sel = ",\n  ".join(terms)
+    return f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+  FROM turns)
+SELECT conv_id,
+  {sel}
+FROM d WHERE delta_us IS NOT NULL
+GROUP BY conv_id
+""".strip()
+
+
+QUERIES["latency_bucket_profile"] = q_latency_bucket_profile
+ORACLE_SQL["latency_bucket_profile"] = _latency_bucket_sql()

@@ -748,3 +748,123 @@ SELECT n_bins, n_old, n_new, tv_numer,
   CAST(tv_numer AS DOUBLE) / (2 * n_old * n_new) AS tv
 FROM t
 """.strip()
+
+
+def q_ks_drift_value(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift on events.value between two
+    deterministic user arms (splitmix64(user_id) % 2 — same assignment
+    chain as ab_experiment_summary). EXACT by integer cross-
+    multiplication: at each distinct value v the CDF gap
+    |F0(v) − F1(v)| = |cc0(v)·n1 − cc1(v)·n0| / (n0·n1) has an INTEGER
+    numerator, so D's argmax is exact int64 on both engines and the
+    only float is the single final division. Scale shape: per-batch
+    (cents, arm) count partials collapse before the exchange, the
+    merged per-value table is bounded by DISTINCT CENTS (the
+    price_cume_dist histogram argument — domain-bounded, not
+    row-bounded), one range sort + two-phase global prefix scan
+    (O(blocks) ints to the driver), and the final max is a scalar
+    aggregate. Unbinned twin of q_histogram_drift's total-variation
+    statistic."""
+    from ..functions.hashing import rehash64
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+    from ..stages.scan import global_scan
+
+    ev = _events(sf_dir, ["user_id", "value"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy().astype(np.uint64)
+        arm = (rehash64(u, 0) % np.uint64(2)).astype(np.int64)
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "cents": pa.array(cents),
+                "c0": pa.array((arm == 0).astype(np.int64)),
+                "c1": pa.array(arm),
+            }
+        )
+        return group_aggregate_table(
+            t, ["cents"], [("c0", "sum"), ("c1", "sum")]
+        )
+
+    per_val = hash_grouped_aggregate(
+        ev.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["cents"],
+        [("c0", "sum"), ("c1", "sum")],
+        num_buckets=8,
+    ).materialize()  # bounded by distinct cents, not rows
+    n0 = int(per_val.sum("c0") or 0)
+    n1 = int(per_val.sum("c1") or 0)
+
+    scanned = global_scan(
+        per_val, [("cents", "ascending")], [("c0", "cc0"), ("c1", "cc1")]
+    )
+
+    def _dnum(tbl: pa.Table) -> pa.Table:
+        cc0 = tbl.column("cc0").to_numpy()
+        cc1 = tbl.column("cc1").to_numpy()
+        return pa.table(
+            {"d": pa.array(np.abs(cc0 * np.int64(n1) - cc1 * np.int64(n0)))}
+        )
+
+    dmax = int(
+        scanned.map_batches(
+            _dnum, batch_format="pyarrow", batch_size=None
+        ).max("d")
+        or 0
+    )
+    ks = float(dmax) / (float(n0) * float(n1)) if n0 and n1 else None
+    return pa.table(
+        {
+            "n0": pa.array([n0], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "ks_d_num": pa.array([dmax], pa.int64()),
+            "ks_stat": pa.array([ks], pa.float64()),
+        }
+    )
+
+
+def _ks_sql() -> str:
+    from .text_queries import _splitmix_mulmod
+
+    return f"""
+WITH e0 AS (
+  SELECT CAST(user_id AS UBIGINT) AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), e1 AS (SELECT cents, xor(x, x >> 30) AS x FROM e0
+), e2 AS (SELECT cents, {_splitmix_mulmod(0xBF58476D1CE4E5B9)} AS x FROM e1
+), e3 AS (SELECT cents, xor(x, x >> 27) AS x FROM e2
+), e4 AS (SELECT cents, {_splitmix_mulmod(0x94D049BB133111EB)} AS x FROM e3
+), e5 AS (SELECT cents, xor(x, x >> 31) AS x FROM e4
+), arms AS (
+  SELECT cents, CAST(x % 2 AS BIGINT) AS arm FROM e5
+), pv AS (
+  SELECT cents,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+    CAST(sum(arm) AS BIGINT) AS c1
+  FROM arms GROUP BY cents
+), cum AS (
+  SELECT cents,
+    CAST(sum(c0) OVER (ORDER BY cents) AS BIGINT) AS cc0,
+    CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cc1
+  FROM pv
+), tot AS (
+  SELECT CAST(sum(c0) AS BIGINT) AS n0,
+         CAST(sum(c1) AS BIGINT) AS n1
+  FROM pv
+)
+SELECT tot.n0, tot.n1,
+  CAST(max(abs(cc0 * tot.n1 - cc1 * tot.n0)) AS BIGINT) AS ks_d_num,
+  CAST(max(abs(cc0 * tot.n1 - cc1 * tot.n0)) AS DOUBLE)
+    / (CAST(tot.n0 AS DOUBLE) * CAST(tot.n1 AS DOUBLE)) AS ks_stat
+FROM cum, tot
+GROUP BY tot.n0, tot.n1
+""".strip()
+
+
+QUERIES["ks_drift_value"] = q_ks_drift_value
+ORACLE_SQL["ks_drift_value"] = _ks_sql()

@@ -2417,3 +2417,78 @@ GROUP BY conv_id
 
 QUERIES["latency_bucket_profile"] = q_latency_bucket_profile
 ORACLE_SQL["latency_bucket_profile"] = _latency_bucket_sql()
+
+
+def q_w_median_latency(sf_dir: str):
+    """Sliding-window MEDIAN of inter-turn latency (last 8 turns,
+    current inclusive) — the robust windowed aggregate (a single
+    straggler delta can't drag it the way w_latency_mean_s moves).
+    Pure int64: discrete median = sorted[ceil(k/2)−1] over the ≤8
+    non-null window deltas, exactly DuckDB's windowed quantile_disc.
+    Both engines expand the frame into 8 lags; the kernel sorts an
+    (n×8) sentinel-padded matrix in one vectorized pass."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("w_median_latency_us", pa.int64()),
+        ]
+    )
+    W = _WDT_W  # 8, shared with w_distinct_tools
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        st = _sorted_conv_deltas(tbl)
+        if st is None:
+            return out_schema.empty_table()
+        codes, tix, delta = st["codes"], st["tix"], st["delta"]
+        n = len(codes)
+        SENT = np.int64(2**62)
+        lagged = np.full((n, W), SENT, np.int64)
+        for j in range(W):
+            # lag-j delta exists when the lagged row is in the same
+            # conversation and is not its first turn (tix - j >= 1)
+            idx = np.flatnonzero(tix >= j + 1)
+            lagged[idx, j] = delta[idx - j]
+        k = (tix.astype(np.int64) + 0)  # non-null count = min(tix, W)
+        k = np.minimum(k, W)
+        lagged.sort(axis=1)
+        has = k > 0
+        pick = np.where(has, (k + 1) // 2 - 1, 0)
+        med = lagged[np.arange(n), pick]
+        return pa.table(
+            {
+                "conv_id": pa.array(st["uniq"][codes], pa.string()),
+                "turn_idx": pa.array(tix, pa.int32()),
+                "w_median_latency_us": pa.array(med, mask=~has),
+            }
+        )
+
+    return hash_exchange(
+        _latency_turns(sf_dir),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["w_median_latency"] = q_w_median_latency
+ORACLE_SQL["w_median_latency"] = f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id, turn_idx,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+  FROM turns)
+SELECT conv_id, turn_idx,
+  quantile_disc(delta_us, 0.5) OVER (
+    PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN {_WDT_W - 1} PRECEDING AND CURRENT ROW)
+    AS w_median_latency_us
+FROM d
+""".strip()

@@ -2492,3 +2492,115 @@ SELECT conv_id, turn_idx,
     AS w_median_latency_us
 FROM d
 """.strip()
+
+
+def q_latency_robust_features(sf_dir: str):
+    """Per-turn ROBUST encodings of inter-turn latency against the
+    conversation's own distribution: RobustScaler value
+    (x − median)/IQR and the Hampel outlier flag |x − median| > 3·MAD.
+    Median, quartiles and MAD (median absolute deviation) are discrete
+    quantiles of int64 µs — exact on both engines — so the flag is a
+    pure INTEGER comparison and the scaled value is one final IEEE
+    division; zero-IQR conversations scale to NULL (NULLIF both
+    sides). One conv_id exchange, two in-kernel sorts (values, then
+    absolute deviations)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("robust_scaled", pa.float64()),
+            ("is_outlier", pa.bool_()),
+        ]
+    )
+
+    def _q_disc(vals, starts, lens, q):
+        """quantile_disc per contiguous group: sorted[ceil(q·k)−1]."""
+        k = np.ceil(q * lens).astype(np.int64) - 1
+        return vals[starts + k]
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        st = _sorted_conv_deltas(tbl)
+        if st is None:
+            return out_schema.empty_table()
+        codes, tix, delta, has = (
+            st["codes"], st["tix"], st["delta"], st["has_delta"],
+        )
+        d_codes = codes[has]
+        y = delta[has]
+        if not len(d_codes):
+            return out_schema.empty_table()
+        o = np.lexsort((y, d_codes))
+        sc, sv = d_codes[o], y[o]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        lens = np.diff(np.r_[starts, len(sc)])
+        p25 = _q_disc(sv, starts, lens, 0.25)
+        p50 = _q_disc(sv, starts, lens, 0.5)
+        p75 = _q_disc(sv, starts, lens, 0.75)
+        gid_sorted = sc[starts]
+        # map group stats back to delta rows: groups appear in d_codes
+        # order = gid_sorted order (both ascend in codes)
+        ginv = np.searchsorted(gid_sorted, d_codes)
+        adev = np.abs(y - p50[ginv])
+        o2 = np.lexsort((adev, d_codes))
+        sa = adev[o2]
+        mad = _q_disc(sa, starts, lens, 0.5)
+        iqr = p75 - p25
+        row_iqr = iqr[ginv]
+        row_med = p50[ginv]
+        row_mad = mad[ginv]
+        okd = row_iqr != 0
+        scaled = (y - row_med).astype(np.float64) / np.where(
+            okd, row_iqr, 1
+        ).astype(np.float64)
+        outl = adev > 3 * row_mad
+        # emit one row per turn WITH a delta (first turns drop, as in
+        # the SQL's WHERE delta_us IS NOT NULL)
+        return pa.table(
+            {
+                "conv_id": pa.array(st["uniq"][d_codes], pa.string()),
+                "turn_idx": pa.array(tix[has], pa.int32()),
+                "robust_scaled": pa.array(scaled, mask=~okd),
+                "is_outlier": pa.array(outl),
+            }
+        )
+
+    return hash_exchange(
+        _latency_turns(sf_dir),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["latency_robust_features"] = q_latency_robust_features
+ORACLE_SQL["latency_robust_features"] = f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id, turn_idx,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+  FROM turns),
+dd AS (SELECT conv_id, turn_idx, delta_us FROM d
+       WHERE delta_us IS NOT NULL),
+g AS (
+  SELECT conv_id,
+    quantile_disc(delta_us, 0.25) AS p25,
+    quantile_disc(delta_us, 0.5) AS p50,
+    quantile_disc(delta_us, 0.75) AS p75
+  FROM dd GROUP BY conv_id),
+m AS (
+  SELECT dd.conv_id,
+    quantile_disc(abs(dd.delta_us - g.p50), 0.5) AS mad
+  FROM dd JOIN g USING (conv_id) GROUP BY dd.conv_id)
+SELECT dd.conv_id, dd.turn_idx,
+  CAST(dd.delta_us - g.p50 AS DOUBLE)
+    / NULLIF(CAST(g.p75 - g.p25 AS DOUBLE), 0) AS robust_scaled,
+  abs(dd.delta_us - g.p50) > 3 * m.mad AS is_outlier
+FROM dd JOIN g USING (conv_id) JOIN m USING (conv_id)
+""".strip()

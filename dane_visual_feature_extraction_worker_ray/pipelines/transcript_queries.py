@@ -2604,3 +2604,96 @@ SELECT dd.conv_id, dd.turn_idx,
   abs(dd.delta_us - g.p50) > 3 * m.mad AS is_outlier
 FROM dd JOIN g USING (conv_id) JOIN m USING (conv_id)
 """.strip()
+
+
+def q_role_dwell_time(sf_dir: str):
+    """State-dwell accounting: wall-clock each conversation spends "in"
+    each role — the forward gap to the next turn attributed to the turn
+    that opened it (telemetry's time-in-state rollup; the last turn of
+    a conversation has no forward gap and contributes nothing). Exact
+    int64 µs sums per (conv_id, role); one conv_id exchange, forward
+    deltas from the shared sorted prologue, per-(conv, role) reduceat."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    turns = events_to_turns(_events(sf_dir))
+
+    def _project(tbl):
+        return tbl.select(["conv_id", "ts", "order_key", "role"])
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("role", pa.string()),
+            ("dwell_us", pa.int64()),
+            ("n_dwells", pa.int64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        okey = tbl.column("order_key").cast(pa.int64()).to_numpy()
+        order = np.lexsort((okey, ts, codes))
+        codes, ts = codes[order], ts[order]
+        role = tbl.column("role").to_numpy(zero_copy_only=False)[order]
+        n = len(codes)
+        # forward gap: next row's ts minus mine, valid when the next
+        # row is the same conversation
+        has_fwd = np.zeros(n, bool)
+        fwd = np.zeros(n, np.int64)
+        if n > 1:
+            has_fwd[:-1] = codes[1:] == codes[:-1]
+            fwd[:-1] = ts[1:] - ts[:-1]
+        sel = np.flatnonzero(has_fwd)
+        if not len(sel):
+            return out_schema.empty_table()
+        g_codes, g_fwd = codes[sel], fwd[sel]
+        g_role = role[sel]
+        _, rcodes = np.unique(g_role.astype(str), return_inverse=True)
+        o2 = np.lexsort((rcodes, g_codes))
+        g_codes, g_fwd = g_codes[o2], g_fwd[o2]
+        g_role, rcodes = g_role[o2], rcodes[o2]
+        newg = np.r_[
+            True,
+            (g_codes[1:] != g_codes[:-1]) | (rcodes[1:] != rcodes[:-1]),
+        ]
+        starts = np.flatnonzero(newg)
+        lens = np.diff(np.r_[starts, len(g_codes)])
+        return pa.table(
+            {
+                "conv_id": pa.array(uniq[g_codes[starts]], pa.string()),
+                "role": pa.array(g_role[starts], pa.string()),
+                "dwell_us": pa.array(np.add.reduceat(g_fwd, starts)),
+                "n_dwells": pa.array(lens.astype(np.int64)),
+            }
+        )
+
+    return hash_exchange(
+        turns.map_batches(_project, batch_format="pyarrow", batch_size=None),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["role_dwell_time"] = q_role_dwell_time
+ORACLE_SQL["role_dwell_time"] = f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id, role,
+    lead(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) - epoch_us(ts) AS fwd_us
+  FROM turns)
+SELECT conv_id, role,
+  CAST(sum(fwd_us) AS BIGINT) AS dwell_us,
+  CAST(count(fwd_us) AS BIGINT) AS n_dwells
+FROM d WHERE fwd_us IS NOT NULL
+GROUP BY conv_id, role
+""".strip()

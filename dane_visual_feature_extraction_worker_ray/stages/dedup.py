@@ -2238,18 +2238,29 @@ def paragraph_dedup(
 
     drop_schema = pa.schema([("doc_id", pa.int64()), ("ci", pa.int32())])
 
-    def _drops(group: pa.Table) -> pa.Table:
-        d = group.column("doc_id").to_numpy(zero_copy_only=False)
-        c = group.column("ci").to_numpy(zero_copy_only=False)
-        o = np.lexsort((c, d))[1:]  # all but the first occurrence
+    def _drops_kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        """All-but-first occurrence per content hash, ONE lexsort per
+        partition (keep-first = smallest (doc_id, ci)). Vectorized
+        run detection — a per-group Python dispatch here costs one
+        call per duplicated paragraph hash (~1M calls at the 1M-doc
+        bench tier, measured 21 s of the 30 s stage; this kernel does
+        the same work in ~2 s)."""
+        if tbl.num_rows == 0:
+            return drop_schema.empty_table()
+        h = tbl.column("h").to_numpy(zero_copy_only=False)
+        d = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        c = tbl.column("ci").to_numpy(zero_copy_only=False)
+        o = np.lexsort((c, d, h))
+        h, d, c = h[o], d[o], c[o]
+        dup = np.r_[False, h[1:] == h[:-1]]  # all but first of each run
         return pa.table(
             {
-                "doc_id": pa.array(d[o].astype(np.int64)),
-                "ci": pa.array(c[o].astype(np.int32)),
+                "doc_id": pa.array(d[dup].astype(np.int64)),
+                "ci": pa.array(c[dup].astype(np.int32)),
             }
         )
 
-    drops = hash_grouped_map(
+    drops = hash_exchange(
         chunked.map_batches(
             lambda t: t.filter(
                 pc.equal(t.column("role"), pa.scalar(0, pa.int8()))
@@ -2258,10 +2269,9 @@ def paragraph_dedup(
             batch_size=None,
         ),
         "h",
-        _drops,
-        num_partitions=num_partitions,
+        num_partitions,
+        _drops_kernel,
         empty_schema=drop_schema,
-        min_group_size=2,
     )
 
     def _tag_drops(tbl: pa.Table) -> pa.Table:

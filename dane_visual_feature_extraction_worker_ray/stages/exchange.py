@@ -257,6 +257,16 @@ def hash_grouped_map(
     for pair-emitting kernels (LSH buckets) — most buckets are
     singletons that the kernel would immediately discard, and skipping
     them removes one Python call per group.
+
+    COST MODEL: dispatch is O(groups) Python calls. Fine for
+    entity keys (conversations, users, IVF lists — few, large groups);
+    pathological for keys whose group count approaches the row count
+    (content hashes, n-grams): paragraph_dedup's drops step measured
+    21 s of Python dispatch over ~1M tiny hash groups at the 1M-doc
+    tier before being rewritten as a whole-partition vectorized
+    ``hash_exchange`` kernel (one lexsort + run masks, ~2 s). If your
+    per-group logic is expressible as sort + segmented reduce, use
+    ``hash_exchange`` directly.
     """
     import pyarrow.compute as pc
 

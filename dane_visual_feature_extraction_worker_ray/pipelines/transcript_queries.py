@@ -2697,3 +2697,120 @@ SELECT conv_id, role,
 FROM d WHERE fwd_us IS NOT NULL
 GROUP BY conv_id, role
 """.strip()
+
+
+def q_role_transition_latency(sf_dir: str):
+    """Corpus-wide response-time matrix: for every (prev_role → role)
+    transition, how many occurrences and the mean inter-turn latency —
+    the transition-conditioned timing profile (assistant-after-user
+    vs user-after-assistant asymmetry in a real transcript corpus).
+    One conv_id exchange computes per-partition exact (pair, n, Σµs)
+    partials — bounded by |roles|² rows each — then a tiny pair-keyed
+    merge; the mean is the single final IEEE division."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+    from ..stages.groupagg import hash_grouped_aggregate
+
+    turns = events_to_turns(_events(sf_dir))
+
+    def _project(tbl):
+        return tbl.select(["conv_id", "ts", "order_key", "role"])
+
+    part_schema = pa.schema(
+        [
+            ("prev_role", pa.string()),
+            ("role", pa.string()),
+            ("n_transitions", pa.int64()),
+            ("sum_us", pa.int64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return part_schema.empty_table()
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        okey = tbl.column("order_key").cast(pa.int64()).to_numpy()
+        order = np.lexsort((okey, ts, codes))
+        codes, ts = codes[order], ts[order]
+        role = tbl.column("role").to_numpy(zero_copy_only=False)[order]
+        n = len(codes)
+        if n < 2:
+            return part_schema.empty_table()
+        same = codes[1:] == codes[:-1]
+        idx = np.flatnonzero(same) + 1
+        if not len(idx):
+            return part_schema.empty_table()
+        delta = ts[idx] - ts[idx - 1]
+        rstr = role.astype(str)
+        _, pcodes = np.unique(rstr[idx - 1], return_inverse=True)
+        ruid, rcodes = np.unique(rstr[idx], return_inverse=True)
+        puid = np.unique(rstr[idx - 1])
+        pair = pcodes.astype(np.int64) * len(ruid) + rcodes
+        o2 = np.argsort(pair, kind="stable")
+        pair, delta = pair[o2], delta[o2]
+        starts = np.flatnonzero(np.r_[True, pair[1:] != pair[:-1]])
+        lens = np.diff(np.r_[starts, len(pair)])
+        pk = pair[starts]
+        return pa.table(
+            {
+                "prev_role": pa.array(
+                    puid[pk // len(ruid)], pa.string()
+                ),
+                "role": pa.array(ruid[pk % len(ruid)], pa.string()),
+                "n_transitions": pa.array(lens.astype(np.int64)),
+                "sum_us": pa.array(np.add.reduceat(delta, starts)),
+            }
+        )
+
+    partials = hash_exchange(
+        turns.map_batches(_project, batch_format="pyarrow", batch_size=None),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=part_schema,
+    )
+    merged = hash_grouped_aggregate(
+        partials,
+        ["prev_role", "role"],
+        [("n_transitions", "sum"), ("sum_us", "sum")],
+        num_buckets=2,
+    )
+
+    def _final(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n_transitions").to_numpy()
+        s = tbl.column("sum_us").to_numpy()
+        mean = s.astype(np.float64) / n.astype(np.float64) / 1000000.0
+        return pa.table(
+            {
+                "prev_role": tbl.column("prev_role"),
+                "role": tbl.column("role"),
+                "n_transitions": pa.array(n.astype(np.int64)),
+                "mean_latency_s": pa.array(mean),
+            }
+        )
+
+    return merged.map_batches(_final, batch_format="pyarrow",
+                              batch_size=None)
+
+
+QUERIES["role_transition_latency"] = q_role_transition_latency
+ORACLE_SQL["role_transition_latency"] = f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id, role,
+    lag(role) OVER w AS prev_role,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT prev_role, role,
+  CAST(count(*) AS BIGINT) AS n_transitions,
+  CAST(CAST(sum(delta_us) AS BIGINT) AS DOUBLE)
+    / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) / 1000000
+    AS mean_latency_s
+FROM d WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+""".strip()

@@ -2814,3 +2814,99 @@ SELECT prev_role, role,
 FROM d WHERE prev_role IS NOT NULL
 GROUP BY prev_role, role
 """.strip()
+
+
+def q_snaps_since_prev_turn(sf_dir: str):
+    """Interval-COUNT join: for every turn, how many snapshots landed
+    in (prev_turn.ts, turn.ts] — the join-density feature telling a
+    backfill pipeline which turns absorbed multiple snapshot updates
+    (as-of keeps only the latest; this counts what it skipped). One
+    conv_id exchange over the aligned turns ∪ snaps union, then a
+    single sorted merge per partition: sort (conv, ts, snaps-first-at-
+    ties, order_key), running snapshot count, per-turn difference vs
+    the previous turn — the "≤ ts" inclusive / "> prev_ts" exclusive
+    boundary rule falls out of the tie ordering, bit-identically to
+    the oracle's correlated range join."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    aligned = _asof_aligned_union(sf_dir)
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("n_snaps_since_prev", pa.int64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        is_snap = tbl.column("is_snap").to_numpy(zero_copy_only=False)
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        okey = tbl.column("order_key").to_numpy(zero_copy_only=False)
+        okey = np.where(np.isnan(okey.astype(np.float64)), 0, okey).astype(
+            np.int64
+        ) if okey.dtype != np.int64 else okey
+        is_turn = (is_snap == 0).astype(np.int8)
+        # snaps sort BEFORE turns at an equal timestamp => a snapshot
+        # at exactly turn.ts is counted (inclusive right boundary)
+        order = np.lexsort((okey, is_turn, ts, codes))
+        codes, is_turn = codes[order], is_turn[order]
+        n = len(codes)
+        cumsnap = np.cumsum(1 - is_turn)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        seg = np.repeat(np.arange(len(starts)), lens)
+        base = np.zeros(len(starts), np.int64)
+        base[1:] = cumsnap[starts[1:] - 1]
+        t_rows = np.flatnonzero(is_turn == 1)
+        if not len(t_rows):
+            return out_schema.empty_table()
+        t_codes = codes[t_rows]
+        snaps_le = cumsnap[t_rows] - base[seg[t_rows]]
+        t_starts = np.flatnonzero(
+            np.r_[True, t_codes[1:] != t_codes[:-1]]
+        )
+        t_lens = np.diff(np.r_[t_starts, len(t_codes)])
+        tix = (
+            np.arange(len(t_codes)) - np.repeat(t_starts, t_lens)
+        ).astype(np.int32)
+        prev = np.empty(len(t_codes), np.int64)
+        prev[0] = 0
+        prev[1:] = snaps_le[:-1]
+        prev[t_starts] = 0  # first turn counts every snap up to it
+        return pa.table(
+            {
+                "conv_id": pa.array(uniq[t_codes], pa.string()),
+                "turn_idx": pa.array(tix, pa.int32()),
+                "n_snaps_since_prev": pa.array(snaps_le - prev),
+            }
+        )
+
+    return hash_exchange(
+        aligned, "conv_id", PCFG.num_buckets, _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["snaps_since_prev_turn"] = q_snaps_since_prev_turn
+ORACLE_SQL["snaps_since_prev_turn"] = f"""
+WITH {SQL_TURNS_CTE},
+{SQL_SNAPS_CTE},
+tt AS (
+  SELECT conv_id, turn_idx, ts,
+    lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+  FROM turns)
+SELECT tt.conv_id, tt.turn_idx,
+  CAST(count(s.ts) AS BIGINT) AS n_snaps_since_prev
+FROM tt LEFT JOIN snaps s
+  ON s.conv_id = tt.conv_id AND s.ts <= tt.ts
+     AND (tt.prev_ts IS NULL OR s.ts > tt.prev_ts)
+GROUP BY tt.conv_id, tt.turn_idx
+""".strip()

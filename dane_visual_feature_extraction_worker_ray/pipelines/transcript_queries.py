@@ -2910,3 +2910,127 @@ FROM tt LEFT JOIN snaps s
      AND (tt.prev_ts IS NULL OR s.ts > tt.prev_ts)
 GROUP BY tt.conv_id, tt.turn_idx
 """.strip()
+
+
+def q_w_latency_slope(sf_dir: str):
+    """ROLLING OLS slope of inter-turn latency over the trailing
+    8-turn frame — the windowed form of conv_latency_trend (is the
+    conversation accelerating RIGHT NOW?). For each turn the frame's
+    deltas pair with positions x = 1..k (oldest first, k = non-null
+    deltas in frame); slope = (k·Σxy − Σx·Σy)/(k·Σx² − (Σx)²) with
+    every sum an exact int64 built from the same 8 lag columns both
+    engines expand (x-sums are closed-form in k; y-sums accumulate in
+    identical lag order). Frames with k < 2 are NULL. Deltas
+    floor-divided to seconds for the same int64 headroom argument as
+    latency_autocorr."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    W = _WDT_W  # 8
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("w_slope_s_per_turn", pa.float64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        st = _sorted_conv_deltas(tbl)
+        if st is None:
+            return out_schema.empty_table()
+        codes, tix = st["codes"], st["tix"]
+        delta_s = st["delta"] // 1000000
+        n = len(codes)
+        k = np.minimum(tix.astype(np.int64), W)
+        # lag j = 0..W-1 holds the delta j turns back; within the
+        # frame, its position is x = k - j (newest has the largest x)
+        sy = np.zeros(n, np.int64)
+        sxy = np.zeros(n, np.int64)
+        for j in range(W):
+            valid = tix >= (j + 1)
+            idx = np.flatnonzero(valid)
+            dj = np.zeros(n, np.int64)
+            dj[idx] = delta_s[idx - j]
+            sy = sy + dj
+            sxy = sxy + dj * np.maximum(k - j, 0)
+        sx = k * (k + 1) // 2
+        sxx = k * (k + 1) * (2 * k + 1) // 6
+        ok = k >= 2
+        kf = k.astype(np.float64)
+        den = kf * sxx.astype(np.float64) - sx.astype(np.float64) * sx.astype(
+            np.float64
+        )
+        num = kf * sxy.astype(np.float64) - sx.astype(np.float64) * sy.astype(
+            np.float64
+        )
+        slope = num / np.where(ok, den, 1.0)
+        return pa.table(
+            {
+                "conv_id": pa.array(st["uniq"][codes], pa.string()),
+                "turn_idx": pa.array(tix, pa.int32()),
+                "w_slope_s_per_turn": pa.array(slope, mask=~ok),
+            }
+        )
+
+    return hash_exchange(
+        _latency_turns(sf_dir),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+def _w_slope_sql() -> str:
+    W = _WDT_W
+    lags = ",\n    ".join(
+        f"lag(delta_us // 1000000, {j}) OVER w AS d{j}" for j in range(W)
+    )
+    k_expr = " + ".join(
+        f"(CASE WHEN d{j} IS NOT NULL THEN 1 ELSE 0 END)" for j in range(W)
+    )
+    sy = " + ".join(f"COALESCE(d{j}, 0)" for j in range(W))
+    sxy = " + ".join(
+        f"COALESCE(d{j}, 0) * GREATEST(k - {j}, 0)" for j in range(W)
+    )
+    return f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id, turn_idx,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+  FROM turns),
+lagd AS (
+  SELECT conv_id, turn_idx,
+    {lags}
+  FROM d
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+kk AS (
+  SELECT conv_id, turn_idx,
+    CAST({k_expr} AS BIGINT) AS k,
+    CAST({sy} AS BIGINT) AS sy,
+    d0, d1, d2, d3, d4, d5, d6, d7
+  FROM lagd),
+ss AS (
+  SELECT conv_id, turn_idx, k, sy,
+    CAST({sxy} AS BIGINT) AS sxy,
+    k * (k + 1) // 2 AS sx,
+    k * (k + 1) * (2 * k + 1) // 6 AS sxx
+  FROM kk)
+SELECT conv_id, turn_idx,
+  CASE WHEN k >= 2 THEN
+    (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+  END AS w_slope_s_per_turn
+FROM ss
+""".strip()
+
+
+QUERIES["w_latency_slope"] = q_w_latency_slope
+ORACLE_SQL["w_latency_slope"] = _w_slope_sql()

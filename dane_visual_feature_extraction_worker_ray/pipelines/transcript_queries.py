@@ -3034,3 +3034,114 @@ FROM ss
 
 QUERIES["w_latency_slope"] = q_w_latency_slope
 ORACLE_SQL["w_latency_slope"] = _w_slope_sql()
+
+
+def q_conv_duration_percentile(sf_dir: str):
+    """Two-level cross-entity feature: each conversation's wall-clock
+    duration (last ts − first ts, floor seconds) ranked against EVERY
+    conversation's — cume_dist on a derived per-entity aggregate (the
+    "how unusual is this conversation" normalizer). Level 1 is one
+    conv_id exchange emitting (conv, dur_s); level 2 is the bounded
+    duration histogram (mergeable (dur_s, count) partials, driver
+    state O(distinct durations) — the price_cume_dist pattern,
+    relational_queries._lineitem_cent_hist) broadcast into a streaming
+    searchsorted score map. cume = count(dur ≤ mine)/total, one exact
+    integer division per row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from ..stages.exchange import hash_exchange
+    from ..stages.groupagg import group_aggregate_table, hash_grouped_aggregate
+
+    dur_schema = pa.schema(
+        [("conv_id", pa.string()), ("dur_s", pa.int64())]
+    )
+
+    def _durs(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return dur_schema.empty_table()
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        lo = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        hi = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(lo, codes, ts)
+        np.maximum.at(hi, codes, ts)
+        return pa.table(
+            {
+                "conv_id": pa.array(uniq, pa.string()),
+                "dur_s": pa.array((hi - lo) // 1000000),
+            }
+        )
+
+    durs = hash_exchange(
+        _latency_turns(sf_dir).map_batches(
+            lambda t: t.select(["conv_id", "ts"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        "conv_id",
+        PCFG.num_buckets,
+        _durs,
+        empty_schema=dur_schema,
+    ).materialize()  # one row per conversation; reused for hist + score
+
+    def _hist_partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "dur_s": tbl.column("dur_s"),
+                "n": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+        return group_aggregate_table(t, ["dur_s"], [("n", "sum")])
+
+    hist_ds = hash_grouped_aggregate(
+        durs.map_batches(
+            _hist_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["dur_s"],
+        [("n", "sum")],
+        num_buckets=4,
+    )
+    parts = [_ray.get(r) for r in hist_ds.to_arrow_refs()]
+    hist = pa.concat_tables([t for t in parts if t.num_rows])
+    vals = hist.column("dur_s").to_numpy()
+    cnt = hist.column("n").cast(pa.int64()).to_numpy()
+    o = np.argsort(vals)
+    vals, cnt = vals[o], cnt[o]
+    cum = np.cumsum(cnt)
+    total = int(cum[-1]) if len(cum) else 0
+    vals_ref, cum_ref = _ray.put(vals), _ray.put(cum)
+
+    def _score(tbl: pa.Table) -> pa.Table:
+        v = _ray.get(vals_ref)
+        c = _ray.get(cum_ref)
+        x = tbl.column("dur_s").to_numpy()
+        pos = np.searchsorted(v, x, side="right") - 1
+        le = c[pos]  # every x exists in the histogram by construction
+        return pa.table(
+            {
+                "conv_id": tbl.column("conv_id"),
+                "dur_s": tbl.column("dur_s"),
+                "dur_cume": pa.array(
+                    le.astype(np.float64) / np.float64(total)
+                ),
+            }
+        )
+
+    return durs.map_batches(_score, batch_format="pyarrow",
+                            batch_size=None)
+
+
+QUERIES["conv_duration_percentile"] = q_conv_duration_percentile
+ORACLE_SQL["conv_duration_percentile"] = f"""
+WITH {SQL_TURNS_CTE},
+g AS (
+  SELECT conv_id,
+    (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS dur_s
+  FROM turns GROUP BY conv_id)
+SELECT conv_id, dur_s,
+  cume_dist() OVER (ORDER BY dur_s) AS dur_cume
+FROM g
+""".strip()

@@ -3145,3 +3145,163 @@ SELECT conv_id, dur_s,
   cume_dist() OVER (ORDER BY dur_s) AS dur_cume
 FROM g
 """.strip()
+
+
+# (start_hour_inclusive, end_hour_exclusive, name) over UTC hours
+_TOD_BUCKETS = (
+    (0, 6, "night"),
+    (6, 12, "morning"),
+    (12, 18, "afternoon"),
+    (18, 24, "evening"),
+)
+
+
+def q_conv_time_of_day_profile(sf_dir: str):
+    """Per-conversation circadian profile: turn counts by time-of-day
+    quadrant (night/morning/afternoon/evening, UTC). Hour is the pure
+    integer (epoch_us // 3600e6) % 24 on BOTH engines — no calendar
+    functions, so no timezone/DST divergence can enter. One conv_id
+    exchange, one reduceat per bucket mask."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    out_schema = pa.schema(
+        [("conv_id", pa.string())]
+        + [(f"n_{nm}", pa.int64()) for _, _, nm in _TOD_BUCKETS]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        hour = (ts // 3_600_000_000) % 24
+        o = np.argsort(codes, kind="stable")
+        codes, hour = codes[o], hour[o]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        cols = {"conv_id": pa.array(uniq[codes[starts]], pa.string())}
+        for lo, hi, nm in _TOD_BUCKETS:
+            mask = ((hour >= lo) & (hour < hi)).astype(np.int64)
+            cols[f"n_{nm}"] = pa.array(np.add.reduceat(mask, starts))
+        return pa.table(cols)
+
+    return hash_exchange(
+        _latency_turns(sf_dir).map_batches(
+            lambda t: t.select(["conv_id", "ts"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+def _tod_sql() -> str:
+    terms = ",\n  ".join(
+        f"CAST(sum(CASE WHEN hh >= {lo} AND hh < {hi} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{nm}"
+        for lo, hi, nm in _TOD_BUCKETS
+    )
+    return f"""
+WITH {SQL_TURNS_CTE},
+h AS (
+  SELECT conv_id, (epoch_us(ts) // 3600000000) % 24 AS hh FROM turns)
+SELECT conv_id,
+  {terms}
+FROM h GROUP BY conv_id
+""".strip()
+
+
+QUERIES["conv_time_of_day_profile"] = q_conv_time_of_day_profile
+ORACLE_SQL["conv_time_of_day_profile"] = _tod_sql()
+
+
+def q_session_length_median(sf_dir: str):
+    """Composed feature: gap-based sessionization (the flagship's
+    session rule, {gap} µs) then the per-conversation MEDIAN session
+    length in turns — a two-level order statistic (sessions are
+    derived entities, the median is discrete ⇒ exact int64). One
+    conv_id exchange: session boundaries from the sorted deltas,
+    session lengths from run arithmetic, per-conversation
+    quantile_disc index pick."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_sessions", pa.int64()),
+            ("median_session_turns", pa.int64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        st = _sorted_conv_deltas(tbl)
+        if st is None:
+            return out_schema.empty_table()
+        codes, tix, delta = st["codes"], st["tix"], st["delta"]
+        n = len(codes)
+        # a session starts at each conversation's first turn and at
+        # every gap > the flagship session threshold
+        # conversation firsts (tix==0) are session starts too, so the
+        # distance to the next start — or the global end — is exactly
+        # the session length even across conversation boundaries
+        sess_start = (tix == 0) | (delta > _GAP)
+        bounds = np.flatnonzero(sess_start)
+        slen = np.diff(np.r_[bounds, n])
+        s_codes = codes[bounds]
+        o = np.lexsort((slen, s_codes))
+        s_codes, slen = s_codes[o], slen[o]
+        starts = np.flatnonzero(np.r_[True, s_codes[1:] != s_codes[:-1]])
+        lens = np.diff(np.r_[starts, len(s_codes)])
+        k = np.ceil(0.5 * lens).astype(np.int64) - 1
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    st["uniq"][s_codes[starts]], pa.string()
+                ),
+                "n_sessions": pa.array(lens.astype(np.int64)),
+                "median_session_turns": pa.array(
+                    slen[starts + k].astype(np.int64)
+                ),
+            }
+        )
+
+    return hash_exchange(
+        _latency_turns(sf_dir),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["session_length_median"] = q_session_length_median
+ORACLE_SQL["session_length_median"] = f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id, turn_idx,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+  FROM turns),
+sess AS (
+  SELECT conv_id, turn_idx,
+    CAST(SUM(CASE WHEN delta_us IS NULL OR delta_us > {_GAP}
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+      AS session_id
+  FROM d),
+sl AS (
+  SELECT conv_id, session_id, CAST(count(*) AS BIGINT) AS n_turns
+  FROM sess GROUP BY conv_id, session_id)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_sessions,
+  quantile_disc(n_turns, 0.5) AS median_session_turns
+FROM sl GROUP BY conv_id
+""".strip()

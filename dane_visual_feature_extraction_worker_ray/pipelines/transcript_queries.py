@@ -3305,3 +3305,157 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_sessions,
   quantile_disc(n_turns, 0.5) AS median_session_turns
 FROM sl GROUP BY conv_id
 """.strip()
+
+
+def q_tool_concentration(sf_dir: str):
+    """Per-conversation tool-usage concentration (Herfindahl index
+    over non-null tool counts): HHI = Σcᵢ²/m² — both sums exact int64,
+    ONE final IEEE division; 1.0 = a single tool dominates, → 1/k for
+    k uniformly-used tools. Conversations with no tool turns drop out
+    (no denominator), matching the SQL's implicit group elimination."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    turns = events_to_turns(_events(sf_dir))
+
+    def _project(tbl):
+        return tbl.select(["conv_id", "tool"])
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_tool_turns", pa.int64()),
+            ("n_distinct_tools", pa.int64()),
+            ("tool_hhi", pa.float64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        import pandas as pd
+
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        tool = tbl.column("tool").to_numpy(zero_copy_only=False)
+        keep = ~pd.isna(tool)
+        if not keep.any():
+            return out_schema.empty_table()
+        conv, tool = conv[keep], tool[keep]
+        uniq, codes = np.unique(conv, return_inverse=True)
+        _, tcodes = np.unique(tool.astype(str), return_inverse=True)
+        pair = codes.astype(np.int64) * (tcodes.max() + 1) + tcodes
+        o = np.argsort(pair, kind="stable")
+        pair_s, codes_s = pair[o], codes[o]
+        pstarts = np.flatnonzero(np.r_[True, pair_s[1:] != pair_s[:-1]])
+        pcount = np.diff(np.r_[pstarts, len(pair_s)]).astype(np.int64)
+        pconv = codes_s[pstarts]
+        cstarts = np.flatnonzero(np.r_[True, pconv[1:] != pconv[:-1]])
+        m = np.add.reduceat(pcount, cstarts)
+        ssq = np.add.reduceat(pcount * pcount, cstarts)
+        k = np.diff(np.r_[cstarts, len(pconv)]).astype(np.int64)
+        hhi = ssq.astype(np.float64) / (
+            m.astype(np.float64) * m.astype(np.float64)
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(uniq[pconv[cstarts]], pa.string()),
+                "n_tool_turns": pa.array(m),
+                "n_distinct_tools": pa.array(k),
+                "tool_hhi": pa.array(hhi),
+            }
+        )
+
+    return hash_exchange(
+        turns.map_batches(_project, batch_format="pyarrow", batch_size=None),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["tool_concentration"] = q_tool_concentration
+ORACLE_SQL["tool_concentration"] = f"""
+WITH {SQL_TURNS_CTE},
+tc AS (
+  SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS c
+  FROM turns WHERE tool IS NOT NULL
+  GROUP BY conv_id, tool)
+SELECT conv_id,
+  CAST(sum(c) AS BIGINT) AS n_tool_turns,
+  CAST(count(*) AS BIGINT) AS n_distinct_tools,
+  CAST(CAST(sum(c * c) AS BIGINT) AS DOUBLE)
+    / (CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+       * CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)) AS tool_hhi
+FROM tc GROUP BY conv_id
+""".strip()
+
+
+def q_inter_session_gaps(sf_dir: str):
+    """The complement of within-session latency: per conversation, the
+    BREAKS between sessions (deltas over the {gap} µs threshold) —
+    how many, and their median length in whole seconds (discrete ⇒
+    exact int64). Conversations that never break drop out. Same
+    exchange + sorted prologue as the rest of the latency family."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_breaks", pa.int64()),
+            ("median_break_s", pa.int64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        st = _sorted_conv_deltas(tbl)
+        if st is None:
+            return out_schema.empty_table()
+        has = st["has_delta"] & (st["delta"] > _GAP)
+        d_codes = st["codes"][has]
+        if not len(d_codes):
+            return out_schema.empty_table()
+        y = st["delta"][has] // 1000000
+        o = np.lexsort((y, d_codes))
+        d_codes, y = d_codes[o], y[o]
+        starts = np.flatnonzero(np.r_[True, d_codes[1:] != d_codes[:-1]])
+        lens = np.diff(np.r_[starts, len(d_codes)])
+        k = np.ceil(0.5 * lens).astype(np.int64) - 1
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    st["uniq"][d_codes[starts]], pa.string()
+                ),
+                "n_breaks": pa.array(lens.astype(np.int64)),
+                "median_break_s": pa.array(y[starts + k]),
+            }
+        )
+
+    return hash_exchange(
+        _latency_turns(sf_dir),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["inter_session_gaps"] = q_inter_session_gaps
+ORACLE_SQL["inter_session_gaps"] = f"""
+WITH {SQL_TURNS_CTE},
+d AS (
+  SELECT conv_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+  FROM turns)
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_breaks,
+  quantile_disc(delta_us // 1000000, 0.5) AS median_break_s
+FROM d WHERE delta_us > {_GAP}
+GROUP BY conv_id
+""".strip()

@@ -33,6 +33,15 @@ QUERY_NAMES = [
     "latency_bucket_profile",
     "latency_robust_features",
     "role_onehot",
+    "role_dwell_time",
+    "role_transition_latency",
+    "snaps_since_prev_turn",
+    "w_latency_slope",
+    "conv_duration_percentile",
+    "conv_time_of_day_profile",
+    "session_length_median",
+    "inter_session_gaps",
+    "tool_concentration",
 ]
 
 

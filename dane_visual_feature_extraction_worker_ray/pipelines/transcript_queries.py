@@ -3459,3 +3459,101 @@ SELECT conv_id,
 FROM d WHERE delta_us > {_GAP}
 GROUP BY conv_id
 """.strip()
+
+
+def q_snapshot_value_trend(sf_dir: str):
+    """Snapshot-SIDE temporal feature: per conversation, the OLS slope
+    of the snapshot value over time (is the tracked quantity rising?)
+    — the right-hand stream gets its own trend, not just lookups from
+    the turn side. Exact integers throughout: value → cents
+    (floor(v·100 + 0.5)), time → whole seconds REBASED to each
+    conversation's first snapshot (keeps Σxy within int64 at epoch
+    scale — rebasing is slope-invariant and both engines do it
+    identically); slope from the same closed form as
+    conv_latency_trend, cents per second. Conversations with fewer
+    than 2 snapshots drop out."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    snaps = events_to_snapshots(_events(sf_dir))
+
+    def _project(tbl):
+        return tbl.select(["conv_id", "ts", "snap_val"])
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_snaps", pa.int64()),
+            ("slope_cents_per_s", pa.float64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        v = tbl.column("snap_val").to_numpy(zero_copy_only=False)
+        y = np.floor(v * 100 + 0.5).astype(np.int64)
+        o = np.lexsort((ts, codes))
+        codes, ts, y = codes[o], ts[o], y[o]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, len(codes)])
+        x = (ts - np.repeat(ts[starts], lens)) // 1000000
+        m = lens.astype(np.int64)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxy = np.add.reduceat(x * y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        keep = (m >= 2) & (m * sxx - sx * sx != 0)
+        if not keep.any():
+            return out_schema.empty_table()
+        mf = m[keep].astype(np.float64)
+        sxf = sx[keep].astype(np.float64)
+        syf = sy[keep].astype(np.float64)
+        sxyf = sxy[keep].astype(np.float64)
+        sxxf = sxx[keep].astype(np.float64)
+        slope = (mf * sxyf - sxf * syf) / (mf * sxxf - sxf * sxf)
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    uniq[codes[starts]][keep], pa.string()
+                ),
+                "n_snaps": pa.array(m[keep]),
+                "slope_cents_per_s": pa.array(slope),
+            }
+        )
+
+    return hash_exchange(
+        snaps.map_batches(_project, batch_format="pyarrow", batch_size=None),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["snapshot_value_trend"] = q_snapshot_value_trend
+ORACLE_SQL["snapshot_value_trend"] = f"""
+WITH {SQL_SNAPS_CTE},
+b AS (
+  SELECT conv_id,
+    (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY conv_id))
+      // 1000000 AS x,
+    CAST(floor(snap_val * 100 + 0.5) AS BIGINT) AS y
+  FROM snaps),
+s AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS m,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM b GROUP BY conv_id)
+SELECT conv_id, m AS n_snaps,
+  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_s
+FROM s WHERE m >= 2 AND m * sxx - sx * sx <> 0
+""".strip()

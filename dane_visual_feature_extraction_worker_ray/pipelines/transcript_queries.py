@@ -3557,3 +3557,74 @@ SELECT conv_id, m AS n_snaps,
      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_s
 FROM s WHERE m >= 2 AND m * sxx - sx * sx <> 0
 """.strip()
+
+
+def q_asof_value_delta(sf_dir: str):
+    """Composition: as-of join THEN lag — per turn, how much the
+    leakage-safe snapshot value moved since the previous turn saw it
+    (the feature-drift signal a training row carries about its own
+    staleness). Input is the flagship feature set's snap_val_asof;
+    one conv_id exchange adds the in-conversation lag; the delta is a
+    single IEEE subtraction of identical doubles on both engines
+    (NULL whenever either side is)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    feats = _features(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "snap_val_asof"]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("snap_val_asof", pa.float64()),
+            ("val_delta", pa.float64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(conv, return_inverse=True)
+        tix = tbl.column("turn_idx").cast(pa.int32()).to_numpy()
+        val = tbl.column("snap_val_asof").to_numpy(zero_copy_only=False)
+        val = val.astype(np.float64)
+        o = np.lexsort((tix, codes))
+        codes, tix, val = codes[o], tix[o], val[o]
+        n = len(codes)
+        prev = np.full(n, np.nan)
+        if n > 1:
+            same = codes[1:] == codes[:-1]
+            prev[1:][same] = val[:-1][same]
+        isnan = np.isnan(val) | np.isnan(prev)
+        delta = np.where(isnan, 0.0, val - prev)
+        return pa.table(
+            {
+                "conv_id": pa.array(uniq[codes], pa.string()),
+                "turn_idx": pa.array(tix, pa.int32()),
+                "snap_val_asof": pa.array(
+                    val, mask=np.isnan(val)
+                ),
+                "val_delta": pa.array(delta, mask=isnan),
+            }
+        )
+
+    return hash_exchange(
+        feats, "conv_id", PCFG.num_buckets, _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["asof_value_delta"] = q_asof_value_delta
+ORACLE_SQL["asof_value_delta"] = (
+    SQL_PREAMBLE
+    + """
+ SELECT conv_id, turn_idx, snap_val_asof,
+   snap_val_asof - lag(snap_val_asof) OVER (
+     PARTITION BY conv_id ORDER BY turn_idx) AS val_delta
+ FROM asofj"""
+)

@@ -42,6 +42,8 @@ QUERY_NAMES = [
     "session_length_median",
     "inter_session_gaps",
     "tool_concentration",
+    "snapshot_value_trend",
+    "asof_value_delta",
 ]
 
 
@@ -87,6 +89,19 @@ def adversarial_sf_dir(tmp_path_factory):
     conv(5, specs5)
     # u6: a signup row (must be filtered) plus one turn
     conv(6, [(0, "signup", None), (HOUR, "view", None)])
+    # u7: snapshot stream — two co-timestamped signups (tie), a third
+    # later, interleaved with turns (as-of + snapshot-trend fodder)
+    conv(
+        7,
+        [
+            (0, "signup", None),
+            (0, "signup", None),
+            (MIN, "view", 2),
+            (2 * HOUR, "signup", None),
+            (3 * HOUR, "click", 2),
+            (DAY, "view", None),
+        ],
+    )
 
     tbl = pa.table(
         {

@@ -3628,3 +3628,86 @@ ORACLE_SQL["asof_value_delta"] = (
      PARTITION BY conv_id ORDER BY turn_idx) AS val_delta
  FROM asofj"""
 )
+
+
+# (upper_bound_s_exclusive, name); None = no snapshot matched
+_STALE_BUCKETS = ((3600, "lt_1h"), (86400, "lt_1d"),
+                  (604800, "lt_7d"), (None, "ge_7d"))
+
+
+def q_asof_staleness_histogram(sf_dir: str):
+    """Data-quality summary OF the as-of join itself: corpus-wide
+    histogram of snapshot staleness (snap_age at each turn —
+    <1h/<1d/<7d/≥7d/no_snapshot). The monitoring view a feature-store
+    operator watches to catch upstream snapshot pipelines falling
+    behind. Per-batch bucket-count partials (5 ints per block), tiny
+    merge — the age thresholds compare identical doubles on both
+    engines so binning cannot diverge."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.groupagg import (
+        group_aggregate_table,
+        hash_grouped_aggregate,
+    )
+
+    feats = _features(sf_dir).select_columns(["snap_age_s"])
+
+    def _partial(tbl: pa.Table) -> pa.Table:
+        age = tbl.column("snap_age_s").to_numpy(zero_copy_only=False)
+        age = age.astype(np.float64)
+        isna = np.isnan(age)
+        names, counts = ["no_snapshot"], [int(isna.sum())]
+        lo = -np.inf
+        for hi, nm in _STALE_BUCKETS:
+            if hi is None:
+                m = ~isna & (age >= lo)
+            else:
+                m = ~isna & (age >= lo) & (age < hi)
+                lo = hi
+            names.append(nm)
+            counts.append(int(m.sum()))
+        return pa.table(
+            {
+                "staleness": pa.array(names, pa.string()),
+                "n_turns": pa.array(counts, pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as _pc
+
+    def _nonzero(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(_pc.greater(tbl.column("n_turns"), 0))
+
+    return hash_grouped_aggregate(
+        feats.map_batches(_partial, batch_format="pyarrow",
+                          batch_size=None),
+        ["staleness"],
+        [("n_turns", "sum")],
+        num_buckets=2,
+    ).map_batches(_nonzero, batch_format="pyarrow", batch_size=None)
+
+
+def _stale_sql() -> str:
+    cases, lo = [], None
+    for hi, nm in _STALE_BUCKETS:
+        if hi is None:
+            cases.append(f"WHEN snap_age_s >= {lo} THEN 'ge_7d'")
+        else:
+            lower = "" if lo is None else f"snap_age_s >= {lo} AND "
+            cases.append(f"WHEN {lower}snap_age_s < {hi} THEN '{nm}'")
+            lo = hi
+    case = "CASE WHEN snap_age_s IS NULL THEN 'no_snapshot' " + " ".join(
+        cases
+    ) + " END"
+    return (
+        SQL_PREAMBLE
+        + f"""
+ SELECT {case} AS staleness,
+   CAST(count(*) AS BIGINT) AS n_turns
+ FROM asofj GROUP BY 1"""
+    )
+
+
+QUERIES["asof_staleness_histogram"] = q_asof_staleness_histogram
+ORACLE_SQL["asof_staleness_histogram"] = _stale_sql()

@@ -44,6 +44,14 @@ QUERY_NAMES = [
     "tool_concentration",
     "snapshot_value_trend",
     "asof_value_delta",
+    "asof_staleness_histogram",
+    # pre-existing flagship family — free adversarial coverage
+    "conv_latency_quantiles",
+    "conv_peak_latency",
+    "lag_lead",
+    "sessionize",
+    "ffill",
+    "asof_join",
 ]
 
 

@@ -3711,3 +3711,84 @@ def _stale_sql() -> str:
 
 QUERIES["asof_staleness_histogram"] = q_asof_staleness_histogram
 ORACLE_SQL["asof_staleness_histogram"] = _stale_sql()
+
+
+def q_snapshot_max_drawdown(sf_dir: str):
+    """Per-conversation MAXIMUM DRAWDOWN of the snapshot value series
+    (largest peak-to-trough decline of the tracked quantity — the
+    running-max-minus-current reduction every risk/telemetry stack
+    computes). Exact integer cents; the in-kernel grouped running max
+    is one global np.maximum.accumulate over values lifted by a
+    monotone per-segment offset (cents + seg·2⁴⁰ — segments can never
+    bleed into each other, no Python per-group loop). Timestamp ties
+    are ordered by (ts, value) on BOTH engines so the running max is
+    deterministic under co-timestamped snapshots."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_exchange
+
+    snaps = events_to_snapshots(_events(sf_dir))
+
+    def _project(tbl):
+        return tbl.select(["conv_id", "ts", "snap_val"])
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_snaps", pa.int64()),
+            ("max_drawdown_cents", pa.int64()),
+        ]
+    )
+
+    def _kernel(_p: int, tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(conv, return_inverse=True)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        v = tbl.column("snap_val").to_numpy(zero_copy_only=False)
+        y = np.floor(v * 100 + 0.5).astype(np.int64)
+        o = np.lexsort((y, ts, codes))
+        codes, y = codes[o], y[o]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, len(codes)])
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        LIFT = np.int64(1) << 40  # cents ≪ 2^40, segments stay apart
+        runmax = np.maximum.accumulate(y + seg * LIFT) - seg * LIFT
+        dd = runmax - y
+        return pa.table(
+            {
+                "conv_id": pa.array(uniq[codes[starts]], pa.string()),
+                "n_snaps": pa.array(lens.astype(np.int64)),
+                "max_drawdown_cents": pa.array(
+                    np.maximum.reduceat(dd, starts)
+                ),
+            }
+        )
+
+    return hash_exchange(
+        snaps.map_batches(_project, batch_format="pyarrow", batch_size=None),
+        "conv_id",
+        PCFG.num_buckets,
+        _kernel,
+        empty_schema=out_schema,
+    )
+
+
+QUERIES["snapshot_max_drawdown"] = q_snapshot_max_drawdown
+ORACLE_SQL["snapshot_max_drawdown"] = f"""
+WITH {SQL_SNAPS_CTE},
+c AS (
+  SELECT conv_id, ts,
+    CAST(floor(snap_val * 100 + 0.5) AS BIGINT) AS y
+  FROM snaps),
+r AS (
+  SELECT conv_id, y,
+    max(y) OVER (PARTITION BY conv_id ORDER BY ts, y
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+  FROM c)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_snaps,
+  CAST(max(runmax - y) AS BIGINT) AS max_drawdown_cents
+FROM r GROUP BY conv_id
+""".strip()

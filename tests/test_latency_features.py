@@ -45,6 +45,7 @@ QUERY_NAMES = [
     "snapshot_value_trend",
     "asof_value_delta",
     "asof_staleness_histogram",
+    "snapshot_max_drawdown",
     # pre-existing flagship family — free adversarial coverage
     "conv_latency_quantiles",
     "conv_peak_latency",
